@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator is a `queries` entry; SQL-expressible
+  * ones also carry a DuckDB oracle in `oracleSql` (column names are
+  * aliased identically on both sides — the driver compare hashes
+  * values under name-sorted columns).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 relational analytics
+    "q1_agg"        -> Relational.q1Agg _,
+    "q3_join_agg"   -> Relational.q3JoinAgg _,
+    "q5_multi_join" -> Relational.q5MultiJoin _,
+    "topn_per_group" -> Relational.topnPerGroup _,
+    "sessionize"    -> Relational.sessionize _,
+    "asof_join"     -> Relational.asofJoin _,
+    "event_funnel"  -> Relational.eventFunnel _,
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"        -> Relational.q1AggSql,
+    "q3_join_agg"   -> Relational.q3JoinAggSql,
+    "q5_multi_join" -> Relational.q5MultiJoinSql,
+    "topn_per_group" -> Relational.topnPerGroupSql,
+    "sessionize"    -> Relational.sessionizeSql,
+    "asof_join"     -> Relational.asofJoinSql,
+    "event_funnel"  -> Relational.eventFunnelSql,
+  )
 }

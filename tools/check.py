@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query parquet in outDir, runs the matching oracle SQL in
+DuckDB (tables registered as views over the same sfDir parquet) and
+compares values with columns sorted by name and rows sorted.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracle):
+    path = f"{out_dir}/{name}"
+    if not os.path.isdir(path):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    files = glob.glob(f"{path}/*.parquet")
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); fails += 1; continue
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+        print(f"OK   {name}: {len(s)} rows")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}"); fails += 1
+print(f"{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
