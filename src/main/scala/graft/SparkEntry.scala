@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Relational
+import graft.hmm.{HmmQueries, Sequencer}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -27,6 +28,22 @@ object SparkEntry {
     "sessionize"    -> Relational.sessionize _,
     "asof_join"     -> Relational.asofJoin _,
     "event_funnel"  -> Relational.eventFunnel _,
+    // §2.2 sequence construction
+    "seq_vocab"     -> Sequencer.vocab _,
+    "seq_build"     -> Sequencer.build _,
+    "seq_stats"     -> Sequencer.stats _,
+    // §2.1 HMM core
+    "hmm_supervised" -> HmmQueries.supervised _,
+    "hmm_model_io"  -> HmmQueries.modelIo _,
+    "hmm_random_model" -> HmmQueries.randomModel _,
+    "hmm_model_from_distributions" -> HmmQueries.fromDistributions _,
+    "hmm_forward"   -> HmmQueries.forward _,
+    "hmm_backward"  -> HmmQueries.backward _,
+    "hmm_likelihood" -> HmmQueries.likelihood _,
+    "hmm_viterbi"   -> HmmQueries.viterbi _,
+    "hmm_baumwelch" -> HmmQueries.baumWelch _,
+    "hmm_predict"   -> HmmQueries.predict _,
+    "hmm_decode_events" -> HmmQueries.decodeEvents _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -38,5 +55,10 @@ object SparkEntry {
     "sessionize"    -> Relational.sessionizeSql,
     "asof_join"     -> Relational.asofJoinSql,
     "event_funnel"  -> Relational.eventFunnelSql,
+    "seq_vocab"     -> Sequencer.vocabSql,
+    "seq_build"     -> Sequencer.buildSql,
+    "seq_stats"     -> Sequencer.statsSql,
+    "hmm_supervised" -> HmmQueries.supervisedSql,
+    "hmm_model_io"  -> HmmQueries.supervisedSql, // round trip = identity
   )
 }

@@ -1,0 +1,165 @@
+package graft.hmm
+
+/** Per-sequence HMM primitives: scaled forward/backward, Viterbi,
+  * log-likelihood, and the E-step accumulation.
+  *
+  * The reference computes these through Mahout's HmmAlgorithms with
+  * scaling off (BaumWelchMapper.java:143,151 — `forwardAlgorithm(...,
+  * false)`), which underflows on long sequences. We use Rabiner-style
+  * scaling: per-step normalizers s_t with
+  *   γ_t(i) = ᾱ_t(i)·β̂_t(i)·s_t,
+  *   ξ_t(i,j) = ᾱ_t(i)·A(i,j)·B(j,o_{t+1})·β̂_{t+1}(j),
+  *   log P(O|λ) = Σ_t log s_t.
+  * Same expected counts, stable at any sequence length.
+  *
+  * Everything here is driver/executor-local per sequence; distribution
+  * happens one level up (BaumWelch.treeAggregate over sequences).
+  */
+object HmmAlgorithms {
+
+  /** Scaled forward. Returns (ᾱ rows t=0..T-1 each summing to 1,
+    * normalizers s_t).
+    */
+  def forwardScaled(m: HmmModel, obs: Array[Int]): (Array[Array[Double]], Array[Double]) = {
+    val k = m.numStates
+    val timeLen = obs.length
+    val alpha = Array.ofDim[Double](timeLen, k)
+    val scale = new Array[Double](timeLen)
+    var i = 0
+    var s = 0.0
+    while (i < k) { alpha(0)(i) = m.pi(i) * m.b(i)(obs(0)); s += alpha(0)(i); i += 1 }
+    scale(0) = s
+    i = 0
+    while (i < k) { alpha(0)(i) /= s; i += 1 }
+    var t = 1
+    while (t < timeLen) {
+      var j = 0
+      s = 0.0
+      while (j < k) {
+        var acc = 0.0
+        var q = 0
+        while (q < k) { acc += alpha(t - 1)(q) * m.a(q)(j); q += 1 }
+        alpha(t)(j) = acc * m.b(j)(obs(t))
+        s += alpha(t)(j)
+        j += 1
+      }
+      scale(t) = s
+      j = 0
+      while (j < k) { alpha(t)(j) /= s; j += 1 }
+      t += 1
+    }
+    (alpha, scale)
+  }
+
+  /** Scaled backward using the forward pass's normalizers. */
+  def backwardScaled(m: HmmModel, obs: Array[Int], scale: Array[Double]): Array[Array[Double]] = {
+    val k = m.numStates
+    val timeLen = obs.length
+    val beta = Array.ofDim[Double](timeLen, k)
+    var i = 0
+    while (i < k) { beta(timeLen - 1)(i) = 1.0 / scale(timeLen - 1); i += 1 }
+    var t = timeLen - 2
+    while (t >= 0) {
+      var q = 0
+      while (q < k) {
+        var acc = 0.0
+        var r = 0
+        while (r < k) { acc += m.a(q)(r) * m.b(r)(obs(t + 1)) * beta(t + 1)(r); r += 1 }
+        beta(t)(q) = acc / scale(t)
+        q += 1
+      }
+      t -= 1
+    }
+    beta
+  }
+
+  def logLikelihood(m: HmmModel, obs: Array[Int]): Double = {
+    val (_, scale) = forwardScaled(m, obs)
+    var s = 0.0
+    var t = 0
+    while (t < scale.length) { s += math.log(scale(t)); t += 1 }
+    s
+  }
+
+  /** Log-space Viterbi: most likely hidden path (reference surface:
+    * Mahout HmmAlgorithms.viterbiAlgorithm).
+    */
+  def viterbi(m: HmmModel, obs: Array[Int]): Array[Int] = {
+    val k = m.numStates
+    val timeLen = obs.length
+    val delta = Array.ofDim[Double](timeLen, k)
+    val psi = Array.ofDim[Int](timeLen, k)
+    def ln(x: Double) = if (x <= 0) Double.NegativeInfinity else math.log(x)
+    var i = 0
+    while (i < k) { delta(0)(i) = ln(m.pi(i)) + ln(m.b(i)(obs(0))); i += 1 }
+    var t = 1
+    while (t < timeLen) {
+      var j = 0
+      while (j < k) {
+        var best = Double.NegativeInfinity
+        var arg = 0
+        var q = 0
+        while (q < k) {
+          val v = delta(t - 1)(q) + ln(m.a(q)(j))
+          if (v > best) { best = v; arg = q }
+          q += 1
+        }
+        delta(t)(j) = best + ln(m.b(j)(obs(t)))
+        psi(t)(j) = arg
+        j += 1
+      }
+      t += 1
+    }
+    val path = new Array[Int](timeLen)
+    var bestLast = 0
+    var bestV = Double.NegativeInfinity
+    i = 0
+    while (i < k) { if (delta(timeLen - 1)(i) > bestV) { bestV = delta(timeLen - 1)(i); bestLast = i }; i += 1 }
+    path(timeLen - 1) = bestLast
+    t = timeLen - 1
+    while (t > 0) { path(t - 1) = psi(t)(path(t)); t -= 1 }
+    path
+  }
+
+  /** E-step for one sequence, accumulated in place into `stats`
+    * (the Spark-side analogue of the mapper's three stripes,
+    * BaumWelchMapper.java:156-241, with proper 1/P(O) weighting).
+    */
+  def accumulate(m: HmmModel, obs: Array[Int], stats: HmmSuffStats): Unit = {
+    if (obs.isEmpty) return
+    val k = m.numStates
+    val timeLen = obs.length
+    val (alpha, scale) = forwardScaled(m, obs)
+    val beta = backwardScaled(m, obs, scale)
+    // π stripe: γ_0
+    var i = 0
+    while (i < k) { stats.pi(i) += alpha(0)(i) * beta(0)(i) * scale(0); i += 1 }
+    // emission stripe: Σ_t γ_t(i) at symbol o_t
+    var t = 0
+    while (t < timeLen) {
+      val sym = obs(t)
+      i = 0
+      while (i < k) { stats.b(i)(sym) += alpha(t)(i) * beta(t)(i) * scale(t); i += 1 }
+      t += 1
+    }
+    // transition stripe: Σ_t ξ_t(q,r)
+    t = 0
+    while (t < timeLen - 1) {
+      val symNext = obs(t + 1)
+      var q = 0
+      while (q < k) {
+        val aq = alpha(t)(q)
+        var r = 0
+        while (r < k) {
+          stats.a(q)(r) += aq * m.a(q)(r) * m.b(r)(symNext) * beta(t + 1)(r)
+          r += 1
+        }
+        q += 1
+      }
+      t += 1
+    }
+    t = 0
+    while (t < timeLen) { stats.logLik += math.log(scale(t)); t += 1 }
+    stats.nSeq += 1
+  }
+}

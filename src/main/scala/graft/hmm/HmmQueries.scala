@@ -1,0 +1,283 @@
+package graft.hmm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SparkEntry-facing HMM queries (SURVEY.md §2.1).
+  *
+  * The "labeled" hidden state for the supervised/decoding queries is a
+  * deterministic derivation from the data (state = event_id % 3) so
+  * both engines — Spark and the DuckDB oracle — can compute it; the
+  * model-driven queries (forward/viterbi/EM) then run off the
+  * supervised model so their inputs are deterministic too.
+  */
+object HmmQueries {
+
+  val NumStates = 3
+
+  // -------------------------------------------------------------------
+  // hmm_supervised: MLE model from labeled (state, obs) pairs — pure
+  // DataFrame counts → normalize; sparse long form (zero cells absent
+  // on both sides). Counterpart of Mahout's HmmTrainer.trainSupervised.
+  // -------------------------------------------------------------------
+
+  private def labeled(spark: SparkSession, dir: String): DataFrame =
+    Sequencer.eventsWithSym(spark, dir)
+      .withColumn("state", col("event_id") % 3)
+
+  def supervised(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val seq = labeled(spark, dir)
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    // division of two exact longs is a single correctly-rounded IEEE
+    // op — identical on both engines, so no rounding needed.
+    val pi = seq.filter(col("rn") === 1).groupBy(col("state").as("i")).count()
+      .select(lit("pi").as("kind"), col("i"), lit(-1L).as("j"),
+        (col("count") / sum(col("count")).over(Window.partitionBy())).as("prob"))
+    val a = seq.filter(col("next_state").isNotNull)
+      .groupBy(col("state").as("i"), col("next_state").as("j")).count()
+      .select(lit("transition").as("kind"), col("i"), col("j"),
+        (col("count") / sum(col("count")).over(Window.partitionBy(col("i")))).as("prob"))
+    val b = seq.groupBy(col("state").as("i"), col("sym").cast("long").as("j")).count()
+      .select(lit("emission").as("kind"), col("i"), col("j"),
+        (col("count") / sum(col("count")).over(Window.partitionBy(col("i")))).as("prob"))
+    pi.unionByName(a).unionByName(b).orderBy("kind", "i", "j")
+  }
+
+  val supervisedSql: String =
+    s"""WITH ${Sequencer.vocabCte},
+       |e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+       |         event_id % 3 AS state, sym
+       |  FROM events JOIN vocab USING (event_type)
+       |), seq AS (
+       |  SELECT user_id, state, sym,
+       |    lead(state) OVER w AS next_state,
+       |    row_number() OVER w AS rn
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |), pi AS (
+       |  SELECT 'pi' AS kind, state AS i, -1 AS j,
+       |    count(*) / sum(count(*)) OVER () AS prob
+       |  FROM seq WHERE rn = 1 GROUP BY state
+       |), a AS (
+       |  SELECT 'transition' AS kind, state AS i, next_state AS j,
+       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
+       |  FROM seq WHERE next_state IS NOT NULL GROUP BY state, next_state
+       |), b AS (
+       |  SELECT 'emission' AS kind, state AS i, sym AS j,
+       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
+       |  FROM seq GROUP BY state, sym
+       |)
+       |SELECT * FROM (
+       |  SELECT * FROM pi UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b
+       |) ORDER BY kind, i, j""".stripMargin
+
+  // -------------------------------------------------------------------
+  // hmm_model_io: persist/restore round trip through parquet long form
+  // (reference: BaumWelchUtils.WriteModelToDirectory / CreateHmmModel).
+  // Oracle = the supervised SQL: a correct round trip is the identity.
+  // -------------------------------------------------------------------
+
+  def modelIo(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_hmm_model").toString
+    supervised(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).orderBy("kind", "i", "j")
+  }
+
+  // -------------------------------------------------------------------
+  // Model construction for the decode/likelihood queries: a smoothed
+  // supervised model (Laplace 0.5 so no zero emission stalls a scaled
+  // forward pass). Counts collected to the driver are O(K² + K·M).
+  // -------------------------------------------------------------------
+
+  def trainSupervisedModel(spark: SparkSession, dir: String, smooth: Double = 0.5): HmmModel = {
+    val rows = supervised(spark, dir).collect()
+    val m = Sequencer.vocab(spark, dir).count().toInt
+    val k = NumStates
+    // rebuild raw probabilities, then re-smooth uniformly: p' ∝ p + s/dim
+    def dense(kind: String, cols: Int): Array[Array[Double]] = {
+      val arr = Array.fill(k, cols)(0.0)
+      rows.filter(_.getString(0) == kind).foreach { r =>
+        arr(r.getLong(1).toInt)(r.getLong(2).toInt) = r.getDouble(3)
+      }
+      arr.map { row =>
+        val sm = row.map(_ + smooth / cols)
+        val s = sm.sum
+        sm.map(_ / s)
+      }
+    }
+    val piRaw = Array.fill(k)(0.0)
+    rows.filter(_.getString(0) == "pi").foreach(r => piRaw(r.getLong(1).toInt) = r.getDouble(3))
+    val piSm = piRaw.map(_ + smooth / k)
+    val piS = piSm.sum
+    HmmModel(k, m, piSm.map(_ / piS), dense("transition", k), dense("emission", m))
+  }
+
+  // -------------------------------------------------------------------
+  // Model-driven per-sequence queries: broadcast model, one narrow map
+  // over sequences — zero extra shuffle beyond the sequence build.
+  // -------------------------------------------------------------------
+
+  def likelihood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .map { case (uid, syms) =>
+        (uid, math.rint(HmmAlgorithms.logLikelihood(bc.value, syms.toArray) * 1e6) / 1e6)
+      }
+      .toDF("user_id", "loglik")
+      .orderBy("user_id")
+  }
+
+  /** Final-step scaled forward vector per sequence. */
+  def forward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        val (alpha, _) = HmmAlgorithms.forwardScaled(bc.value, syms.toArray)
+        alpha.last.zipWithIndex.map { case (v, s) => (uid, s, math.rint(v * 1e6) / 1e6) }
+      }
+      .toDF("user_id", "state", "alpha_last")
+      .orderBy("user_id", "state")
+  }
+
+  /** First-step scaled backward vector per sequence. */
+  def backward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        val (_, scale) = HmmAlgorithms.forwardScaled(bc.value, syms.toArray)
+        val beta = HmmAlgorithms.backwardScaled(bc.value, syms.toArray, scale)
+        beta.head.zipWithIndex.map { case (v, s) => (uid, s, math.rint(v * 1e6) / 1e6) }
+      }
+      .toDF("user_id", "state", "beta_first")
+      .orderBy("user_id", "state")
+  }
+
+  /** Per-event Viterbi state path, long form (user_id, pos, state). */
+  def viterbi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        HmmAlgorithms.viterbi(bc.value, syms.toArray).zipWithIndex
+          .map { case (st, pos) => (uid, pos, st) }
+      }
+      .toDF("user_id", "pos", "state")
+      .orderBy("user_id", "pos")
+  }
+
+  /** End-to-end decode: events → sequences → Viterbi → per-user
+    * path summary.
+    */
+  def decodeEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .map { case (uid, syms) =>
+        val path = HmmAlgorithms.viterbi(bc.value, syms.toArray)
+        val counts = path.groupBy(identity).view.mapValues(_.length)
+        // deterministic argmax: ties to the smaller state id
+        val top = counts.toSeq.minBy { case (s, c) => (-c, s) }._1
+        val switches = path.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+        (uid, path.length, top, switches)
+      }
+      .toDF("user_id", "n_events", "top_state", "n_switches")
+      .orderBy("user_id")
+  }
+
+  /** Distributed Baum-Welch from a seeded random init; dumps the
+    * trained model (long form) plus one row per iteration loglik.
+    * Values rounded 4dp: double sums across a treeAggregate are
+    * order-sensitive.
+    */
+  def baumWelch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Sequencer.vocab(spark, dir).count().toInt
+    val init = HmmModel.random(NumStates, m, seed = 42L)
+    val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
+    try {
+      val res = BaumWelch.fit(seqs, init, maxIterations = 10, epsilon = 1e-4)
+      val modelRows = res.model.toRows(round = 4)
+        .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }
+      val llRows = res.logLikPerIter.zipWithIndex.map { case (ll, it) =>
+        ("loglik_iter", it.toLong, -1L, math.rint(ll * 1e4) / 1e4)
+      }
+      (modelRows ++ llRows).toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+    } finally seqs.unpersist()
+  }
+
+  /** Seeded random-model dump (reference: BaumWelchUtils.BuildRandomModel);
+    * row-stochasticity asserted in the spec.
+    */
+  def randomModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    HmmModel.random(4, 5, seed = 42L).toRows()
+      .toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+  }
+
+  /** Model from explicit distributions (Rabiner's classic two-state
+    * weather example), validated then dumped.
+    */
+  def fromDistributions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = HmmModel.fromDistributions(
+      Array(0.6, 0.4),
+      Array(Array(0.7, 0.3), Array(0.4, 0.6)),
+      Array(Array(0.1, 0.4, 0.5), Array(0.6, 0.3, 0.1)))
+    m.toRows().toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+  }
+
+  /** Forecast: from each user's final Viterbi state, sample 5 future
+    * (state, obs) steps with a counter-based splitmix64 RNG — keyed by
+    * (user_id, step), so sampling is deterministic AND
+    * distribution-safe: no partition-dependent RNG state.
+    */
+  def predict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    val horizon = 5
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        val m = bc.value
+        var state = HmmAlgorithms.viterbi(m, syms.toArray).last
+        (0 until horizon).map { step =>
+          state = sampleIndex(m.a(state), mix64(uid * 2654435769L + step * 2 + 1))
+          val sym = sampleIndex(m.b(state), mix64(uid * 2654435769L + step * 2 + 2))
+          (uid, step, state, sym)
+        }
+      }
+      .toDF("user_id", "step", "state", "sym")
+      .orderBy("user_id", "step")
+  }
+
+  /** splitmix64 finalizer → uniform double in [0, 1). */
+  private def mix64(x0: Long): Double = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    (x >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  private def sampleIndex(dist: Array[Double], u: Double): Int = {
+    var acc = 0.0
+    var i = 0
+    while (i < dist.length - 1) {
+      acc += dist(i)
+      if (u < acc) return i
+      i += 1
+    }
+    dist.length - 1
+  }
+}

@@ -1,0 +1,115 @@
+package graft.hmm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-value and invariant tests for the HMM core.
+  *
+  * The golden case is the classic Rabiner/Wikipedia two-state model;
+  * unscaled probabilities are small enough to hand-compute exactly.
+  */
+class HmmSpec extends AnyFunSuite {
+
+  // states: 0=Rainy, 1=Sunny; symbols: 0=walk, 1=shop, 2=clean
+  val m: HmmModel = HmmModel.fromDistributions(
+    Array(0.6, 0.4),
+    Array(Array(0.7, 0.3), Array(0.4, 0.6)),
+    Array(Array(0.1, 0.4, 0.5), Array(0.6, 0.3, 0.1)))
+
+  test("forward likelihood matches hand-computed joint probability") {
+    // P(O) for O = [walk] = 0.6*0.1 + 0.4*0.6 = 0.30
+    assert(math.abs(math.exp(HmmAlgorithms.logLikelihood(m, Array(0))) - 0.30) < 1e-12)
+    // O = [walk, shop]:
+    // alpha1(R) = (0.06*0.7 + 0.24*0.4)*0.4 = 0.0552
+    // alpha1(S) = (0.06*0.3 + 0.24*0.6)*0.3 = 0.0486
+    val p2 = 0.0552 + 0.0486
+    assert(math.abs(math.exp(HmmAlgorithms.logLikelihood(m, Array(0, 1))) - p2) < 1e-12)
+  }
+
+  test("scaled forward rows sum to 1; scales multiply back to P(O)") {
+    val obs = Array(0, 1, 2, 0, 2, 1, 0)
+    val (alpha, scale) = HmmAlgorithms.forwardScaled(m, obs)
+    alpha.foreach(row => assert(math.abs(row.sum - 1.0) < 1e-12))
+    val logp = scale.map(math.log).sum
+    assert(math.abs(logp - HmmAlgorithms.logLikelihood(m, obs)) < 1e-12)
+  }
+
+  test("gamma from scaled alpha*beta is a distribution at every t") {
+    val obs = Array(0, 1, 2, 2, 0)
+    val (alpha, scale) = HmmAlgorithms.forwardScaled(m, obs)
+    val beta = HmmAlgorithms.backwardScaled(m, obs, scale)
+    for (t <- obs.indices) {
+      val g = (0 until m.numStates).map(i => alpha(t)(i) * beta(t)(i) * scale(t)).sum
+      assert(math.abs(g - 1.0) < 1e-10, s"gamma at t=$t sums to $g")
+    }
+  }
+
+  test("viterbi matches the known Wikipedia path") {
+    // O = [walk, shop, clean] -> Sunny, Rainy, Rainy
+    assert(HmmAlgorithms.viterbi(m, Array(0, 1, 2)).toSeq == Seq(1, 0, 0))
+  }
+
+  test("random model is seeded-deterministic and row-stochastic") {
+    val r1 = HmmModel.random(4, 6, 42L)
+    val r2 = HmmModel.random(4, 6, 42L)
+    r1.validate()
+    assert(r1.toRows() == r2.toRows())
+    assert(HmmModel.random(4, 6, 43L).toRows() != r1.toRows())
+  }
+
+  test("model long-form round trip is the identity") {
+    val rows = m.toRows(round = 9)
+    val back = HmmModel.fromRows(rows)
+    assert(back.toRows(round = 9) == rows)
+  }
+
+  test("frobenius distance is zero to self, positive to a perturbed model") {
+    assert(m.frobeniusDistance(m) == 0.0)
+    val p = HmmModel(m.numStates, m.numSymbols, m.pi,
+      m.a.map(_.clone()), m.b.map(_.clone()))
+    p.a(0)(0) += 0.01; p.a(0)(1) -= 0.01
+    assert(m.frobeniusDistance(p) > 0)
+  }
+
+  test("local EM (single partition semantics) is monotone in log-likelihood and stays stochastic") {
+    // deterministic pseudo-random sequences from a fixed generator model
+    val gen = new java.util.Random(7)
+    val seqs = Seq.fill(40)(Array.fill(30)(gen.nextInt(3)))
+    var model = HmmModel.random(2, 3, 1L)
+    var prev = Double.NegativeInfinity
+    for (_ <- 0 until 15) {
+      val stats = new HmmSuffStats(2, 3)
+      seqs.foreach(s => HmmAlgorithms.accumulate(model, s, stats))
+      assert(stats.logLik >= prev - 1e-9, s"loglik decreased: $prev -> ${stats.logLik}")
+      prev = stats.logLik
+      // M-step identical to BaumWelch.mStep via public fit on a local context is
+      // exercised in VerifySpec; here re-normalize manually
+      def norm(r: Array[Double]) = { val s = r.sum; r.map(_ / s) }
+      model = HmmModel(2, 3, norm(stats.pi), stats.a.map(norm), stats.b.map(norm))
+      model.validate(1e-9)
+    }
+  }
+
+  test("suff-stats merge is exact elementwise addition") {
+    val s1 = new HmmSuffStats(2, 3); val s2 = new HmmSuffStats(2, 3)
+    s1.pi(0) = 1.5; s2.pi(0) = 0.25; s1.a(1)(0) = 2.0; s2.b(0)(2) = 3.0
+    s1.logLik = -5.0; s2.logLik = -7.0; s1.nSeq = 2; s2.nSeq = 3
+    val mg = s1.merge(s2)
+    assert(mg.pi(0) == 1.75 && mg.a(1)(0) == 2.0 && mg.b(0)(2) == 3.0)
+    assert(mg.logLik == -12.0 && mg.nSeq == 5)
+  }
+
+  test("predict sampling index is deterministic and in range") {
+    val dist = Array(0.2, 0.3, 0.5)
+    // cover u in all three buckets
+    val idx = Seq(0.1, 0.25, 0.49, 0.51, 0.99).map { u =>
+      var acc = 0.0; var i = 0
+      var out = dist.length - 1
+      var done = false
+      while (i < dist.length - 1 && !done) {
+        acc += dist(i); if (u < acc) { out = i; done = true }; i += 1
+      }
+      out
+    }
+    assert(idx == Seq(0, 1, 1, 2, 2))
+  }
+}
