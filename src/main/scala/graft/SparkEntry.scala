@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.hmm.{HmmQueries, Sequencer}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -44,6 +44,21 @@ object SparkEntry {
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_predict"   -> HmmQueries.predict _,
     "hmm_decode_events" -> HmmQueries.decodeEvents _,
+    // §2.6 text analysis
+    "text_tokens"      -> TextAnalysis.tokens _,
+    "text_quality"     -> TextAnalysis.quality _,
+    "text_langid"      -> TextAnalysis.langid _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // §2.4 deduplication
+    "dedup_exact"         -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
+    // §2.5 similarity search
+    "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
+    "knn_ivf"   -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "vec_norms" -> Similarity.vecNorms _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -60,5 +75,14 @@ object SparkEntry {
     "seq_stats"     -> Sequencer.statsSql,
     "hmm_supervised" -> HmmQueries.supervisedSql,
     "hmm_model_io"  -> HmmQueries.supervisedSql, // round trip = identity
+    "text_tokens"      -> TextAnalysis.tokensSql,
+    "text_quality"     -> TextAnalysis.qualitySql,
+    "text_langid"      -> TextAnalysis.langidSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "dedup_exact"         -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding"     -> Dedup.embeddingDedupSql,
+    "knn_brute" -> Similarity.knnBruteSql,
+    "vec_norms" -> Similarity.vecNormsSql,
   )
 }

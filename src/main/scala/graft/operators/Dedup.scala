@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings`
+  * (SURVEY.md §2.4). The common scale shape: NEVER form the n²
+  * cross product — every operator generates candidates through an
+  * inverted-index / band-bucket equi-join (shuffle keyed on
+  * shingle/band/block, not on document pairs), then verifies only the
+  * joined candidates.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact: one shuffle of (md5, id) — the text itself never moves.
+  // -------------------------------------------------------------------
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("dup_hash"))
+      .groupBy("dup_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("dup_hash")
+
+  val exactSql: String =
+    """SELECT md5(text) AS dup_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY dup_hash""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Word-3-gram Jaccard ≥ 0.8, exact, via inverted-index self-join.
+  // Shuffle is keyed on shingle; intersection counts come from the
+  // join, sizes from a per-doc agg — all-pairs Jaccard without the
+  // cross product. At 100 TB you'd add a stop-shingle cap (drop
+  // shingles in > p docs) — a bounded-recall trade this exact query
+  // keeps off so the oracle stays exact.
+  // -------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles, one row per (doc_id, shingle). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")))
+        .as("shingle"))
+
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 3
+      |), idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT a_id, b_id,
+      |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MinHash(128) + LSH banding (32 bands × 4 rows). Signatures are
+  // computed with array-lambda native functions — per doc, NO explode
+  // of shingles and no shuffle until the tiny (doc, band, key) relation
+  // is bucket-joined. This is the operator that still works when
+  // all-pairs Jaccard can't: candidate volume is O(collisions), and
+  // the exact-Jaccard verify touches only candidates.
+  // -------------------------------------------------------------------
+
+  val NumPerm = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumPerm / Bands
+
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+        .as("shingles"))
+    // 128 seeded min-hashes: permutation i = xxhash64(shingle, i)
+    val sigCols: Seq[Column] = (0 until NumPerm).map { i =>
+      array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))
+    }
+    val withSig = docs.select(col("doc_id"), col("shingles"), array(sigCols: _*).as("sig"))
+    // band key = hash of the band's 4 signature rows
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(rows :+ lit(b): _*).as("bkey"))
+    }
+    val buckets = withSig
+      .select(col("doc_id"), col("shingles"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+    // exact-Jaccard verification on candidates only
+    cand
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash(64) + Hamming ≤ 3 via the 4-block pigeonhole: distance ≤ 3
+  // means at least one 16-bit block is identical, so an equi-join on
+  // (block_id, block_value) has exact recall. All bit arithmetic is
+  // native (xxhash64 / shiftright / bit_count) inside codegen.
+  // -------------------------------------------------------------------
+
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(sequence(0, 63), k ->
+          |    CASE WHEN aggregate(split(text, ' '), 0L,
+          |                (acc, t) -> acc + (shiftright(xxhash64(t), k) & 1L) * 2L - 1L) > 0
+          |         THEN shiftleft(1L, k) ELSE 0L END),
+          |  0L, (a, v) -> a | v)""".stripMargin).as("simhash"))
+    val blockCols = (0 until 4).map { j =>
+      struct(lit(j).as("blk"), (shiftright(col("simhash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
+    }
+    val blocked = docs.select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.blk"), col("bb.bval"))
+    blocked.as("a").join(blocked.as("b"), Seq("blk", "bval"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding near-dup: cosine ≥ threshold with an EXACT projection
+  // band join — unit vectors with cos(a,b) ≥ τ satisfy
+  // |⟨a,u⟩ − ⟨b,u⟩| ≤ ‖a−b‖ = √(2−2τ), so bucketing the projection
+  // onto u at width √(2−2τ) and joining each point to adjacent buckets
+  // covers all qualifying pairs with zero false negatives. At the
+  // production τ=0.95 the width is 0.316 → strong pruning; the query
+  // entry uses τ=0.45 (this corpus's near-dup scale), where the prune
+  // is weak but the plan is identical.
+  // -------------------------------------------------------------------
+
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val width = math.sqrt(2.0 - 2.0 * threshold)
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+      .withColumn("proj", expr("CAST(embedding[0] AS DOUBLE)") / col("nrm"))
+      .withColumn("bucket", floor(col("proj") / lit(width)))
+    val probes = e.withColumn("probe", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    probes.as("a").join(e.as("b"), col("a.probe") === col("b.bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val embeddingDedupSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY vec_id, embedding
+      |), pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |      / (any_value(a.nrm) * any_value(b.nrm)) AS cos
+      |  FROM n a
+      |  JOIN n b ON a.vec_id < b.vec_id,
+      |  unnest(generate_series(1, 64)) AS t(i)
+      |  GROUP BY a.vec_id, b.vec_id
+      |)
+      |SELECT a_id, b_id, round(cos, 6) AS cos_sim
+      |FROM pairs WHERE cos >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin
+}

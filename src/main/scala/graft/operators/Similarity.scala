@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (SURVEY.md §2.5).
+  *
+  * Scale shape: queries are the small side — always broadcast; the
+  * corpus is scanned once, narrow, with the dot product evaluated as
+  * a native array-lambda expression inside codegen (no UDF, no
+  * deserialization to Scala objects). Top-k goes through a
+  * per-query window after a pre-filter, so the shuffle carries only
+  * (query, candidate, score) triples.
+  */
+object Similarity {
+
+  private val norm2Expr =
+    "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact top-5 cosine neighbors for the query set (vec_id < 10):
+    * broadcast queries × single corpus scan, window top-k.
+    */
+  def knnBrute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sqrt(expr(norm2Expr)).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(round(col("cos"), 6).desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val knnBruteSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY vec_id, embedding
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+      |      / (any_value(q.nrm) * any_value(c.nrm)) AS cos
+      |  FROM n q
+      |  JOIN n c ON c.vec_id <> q.vec_id,
+      |  unnest(generate_series(1, 64)) AS t(i)
+      |  WHERE q.vec_id < 10
+      |  GROUP BY q.vec_id, c.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, round(cos, 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** Norm / stats audit per label partition. */
+  def vecNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), sqrt(expr(norm2Expr)).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy("label")
+
+  val vecNormsSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label,
+      |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY vec_id, label
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(nrm), 4) AS avg_norm,
+      |  round(min(nrm), 4) AS min_norm,
+      |  round(max(nrm), 4) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  /** IVF approximate kNN: seeded Lloyd k-means (aggregations only, a
+    * few tiny driver collects of the K×64 centroid table), then
+    * nprobe-limited search — the corpus scan only scores vectors in
+    * the probed partitions. Same output shape as knnBrute; recall vs
+    * brute is asserted in the spec.
+    */
+  def knnIvf(
+      spark: SparkSession,
+      dir: String,
+      numClusters: Int = 8,
+      lloydIters: Int = 3,
+      nprobe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sqrt(expr(norm2Expr)).as("nrm"))
+      .cache()
+    try {
+      val n = e.count()
+      // deterministic seeding: evenly-strided vec_ids
+      val stride = math.max(1L, n / numClusters)
+      var centroids: Array[Seq[Double]] = e
+        .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(numClusters)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
+        .map(_.getSeq[Double](0))
+
+      def assignExpr(cents: Array[Seq[Double]]): Column = {
+        // argmin over squared L2 to each centroid; ties to lower id
+        val dists = cents.zipWithIndex.map { case (c, i) =>
+          val d = aggregate(
+            zip_with(col("embedding"), typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v)
+          struct(d.as("d"), lit(i).as("c"))
+        }
+        array_min(array(dists: _*)).getField("c")
+      }
+
+      for (_ <- 0 until lloydIters) {
+        // per-dimension means: K×64 groups — a tiny keyed agg + collect
+        val updated = e.withColumn("cluster", assignExpr(centroids))
+          .select(col("cluster"),
+            posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        centroids = centroids.indices.map { i =>
+          if (updated.contains((i, 0))) centroids(i).indices.map(p => updated((i, p)))
+          else centroids(i)
+        }.toArray
+      }
+
+      val assigned = e.withColumn("cluster", assignExpr(centroids))
+      // nprobe nearest clusters per query: sort (dist, id) structs, slice
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        .withColumn("probe_dists", array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(aggregate(
+            zip_with(col("qe"), typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v).as("d"), lit(i).as("c"))
+        }: _*))
+        .withColumn("probes", slice(expr("transform(array_sort(probe_dists), s -> s.c)"), 1, nprobe))
+        .select(col("q_id"), col("qe"), col("qn"), explode(col("probes")).as("cluster"))
+      val scored = assigned.join(broadcast(q), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(round(col("cos"), 6).desc, col("n_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos_sim"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    } finally e.unpersist()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis over `documents` (SURVEY.md §2.6). Everything is
+  * native `functions._` / higher-order SQL expressions — no Scala
+  * UDFs — so the whole pipeline stays inside whole-stage codegen and
+  * scales as a single narrow scan (no shuffle at all: every operator
+  * here is per-row).
+  *
+  * Oracle parity notes: token arithmetic is exact-integer or
+  * single-division double, identical across engines; order-sensitive
+  * double sums are rounded 4dp. Array lambdas use explicit indices —
+  * Spark's `transform` index is 0-based, DuckDB's is 1-based, so the
+  * SQL uses `i` where Spark uses `i+1`.
+  */
+object TextAnalysis {
+
+  private def toks = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(expr("aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))") / size(toks), 4)
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      |  len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens,
+      |  round(list_sum(list_transform(str_split(text, ' '), x -> length(x)))
+      |        / len(str_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring from length / stopword / short-token ratios. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks)
+    val stopCnt = size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a')"))
+    val shortCnt = size(expr("filter(split(text, ' '), x -> length(x) <= 2)"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      n.as("n_tokens"),
+      round(stopCnt / n, 4).as("stop_ratio"),
+      round(shortCnt / n, 4).as("short_ratio"),
+      round(log(n) * lit(0.5) - stopCnt / n * 3.0 - shortCnt / n * 2.0, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id, n_chars,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  round(len(list_filter(str_split(text, ' '), x -> x = 'the' OR x = 'a'))
+      |        / len(str_split(text, ' ')), 4) AS stop_ratio,
+      |  round(len(list_filter(str_split(text, ' '), x -> length(x) <= 2))
+      |        / len(str_split(text, ' ')), 4) AS short_ratio,
+      |  round(ln(len(str_split(text, ' '))) * 0.5
+      |        - len(list_filter(str_split(text, ' '), x -> x = 'the' OR x = 'a'))
+      |          / len(str_split(text, ' ')) * 3.0
+      |        - len(list_filter(str_split(text, ' '), x -> length(x) <= 2))
+      |          / len(str_split(text, ' ')) * 2.0, 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword-hit language ID: per-language hit counts, deterministic
+    * alphabetical tiebreak on the argmax.
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]) = {
+      val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+      size(expr(s"filter(split(text, ' '), x -> $cond)"))
+    }
+    val sDe = hits(Seq("der", "und", "die"))
+    val sEn = hits(Seq("the", "a", "of"))
+    val sEs = hits(Seq("el", "los", "y"))
+    val sFr = hits(Seq("le", "la", "et"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      sDe.as("s_de"), sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"),
+      when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+        .when(sEn >= sEs && sEn >= sFr, "en")
+        .when(sEs >= sFr, "es")
+        .otherwise("fr").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langidSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(str_split(text, ' '), x -> x = 'der' OR x = 'und' OR x = 'die')) AS s_de,
+      |    len(list_filter(str_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+      |    len(list_filter(str_split(text, ' '), x -> x = 'el' OR x = 'los' OR x = 'y')) AS s_es,
+      |    len(list_filter(str_split(text, ' '), x -> x = 'le' OR x = 'la' OR x = 'et')) AS s_fr
+      |  FROM documents
+      |)
+      |SELECT doc_id, s_de, s_en, s_es, s_fr,
+      |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS pred_lang
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Order-sensitive document fingerprint: positionally-weighted
+    * polynomial over (first-char-code, length) token values. Exact
+    * integer arithmetic, bounded ≪ 2^63 — bit-identical across
+    * engines. Spark index is 0-based (`i+1`), DuckDB's 1-based (`i`).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      expr("aggregate(transform(split(text, ' '), (x, i) -> CAST((i + 1) * (ascii(x) * 131 + length(x)) AS BIGINT)), 0L, (a, v) -> a + v)")
+        .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  CAST(list_sum(list_transform(str_split(text, ' '),
+      |    (x, i) -> i * (ascii(x) * 131 + length(x)))) AS BIGINT) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
