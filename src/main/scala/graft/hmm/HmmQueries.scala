@@ -92,7 +92,16 @@ object HmmQueries {
   // forward pass). Counts collected to the driver are O(K² + K·M).
   // -------------------------------------------------------------------
 
-  def trainSupervisedModel(spark: SparkSession, dir: String, smooth: Double = 0.5): HmmModel = {
+  // Memoized per (dir, smooth): every model-driven query needs the
+  // same deterministic supervised model — train once per process, not
+  // once per query (saves two shuffles + a collect per query).
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HmmModel]()
+
+  def trainSupervisedModel(spark: SparkSession, dir: String, smooth: Double = 0.5): HmmModel =
+    modelCache.computeIfAbsent(s"$dir|$smooth", _ => trainUncached(spark, dir, smooth))
+
+  private def trainUncached(spark: SparkSession, dir: String, smooth: Double): HmmModel = {
     val rows = supervised(spark, dir).collect()
     val m = Sequencer.vocab(spark, dir).count().toInt
     val k = NumStates

@@ -70,17 +70,26 @@ object Sequencer {
        |ORDER BY user_id, pos""".stripMargin
 
   /** Typed sequences for the HMM algorithms: one row per user with
-    * the full ordered symbol array.
+    * the full ordered symbol array. Persisted per dir: every
+    * model-driven HMM query iterates the same sequences, and the
+    * build (the pipeline's one wide op) should run once per dataset,
+    * not once per query — exactly how an EM driver would cache its
+    * input on a cluster.
     */
-  def sequenceDs(spark: SparkSession, dir: String): Dataset[(Long, Seq[Int])] = {
-    import spark.implicits._
-    eventsWithSym(spark, dir)
-      .select(col("user_id"), struct(col("ts_us"), col("event_id"), col("sym")).as("e"))
-      .groupBy("user_id")
-      .agg(array_sort(collect_list(col("e"))).as("es"))
-      .select(col("user_id"), expr("transform(es, x -> x.sym)").as("syms"))
-      .as[(Long, Seq[Int])]
-  }
+  private val seqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dataset[(Long, Seq[Int])]]()
+
+  def sequenceDs(spark: SparkSession, dir: String): Dataset[(Long, Seq[Int])] =
+    seqCache.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      eventsWithSym(spark, dir)
+        .select(col("user_id"), struct(col("ts_us"), col("event_id"), col("sym")).as("e"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .select(col("user_id"), expr("transform(es, x -> x.sym)").as("syms"))
+        .as[(Long, Seq[Int])]
+        .persist()
+    })
 
   /** Per-sequence length / distinct-symbol / entropy stats.
     * Two keyed aggregations; the entropy p·ln p is exact-double on

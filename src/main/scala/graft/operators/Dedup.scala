@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{arrayDot, arrayNorm}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings`
@@ -40,25 +41,70 @@ object Dedup {
   // keeps off so the oracle stays exact.
   // -------------------------------------------------------------------
 
-  /** Distinct word-3-gram shingles, one row per (doc_id, shingle). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")))
-        .as("shingle"))
+  /** Distinct word-3-gram shingles, one row per (doc_id, shingle).
+    * Persisted per dir: higher-order shingle construction is
+    * interpreted (and Catalyst re-evaluates the inner `split` per
+    * lambda element), so build the relation once and let the
+    * ngram/minhash pipelines and their verification joins all reuse
+    * the materialized form.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent(dir, _ =>
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")))
+          .as("shingle"))
+        .persist())
+
+  /** Per-doc distinct shingle arrays, rebuilt from the cached
+    * long-form relation (sorted for deterministic arrays).
+    */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).groupBy("doc_id")
+      .agg(array_sort(collect_list(col("shingle"))).as("shingles"))
+
+  /** Exact Jaccard with PPJoin-style prefix filtering: under a global
+    * rare-first shingle order (docfreq asc, shingle asc), any pair
+    * with J ≥ τ must collide inside the first n − ⌈τ·n⌉ + 1 shingles
+    * of each document. The inverted-index join runs only on those
+    * prefixes — hot (frequent) shingles fall out of the index
+    * entirely, which is what kills the df² pair blowup — and the
+    * exact verification touches candidates only. Result is identical
+    * to the naive all-pairs join.
+    */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingled(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"), "shingle")
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
+      .select("doc_id", "shingle", "pos", "n")
+    // PPJoin pruning on the colliding prefix entry:
+    //  - length filter: τ·|A| ≤ |B| (sizes within a τ band)
+    //  - positional filter: remaining suffixes must still allow the
+    //    minimum overlap α = ⌈τ/(1+τ)·(|A|+|B|)⌉
+    val cand = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("b.n") >= ceil(col("a.n") * lit(threshold)) &&
+        col("a.n") >= ceil(col("b.n") * lit(threshold)))
+      .filter(lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+        ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold))))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val arrs = shingleArrays(spark, dir)
+    cand
+      .join(arrs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(arrs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
@@ -101,32 +147,46 @@ object Dedup {
   val Bands = 32
   val RowsPerBand: Int = NumPerm / Bands
 
+  /** splitmix64 finalizer — deterministic permutation constants. */
+  private def mixConst(i: Long): Long = {
+    var x = i + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-        .as("shingles"))
-    // 128 seeded min-hashes: permutation i = xxhash64(shingle, i)
-    val sigCols: Seq[Column] = (0 until NumPerm).map { i =>
-      array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))
-    }
-    val withSig = docs.select(col("doc_id"), col("shingles"), array(sigCols: _*).as("sig"))
+    val docs = shingleArrays(spark, dir)
+    // 128 permutations from ONE xxhash64 per shingle: sig_i =
+    // min(A_i·h + B_i) with odd multiplier A_i — codegen'd min
+    // aggregates with map-side partial agg, instead of 128
+    // interpreted array passes per document.
+    // 31-bit hash × 31-bit constants keeps products < 2^62: no ANSI
+    // overflow, and a (a·h+b) family over 31 bits is ample for
+    // minhashing shingle sets ≪ 2^31.
+    val permA: Array[Long] = Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) | 1L)
+    val permB: Array[Long] = Array.tabulate(NumPerm)(i => mixConst(2 * i + 1) & 0x7FFFFFFFL)
+    val h = shingled(spark, dir)
+      .withColumn("h", xxhash64(col("shingle")) bitwiseAND lit(0x7FFFFFFFL))
+    val sigAggs = (0 until NumPerm).map(i =>
+      min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"m$i"))
+    val sig = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // band key = hash of the band's 4 signature rows
     val bandCols: Seq[Column] = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows :+ lit(b): _*).as("bkey"))
     }
-    val buckets = withSig
-      .select(col("doc_id"), col("shingles"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bkey"))
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     // exact-Jaccard verification on candidates only
     cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -142,14 +202,18 @@ object Dedup {
   // -------------------------------------------------------------------
 
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(sequence(0, 63), k ->
-          |    CASE WHEN aggregate(split(text, ' '), 0L,
-          |                (acc, t) -> acc + (shiftright(xxhash64(t), k) & 1L) * 2L - 1L) > 0
-          |         THEN shiftleft(1L, k) ELSE 0L END),
-          |  0L, (a, v) -> a | v)""".stripMargin).as("simhash"))
+    // one xxhash64 per token row, then 64 codegen'd conditional-sum
+    // aggregates (map-side partial agg); the bit-majority vote and
+    // word assembly are a single narrow projection afterwards.
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map(k =>
+      sum((shiftright(col("h"), k) bitwiseAND lit(1L)) * lit(2L) - lit(1L)).as(s"s$k"))
+    val docs = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k => when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
     val blockCols = (0 until 4).map { j =>
       struct(lit(j).as("blk"), (shiftright(col("simhash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
     }
@@ -178,17 +242,17 @@ object Dedup {
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val width = math.sqrt(2.0 - 2.0 * threshold)
     val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"),
-      sqrt(expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("nrm"))
+      col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
       .withColumn("proj", expr("CAST(embedding[0] AS DOUBLE)") / col("nrm"))
       .withColumn("bucket", floor(col("proj") / lit(width)))
     val probes = e.withColumn("probe", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
     probes.as("a").join(e.as("b"), col("a.probe") === col("b.bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
+      // each qualifying pair matches exactly once: only side a probes
+      // (±1 buckets), so (a,b) meets at the single probe equal to
+      // b's bucket — no pair-level dedup shuffle needed.
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        (expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .dropDuplicates("a_id", "b_id")
+        (arrayDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("a_id", "b_id")

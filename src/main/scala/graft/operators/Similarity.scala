@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{arrayDot, arrayNorm}
 import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §2.5).
@@ -17,19 +18,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val norm2Expr =
-    "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = arrayDot(a, b)
 
   /** Exact top-5 cosine neighbors for the query set (vec_id < 10):
-    * broadcast queries × single corpus scan, window top-k.
+    * broadcast queries × single corpus scan, window top-k. The dot
+    * product is graft's native codegen ArrayDotProduct expression.
     */
   def knnBrute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), sqrt(expr(norm2Expr)).as("nrm"))
+      .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -68,7 +65,7 @@ object Similarity {
   /** Norm / stats audit per label partition. */
   def vecNorms(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("label"), sqrt(expr(norm2Expr)).as("nrm"))
+      .select(col("label"), arrayNorm(col("embedding")).as("nrm"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -104,7 +101,7 @@ object Similarity {
       nprobe: Int = 2,
       k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), sqrt(expr(norm2Expr)).as("nrm"))
+      .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
       .cache()
     try {
       val n = e.count()
@@ -115,16 +112,18 @@ object Similarity {
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
         .map(_.getSeq[Double](0))
 
-      def assignExpr(cents: Array[Seq[Double]]): Column = {
-        // argmin over squared L2 to each centroid; ties to lower id
-        val dists = cents.zipWithIndex.map { case (c, i) =>
-          val d = aggregate(
-            zip_with(col("embedding"), typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v)
-          struct(d.as("d"), lit(i).as("c"))
-        }
-        array_min(array(dists: _*)).getField("c")
+      // argmin over squared L2 via ||e-c||^2 = ||e||^2 - 2<e,c> + ||c||^2
+      // (centroids cast to float literals so the codegen dot applies);
+      // ties break to the lower centroid id via struct ordering.
+      def centDist(vec: Column, nrm: Column, c: Seq[Double], i: Int): Column = {
+        val d = nrm * nrm - lit(2.0) * arrayDot(vec, typedLit(c.map(_.toFloat))) +
+          lit(c.map(x => x * x).sum)
+        struct(d.as("d"), lit(i).as("c"))
       }
+      def assignExpr(cents: Array[Seq[Double]]): Column =
+        array_min(array(cents.zipWithIndex.map { case (c, i) =>
+          centDist(col("embedding"), col("nrm"), c, i)
+        }: _*)).getField("c")
 
       for (_ <- 0 until lloydIters) {
         // per-dimension means: K×64 groups — a tiny keyed agg + collect
@@ -145,9 +144,7 @@ object Similarity {
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
         .withColumn("probe_dists", array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(aggregate(
-            zip_with(col("qe"), typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v).as("d"), lit(i).as("c"))
+          centDist(col("qe"), col("qn"), c, i)
         }: _*))
         .withColumn("probes", slice(expr("transform(array_sort(probe_dists), s -> s.c)"), 1, nprobe))
         .select(col("q_id"), col("qe"), col("qn"), explode(col("probes")).as("cluster"))
