@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -59,6 +60,11 @@ object SparkEntry {
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "vec_norms" -> Similarity.vecNorms _,
+    // §2.7 multimodal plumbing (decode layer is a documented stub)
+    "media_meta"        -> Multimodal.mediaMeta _,
+    "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // §2.8 streaming
+    "stream_session_agg" -> StreamingJobs.sessionAggStream _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
