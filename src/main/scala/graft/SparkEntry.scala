@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, RelationalExtras, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -65,6 +65,14 @@ object SparkEntry {
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
+    "stream_dedup"       -> StreamingJobs.streamDedup _,
+    // engine breadth beyond §2 (grouping sets, windows, pivot,
+    // sketches, skew handling)
+    "agg_rollup"     -> RelationalExtras.aggRollup _,
+    "window_running" -> RelationalExtras.windowRunning _,
+    "pivot_events"   -> RelationalExtras.pivotEvents _,
+    "approx_stats"   -> RelationalExtras.approxStats _,
+    "skew_join_salted" -> SkewJoin.skewJoinDemo _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -90,5 +98,9 @@ object SparkEntry {
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
+    "agg_rollup"     -> RelationalExtras.aggRollupSql,
+    "window_running" -> RelationalExtras.windowRunningSql,
+    "pivot_events"   -> RelationalExtras.pivotEventsSql,
+    "skew_join_salted" -> SkewJoin.skewJoinDemoSql,
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Engine-breadth relational operators beyond SURVEY §2.3: grouping
+  * sets, running windows, pivots, approximate aggregates. Same scale
+  * rules as Relational: native aggs (map-side partials), pushdown-
+  * friendly predicates, deterministic orderings.
+  */
+object RelationalExtras {
+
+  /** ROLLUP over (returnflag, linestatus): per-group, per-flag and
+    * grand totals in one pass — Spark computes grouping sets in a
+    * single shuffle with partial aggregation.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Per-customer running order totals: cumulative sum + row index
+    * over an event-time window — one shuffle by customer.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_total",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .select("o_custkey", "o_orderkey", "order_seq", "running_total")
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS order_seq,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** Event-type pivot: per-user counts as columns. Expressed as
+    * conditional aggregation so the single-shuffle plan (and the
+    * oracle) is explicit — Spark's `.pivot` would plan the same.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type")
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t")
+    ev.groupBy("user_id")
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+      .orderBy("user_id")
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sketch-based aggregates: HLL distinct counts + quantile sketch.
+    * The 100 TB answer to COUNT(DISTINCT) / exact percentiles —
+    * fixed-size mergeable state instead of a giant shuffle. Accuracy
+    * vs exact is asserted in the spec (rows-only here: sketch values
+    * are engine-specific).
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        round(element_at(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000)), 1), 2).as("p50_price"),
+        round(element_at(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_price"))
+      .orderBy("l_returnflag")
+}

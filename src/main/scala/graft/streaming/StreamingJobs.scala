@@ -42,6 +42,33 @@ object StreamingJobs {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Streaming dedup as keep-earliest: first event time per
+    * (user_id, event_type). Expressed as a streaming min-aggregate —
+    * unlike dropDuplicates, the result is deterministic under any
+    * arrival order, so it is directly comparable to the batch result
+    * (and at scale: fixed-size state per key, watermark-bounded).
+    */
+  def dedupTransform(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(unix_micros(min(col("ts"))).as("first_ts_us"))
+
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_dedup_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val query = dedupTransform(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink).orderBy("user_id", "event_type")
+  }
+
   /** Run the windowed aggregation as a real stream over the static
     * events dir (one file per microbatch) into a memory sink, then
     * return the completed result.
