@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.LocalSpark.{sfDir, spark}
+
+/** Static plan audit over the whole query surface (SURVEY §6): no
+  * query may plan a CartesianProduct — every pairwise operator must
+  * get its candidates from an equi-join. Streaming queries are
+  * skipped (calling them executes a stream, and their plans are
+  * window aggregates by construction).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val skip = Set("stream_session_agg", "stream_dedup")
+
+  test("no query plans a cartesian product") {
+    val offenders = SparkEntry.queries.collect {
+      case (name, fn) if !skip(name) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        name -> plan.contains("CartesianProduct")
+    }.filter(_._2).map(_._1)
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("headline scans push filters and prune columns") {
+    val q1 = graft.operators.Relational.q1Agg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate)"), "q1 filter not pushed")
+    assert(!q1.contains("l_comment"), "q1 reads more columns than projected")
+  }
+}
