@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   * directly in generated code — no deserialization, no allocation,
   * stays inside whole-stage codegen.
   *
+  * Semantics notes (SQL-exposed via GraftExtensions, so inputs are
+  * user-controlled): mismatched lengths dot over the common prefix;
+  * null ELEMENTS read as 0.0 (ArrayData.getFloat on a null slot) —
+  * both chosen to keep the expression total and branch-free; callers
+  * needing strictness should validate dimensions upstream. A null
+  * ARRAY on either side returns null (BinaryExpression null-safety).
+  *
   * Lives under org.apache.spark.sql because `AbstractDataType` /
   * `ExpressionUtils` are private[sql]; the public API is
   * graft.functions.VectorFunctions.

@@ -81,7 +81,10 @@ object HmmQueries {
   // -------------------------------------------------------------------
 
   def modelIo(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_hmm_model").toString
+    // fixed location, overwrite mode: repeated runs reuse the same
+    // dir instead of leaking one temp dir per invocation
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_hmm_model_io").toString
     supervised(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy("kind", "i", "j")
   }
@@ -270,14 +273,7 @@ object HmmQueries {
       .orderBy("user_id", "step")
   }
 
-  /** splitmix64 finalizer → uniform double in [0, 1). */
-  private def mix64(x0: Long): Double = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x = x ^ (x >>> 31)
-    (x >>> 11).toDouble / (1L << 53).toDouble
-  }
+  private def mix64(x0: Long): Double = graft.functions.Hashing.toUnitDouble(x0)
 
   private def sampleIndex(dist: Array[Double], u: Double): Int = {
     var acc = 0.0

@@ -80,7 +80,9 @@ object Sequencer {
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[(Long, Seq[Int])]]()
 
   def sequenceDs(spark: SparkSession, dir: String): Dataset[(Long, Seq[Int])] =
-    seqCache.computeIfAbsent(dir, _ => {
+    // keyed by (session, dir): the persisted Dataset is bound to its
+    // SparkContext (see Dedup.shingled for the same rule)
+    seqCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", _ => {
       import spark.implicits._
       eventsWithSym(spark, dir)
         .select(col("user_id"), struct(col("ts_us"), col("event_id"), col("sym")).as("e"))

@@ -52,7 +52,10 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent(dir, _ =>
+    // keyed by (session, dir): a persisted DataFrame is bound to its
+    // SparkContext — a dir-only key would hand a later session a plan
+    // on a stopped context.
+    shingleCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", _ =>
       Tables.documents(spark, dir)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -95,8 +98,12 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .filter(col("b.n") >= ceil(col("a.n") * lit(threshold)) &&
         col("a.n") >= ceil(col("b.n") * lit(threshold)))
+      // α = ⌈τ/(1+τ)·(|A|+|B|)⌉ with an epsilon slack: τ/(1+τ) can
+      // round UP in double (0.8/1.8 does), and an over-tight ceil
+      // would over-prune exact-boundary pairs. Slack only admits a
+      // few extra candidates — the exact verify discards them.
       .filter(lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-        ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold))))
+        ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val arrs = shingleArrays(spark, dir)
@@ -147,13 +154,7 @@ object Dedup {
   val Bands = 32
   val RowsPerBand: Int = NumPerm / Bands
 
-  /** splitmix64 finalizer — deterministic permutation constants. */
-  private def mixConst(i: Long): Long = {
-    var x = i + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def mixConst(i: Long): Long = graft.functions.Hashing.splitmix64(i)
 
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = shingleArrays(spark, dir)
@@ -270,7 +271,7 @@ object Dedup {
       |      / (any_value(a.nrm) * any_value(b.nrm)) AS cos
       |  FROM n a
       |  JOIN n b ON a.vec_id < b.vec_id,
-      |  unnest(generate_series(1, 64)) AS t(i)
+      |  unnest(generate_series(1, len(a.embedding))) AS t(i)
       |  GROUP BY a.vec_id, b.vec_id
       |)
       |SELECT a_id, b_id, round(cos, 6) AS cos_sim

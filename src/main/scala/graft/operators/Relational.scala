@@ -67,7 +67,11 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1999-01-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    // customer (dim) broadcast; lineitem⋈orders is a shuffle join on
+    // the order key — orders is a filtered FACT table, broadcasting
+    // it would not survive 100 TB (AQE may still choose broadcast at
+    // small SF on its own).
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))

@@ -51,7 +51,7 @@ object Similarity {
       |      / (any_value(q.nrm) * any_value(c.nrm)) AS cos
       |  FROM n q
       |  JOIN n c ON c.vec_id <> q.vec_id,
-      |  unnest(generate_series(1, 64)) AS t(i)
+      |  unnest(generate_series(1, len(q.embedding))) AS t(i)
       |  WHERE q.vec_id < 10
       |  GROUP BY q.vec_id, c.vec_id
       |), ranked AS (

@@ -117,7 +117,11 @@ object TextAnalysis {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(toks).as("n_tokens"),
-      expr("aggregate(transform(split(text, ' '), (x, i) -> CAST((i + 1) * (ascii(x) * 131 + length(x)) AS BIGINT)), 0L, (a, v) -> a + v)")
+      // CAST the index to BIGINT BEFORE multiplying: the product of
+      // two INTs overflows 32 bits at ~150k tokens, and ANSI mode
+      // (Spark 4 default) turns that into a crash. DuckDB's lambda
+      // index is already BIGINT, so this also matches the oracle.
+      expr("aggregate(transform(split(text, ' '), (x, i) -> CAST(i + 1 AS BIGINT) * (ascii(x) * 131 + length(x))), 0L, (a, v) -> a + v)")
         .as("fingerprint"))
       .orderBy("doc_id")
 

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * events parquet, event-time tumbling window + watermark, windowed
   * aggregate.
   *
-  * The driver-facing query runs the stream to completion over the
-  * static directory (processAllAvailable on a memory sink) so its
-  * result is comparable to the batch equivalent; in production the
-  * same pipeline points at a live source/sink and just keeps running.
-  * State scale: aggregation state is (window × event_type) — bounded
-  * by the watermark horizon, partitioned by group key across
-  * executors.
+  * The driver-facing queries run the stream to completion over the
+  * static directory (processAllAvailable on a memory sink) in
+  * COMPLETE output mode so the full result is comparable to the batch
+  * equivalent. Note: complete mode retains all aggregation state (the
+  * watermark is declared but does not evict) — fine for a finite test
+  * corpus. Pointing the same transform at an unbounded production
+  * source requires `update`/`append` output mode, where the declared
+  * 30-minute watermark DOES bound state to the horizon, partitioned
+  * by group key across executors.
   */
 object StreamingJobs {
 
@@ -46,7 +48,8 @@ object StreamingJobs {
     * (user_id, event_type). Expressed as a streaming min-aggregate —
     * unlike dropDuplicates, the result is deterministic under any
     * arrival order, so it is directly comparable to the batch result
-    * (and at scale: fixed-size state per key, watermark-bounded).
+    * (at scale, in update mode, state is fixed-size per key and
+    * watermark-bounded; complete mode here is for the finite corpus).
     */
   def dedupTransform(events: DataFrame): DataFrame =
     events

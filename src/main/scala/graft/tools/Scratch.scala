@@ -14,7 +14,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val t0 = System.nanoTime()
-    val df = graft.operators.Relational.q5MultiJoin(spark, dir)
+    val df = graft.operators.Relational.q3JoinAgg(spark, dir)
     println(s"[scratch] rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
     df.explain("formatted")
     // SQL-surface smoke for the injected native function
