@@ -77,6 +77,23 @@ object BaumWelch {
     FitResult(model, logLiks.toArray, iter, converged)
   }
 
+  /** Multi-restart EM: run `fit` from `restarts` seeded random inits
+    * and keep the model with the best final log-likelihood — the
+    * standard guard against EM local optima. Input should be cached:
+    * each restart re-iterates the sequences.
+    */
+  def fitBest(
+      sequences: RDD[Array[Int]],
+      numStates: Int,
+      numSymbols: Int,
+      restarts: Int = 3,
+      seed: Long = 42L,
+      maxIterations: Int = 20,
+      epsilon: Double = 1e-4): FitResult =
+    (0 until restarts).map { r =>
+      fit(sequences, HmmModel.random(numStates, numSymbols, seed + r), maxIterations, epsilon)
+    }.maxBy(_.logLikPerIter.last)
+
   /** Row-normalize summed stripes (BaumWelchReducer.java:133-150).
     * A row with zero mass (state never visited) keeps the previous
     * model's row rather than dividing by zero.

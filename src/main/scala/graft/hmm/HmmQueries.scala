@@ -215,10 +215,11 @@ object HmmQueries {
   def baumWelch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = Sequencer.vocab(spark, dir).count().toInt
-    val init = HmmModel.random(NumStates, m, seed = 42L)
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {
-      val res = BaumWelch.fit(seqs, init, maxIterations = 10, epsilon = 1e-4)
+      // 3 seeded restarts, best final loglik kept — EM local-optimum guard
+      val res = BaumWelch.fitBest(seqs, NumStates, m,
+        restarts = 3, seed = 42L, maxIterations = 10, epsilon = 1e-4)
       val modelRows = res.model.toRows(round = 4)
         .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }
       val llRows = res.logLikPerIter.zipWithIndex.map { case (ll, it) =>

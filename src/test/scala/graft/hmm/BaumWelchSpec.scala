@@ -1,0 +1,72 @@
+package graft.hmm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.LocalSpark.spark
+
+/** Distributed EM (treeAggregate path) — invariants that must hold
+  * regardless of partitioning.
+  */
+class BaumWelchSpec extends AnyFunSuite {
+
+  private def syntheticSeqs(n: Int, len: Int, seed: Long): Seq[Array[Int]] = {
+    // sequences from a planted 2-state HMM with distinct emissions
+    val gen = HmmModel.fromDistributions(
+      Array(0.5, 0.5),
+      Array(Array(0.9, 0.1), Array(0.1, 0.9)),
+      Array(Array(0.8, 0.1, 0.1), Array(0.1, 0.1, 0.8)))
+    val rng = new java.util.Random(seed)
+    def sample(dist: Array[Double]): Int = {
+      val u = rng.nextDouble(); var acc = 0.0
+      dist.indices.find { i => acc += dist(i); u < acc }.getOrElse(dist.length - 1)
+    }
+    Seq.fill(n) {
+      var state = sample(gen.pi)
+      Array.fill(len) {
+        val sym = sample(gen.b(state))
+        state = sample(gen.a(state))
+        sym
+      }
+    }
+  }
+
+  test("fit improves log-likelihood monotonically and stays stochastic, independent of partitioning") {
+    val seqs = syntheticSeqs(60, 40, seed = 11L)
+    val init = HmmModel.random(2, 3, 5L)
+    val rdd4 = spark.sparkContext.parallelize(seqs, 4)
+    val res = BaumWelch.fit(rdd4, init, maxIterations = 12, epsilon = 1e-6)
+    res.model.validate(1e-9)
+    res.logLikPerIter.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9, s"loglik decreased $a -> $b")
+      case _ =>
+    }
+    // partitioning must not change the result beyond FP noise
+    val rdd1 = spark.sparkContext.parallelize(seqs, 1)
+    val res1 = BaumWelch.fit(rdd1, init, maxIterations = 12, epsilon = 1e-6)
+    assert(res.model.frobeniusDistance(res1.model) < 1e-8,
+      "4-partition and 1-partition training diverged")
+  }
+
+  test("multi-restart fit recovers planted emission structure (states emit distinct symbols)") {
+    val seqs = syntheticSeqs(80, 60, seed = 23L)
+    val rdd = spark.sparkContext.parallelize(seqs, 4).cache()
+    val res = BaumWelch.fitBest(rdd, numStates = 2, numSymbols = 3,
+      restarts = 5, seed = 7L, maxIterations = 25, epsilon = 1e-6)
+    // planted model: one state prefers symbol 0, the other symbol 2
+    // (label switching allowed)
+    val b = res.model.b
+    val s0 = b.indexWhere(r => r(0) == r.max)
+    val s2 = b.indexWhere(r => r(2) == r.max)
+    assert(s0 >= 0 && s2 >= 0 && s0 != s2,
+      s"emission structure not recovered: B=${b.map(_.mkString(",")).mkString(";")}")
+    assert(b(s0)(0) > 0.5 && b(s2)(2) > 0.5)
+  }
+
+  test("converged flag fires once the Frobenius step falls under epsilon") {
+    val seqs = syntheticSeqs(40, 30, seed = 3L)
+    val rdd = spark.sparkContext.parallelize(seqs, 2)
+    val res = BaumWelch.fit(rdd, HmmModel.random(2, 3, 9L), maxIterations = 200, epsilon = 1e-3)
+    assert(res.converged, "should converge well before 200 iterations at eps=1e-3")
+    assert(res.iterations < 200)
+  }
+}
