@@ -73,6 +73,8 @@ object SparkEntry {
     "pivot_events"   -> RelationalExtras.pivotEvents _,
     "approx_stats"   -> RelationalExtras.approxStats _,
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
+    "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
+    "cust_no_orders"   -> RelationalExtras.custNoOrders _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -102,5 +104,7 @@ object SparkEntry {
     "window_running" -> RelationalExtras.windowRunningSql,
     "pivot_events"   -> RelationalExtras.pivotEventsSql,
     "skew_join_salted" -> SkewJoin.skewJoinDemoSql,
+    "q18_large_orders" -> RelationalExtras.q18LargeOrdersSql,
+    "cust_no_orders"   -> RelationalExtras.custNoOrdersSql,
   )
 }

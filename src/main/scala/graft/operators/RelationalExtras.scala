@@ -81,6 +81,51 @@ object RelationalExtras {
       |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q18-style: orders whose total quantity exceeds a
+    * threshold — aggregate-then-semi-join; the HAVING runs before
+    * the join so only qualifying orderkeys flow into it.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+      |)
+      |SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Anti-join (NOT EXISTS shape): customers with no orders since
+    * 2000 — the filter is pushed into the anti-join's build side.
+    */
+  def custNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val custNoOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Sketch-based aggregates: HLL distinct counts + quantile sketch.
     * The 100 TB answer to COUNT(DISTINCT) / exact percentiles —
     * fixed-size mergeable state instead of a giant shuffle. Accuracy

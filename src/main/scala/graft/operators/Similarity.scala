@@ -92,6 +92,15 @@ object Similarity {
     * nprobe-limited search — the corpus scan only scores vectors in
     * the probed partitions. Same output shape as knnBrute; recall vs
     * brute is asserted in the spec.
+    *
+    * Recall caveats: (1) the synthetic embeddings are near-uniform on
+    * the sphere, the hardest case for IVF — nearest neighbors spread
+    * across Voronoi cells, so recall@5 sits around 0.3–0.5 regardless
+    * of nprobe; on genuinely clustered embeddings (the production
+    * case) recall rises sharply. (2) centroid means are parallel FP
+    * sums, so repeated builds can differ in the last ulp and flip
+    * borderline assignments — inherent to distributed k-means and
+    * harmless for an approximate index.
     */
   def knnIvf(
       spark: SparkSession,

@@ -14,16 +14,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val t0 = System.nanoTime()
-    val df = graft.operators.Relational.q3JoinAgg(spark, dir)
+    val df = graft.operators.Relational.q1Agg(spark, dir)
     println(s"[scratch] rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
     df.explain("formatted")
-    // SQL-surface smoke for the injected native function
-    graft.GraftExtensions.register(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
-    spark.sql(
-      """SELECT vec_id, round(graft_dot(embedding, embedding), 4) AS sq_norm
-        |FROM emb ORDER BY vec_id LIMIT 3""".stripMargin)
-      .collect().foreach(r => println(s"[scratch] graft_dot: $r"))
     spark.stop()
   }
 }
