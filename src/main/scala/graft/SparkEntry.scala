@@ -75,6 +75,10 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
     "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
     "cust_no_orders"   -> RelationalExtras.custNoOrders _,
+    // sources/sinks + stateful streaming
+    "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
+    "sink_partitioned"  -> graft.sources.Formats.sinkPartitioned _,
+    "stream_sessionize" -> StreamingJobs.sessionizeStream _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -106,5 +110,10 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemoSql,
     "q18_large_orders" -> RelationalExtras.q18LargeOrdersSql,
     "cust_no_orders"   -> RelationalExtras.custNoOrdersSql,
+    "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
+    "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,
+    // the stateful streaming sessionizer must reproduce the batch
+    // sessionization exactly
+    "stream_sessionize" -> Relational.sessionizeSql,
   )
 }

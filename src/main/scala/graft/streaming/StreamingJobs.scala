@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming jobs (SURVEY.md §2.8) — the streaming analog
@@ -72,10 +73,88 @@ object StreamingJobs {
     spark.table(sink).orderBy("user_id", "event_type")
   }
 
-  /** Run the windowed aggregation as a real stream over the static
-    * events dir (one file per microbatch) into a memory sink, then
-    * return the completed result.
+  /** One event inside the stateful sessionizer. `ts` carries the
+    * watermark column through to the stateful operator (a projection
+    * that drops it would disable the event-time timeout).
     */
+  final case class SessEvent(
+      user_id: Long, ts_us: Long, event_id: Long, value: Double,
+      ts: java.sql.Timestamp)
+
+  /** Open-session state carried between microbatches. */
+  final case class SessState(events: List[SessEvent])
+
+  final case class SessOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, session_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Custom-state streaming sessionizer via flatMapGroupsWithState —
+    * the stateful analog of Relational.sessionize (30-min gap). Per
+    * group invocation: merge new events with carried state, emit
+    * CLOSED sessions, keep the open session in state with an
+    * event-time timeout.
+    *
+    * `emitOpen` controls end-of-input behavior: the driver query runs
+    * over a finite corpus that arrives as one microbatch, and the
+    * open sessions would otherwise sit in state waiting for a
+    * watermark that never advances — so it emits them too, making the
+    * result exactly the batch sessionization (and SQL-oracle
+    * comparable). A production unbounded run sets emitOpen=false and
+    * lets the timeout flush them.
+    */
+  def sessionizeFn(emitOpen: Boolean)(
+      userId: Long,
+      newEvents: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[SessOut] = {
+    val carried = state.getOption.map(_.events).getOrElse(Nil)
+    val all = (carried ++ newEvents.toList).sortBy(e => (e.ts_us, e.event_id))
+    if (all.isEmpty) return Iterator.empty
+    // split into sessions on gaps > SessionGapUs
+    val sessions = all.tail.foldLeft(List(List(all.head))) { (acc, e) =>
+      if (e.ts_us - acc.head.head.ts_us > SessionGapUs) List(e) :: acc
+      else (e :: acc.head) :: acc.tail
+    }.map(_.reverse).reverse
+    val (closed, open) = (sessions.dropRight(1), sessions.last)
+    if (emitOpen || state.hasTimedOut) state.remove()
+    else {
+      state.update(SessState(open))
+      if (!state.hasTimedOut)
+        state.setTimeoutTimestamp(open.last.ts_us / 1000 + SessionGapUs / 1000)
+    }
+    val emit = if (emitOpen || state.hasTimedOut) sessions else closed
+    emit.zipWithIndex.iterator.map { case (s, i) =>
+      SessOut(userId, i + 1L, s.length.toLong,
+        s.head.ts_us, s.last.ts_us,
+        math.rint(s.map(_.value).sum * 1e4) / 1e4)
+    }
+  }
+
+  /** Driver-facing run: stream events → stateful sessionizer →
+    * memory sink; result equals the batch sessionize (oracled).
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_sessionize_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("ts"))
+      .as[SessEvent]
+    val query = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionizeFn(emitOpen = true))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink).orderBy("user_id", "session_id")
+  }
   def sessionAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_session_agg_${System.nanoTime()}"
