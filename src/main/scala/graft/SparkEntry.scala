@@ -15,9 +15,13 @@ import graft.hmm.{HmmQueries, Sequencer}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the reference's own capability end to
+    * end: events → vocab → per-user sequences → supervised model →
+    * Viterbi decode → per-user path summary.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    HmmQueries.decodeEvents(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -14,8 +14,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val t0 = System.nanoTime()
-    val df = graft.operators.Relational.q1Agg(spark, dir)
-    println(s"[scratch] rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    val df = graft.SparkEntry.entry(spark)
+    println(s"[scratch] rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s"); df.collect().take(3).foreach(r => println(s"[scratch] row: $r")); println(s"[scratch] n_events total=${df.agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0)}")
     df.explain("formatted")
     spark.stop()
   }
