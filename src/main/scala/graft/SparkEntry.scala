@@ -119,5 +119,7 @@ object SparkEntry {
     // the stateful streaming sessionizer must reproduce the batch
     // sessionization exactly
     "stream_sessionize" -> Relational.sessionizeSql,
+    "stream_dedup"       -> StreamingJobs.streamDedupSql,
+    "stream_session_agg" -> StreamingJobs.sessionAggSql,
   )
 }

@@ -25,12 +25,21 @@ object HmmAlgorithms {
     val timeLen = obs.length
     val alpha = Array.ofDim[Double](timeLen, k)
     val scale = new Array[Double](timeLen)
+    // A zero normalizer means the observation has zero probability in
+    // every state under this model (possible with unsmoothed models
+    // from fromDistributions); dividing by it would silently flood
+    // alpha / logLik / EM stats with NaN, so fail loudly instead.
+    def checkScale(s: Double, t: Int): Double =
+      if (s > 0) s
+      else throw new IllegalArgumentException(
+        s"impossible observation under model: P(o_$t=${obs(t)} | any state) = 0 " +
+          "(zero forward normalizer; use a smoothed model or fix the vocabulary)")
     var i = 0
     var s = 0.0
     while (i < k) { alpha(0)(i) = m.pi(i) * m.b(i)(obs(0)); s += alpha(0)(i); i += 1 }
-    scale(0) = s
+    scale(0) = checkScale(s, 0)
     i = 0
-    while (i < k) { alpha(0)(i) /= s; i += 1 }
+    while (i < k) { alpha(0)(i) /= scale(0); i += 1 }
     var t = 1
     while (t < timeLen) {
       var j = 0
@@ -43,9 +52,9 @@ object HmmAlgorithms {
         s += alpha(t)(j)
         j += 1
       }
-      scale(t) = s
+      scale(t) = checkScale(s, t)
       j = 0
-      while (j < k) { alpha(t)(j) /= s; j += 1 }
+      while (j < k) { alpha(t)(j) /= scale(t); j += 1 }
       t += 1
     }
     (alpha, scale)

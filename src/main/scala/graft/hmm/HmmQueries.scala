@@ -81,10 +81,12 @@ object HmmQueries {
   // -------------------------------------------------------------------
 
   def modelIo(spark: SparkSession, dir: String): DataFrame = {
-    // fixed location, overwrite mode: repeated runs reuse the same
-    // dir instead of leaking one temp dir per invocation
+    // overwrite mode so repeated runs reuse one dir instead of leaking
+    // temp dirs; keyed by (input dir, process) so concurrent gate runs
+    // over different datasets never interleave overwrite-and-read
     val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_hmm_model_io").toString
+      System.getProperty("java.io.tmpdir"),
+      f"graft_hmm_model_io_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
     supervised(spark, dir).write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy("kind", "i", "j")
   }

@@ -192,8 +192,8 @@ object Relational {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
       |), sessions AS (
       |  SELECT user_id, ts_us, value,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id,
@@ -285,8 +285,8 @@ object Relational {
       |  GROUP BY user_id
       |)
       |SELECT count(*) AS n_users,
-      |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS n_signup_view,
-      |  sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS n_full_funnel
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+      |  CAST(sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM stages""".stripMargin
 }

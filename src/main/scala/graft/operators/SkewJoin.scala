@@ -36,8 +36,10 @@ object SkewJoin {
     val userOrders = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("orders_total"))
+    // pmod already maps negative hashes into [0, salts); abs() would
+    // throw ARITHMETIC_OVERFLOW under ANSI mode at hash==Int.MinValue.
     saltedJoin(ev, userOrders, "user_id", salts = 8,
-      saltSeed = abs(hash(col("event_id"))))
+      saltSeed = hash(col("event_id")))
       .select("event_id", "user_id", "event_type", "n_orders", "orders_total")
       .orderBy("event_id")
   }

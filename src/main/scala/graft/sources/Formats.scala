@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  private def tmp(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
+  /** Scratch dir keyed by (input dir, process): concurrent gate runs
+    * over different datasets (sf0.001 fast loop alongside sf0.01
+    * verify) must not interleave overwrite-and-read on one path.
+    */
+  private def tmp(name: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      f"${name}_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
 
   /** customer → CSV → (schema-checked read) → JSON → read → dump.
     * Hash-equality with the original table proves both text formats
@@ -20,8 +25,8 @@ object Formats {
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val orig = Tables.customer(spark, dir)
     val schema = orig.schema
-    val csvPath = tmp("graft_fmt_csv")
-    val jsonPath = tmp("graft_fmt_json")
+    val csvPath = tmp("graft_fmt_csv", dir)
+    val jsonPath = tmp("graft_fmt_json", dir)
     orig.write.mode("overwrite").option("header", "true").csv(csvPath)
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(csvPath)
     fromCsv.write.mode("overwrite").json(jsonPath)
@@ -38,7 +43,7 @@ object Formats {
     * unpartitioned original.
     */
   def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp("graft_sink_part")
+    val path = tmp("graft_sink_part", dir)
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)

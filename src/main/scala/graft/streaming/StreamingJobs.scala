@@ -59,6 +59,17 @@ object StreamingJobs {
       .groupBy(col("user_id"), col("event_type"))
       .agg(unix_micros(min(col("ts"))).as("first_ts_us"))
 
+  /** Oracle for streamDedup: the keep-earliest min-aggregate is plain
+    * SQL over the same events table (ns→µs truncation matches the
+    * engine's `timestamp_micros(ts div 1000)`).
+    */
+  val streamDedupSql: String =
+    """SELECT user_id, event_type,
+      |  epoch_us(min(ts::TIMESTAMP)) AS first_ts_us
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_dedup_${System.nanoTime()}"
@@ -81,8 +92,12 @@ object StreamingJobs {
       user_id: Long, ts_us: Long, event_id: Long, value: Double,
       ts: java.sql.Timestamp)
 
-  /** Open-session state carried between microbatches. */
-  final case class SessState(events: List[SessEvent])
+  /** Open-session state carried between microbatches. `nextSessionId`
+    * is the id the open session will take when it closes, so session
+    * numbering keeps increasing across microbatches instead of
+    * restarting at 1 per invocation.
+    */
+  final case class SessState(events: List[SessEvent], nextSessionId: Long)
 
   final case class SessOut(
       user_id: Long, session_id: Long, n_events: Long,
@@ -108,7 +123,11 @@ object StreamingJobs {
       userId: Long,
       newEvents: Iterator[SessEvent],
       state: GroupState[SessState]): Iterator[SessOut] = {
-    val carried = state.getOption.map(_.events).getOrElse(Nil)
+    val prior = state.getOption
+    val carried = prior.map(_.events).getOrElse(Nil)
+    // the carried open session (if any) takes this id when it closes;
+    // sessions closed in this invocation number consecutively from it.
+    val baseId = prior.map(_.nextSessionId).getOrElse(1L)
     val all = (carried ++ newEvents.toList).sortBy(e => (e.ts_us, e.event_id))
     if (all.isEmpty) return Iterator.empty
     // split into sessions on gaps > SessionGapUs
@@ -119,13 +138,13 @@ object StreamingJobs {
     val (closed, open) = (sessions.dropRight(1), sessions.last)
     if (emitOpen || state.hasTimedOut) state.remove()
     else {
-      state.update(SessState(open))
+      state.update(SessState(open, baseId + closed.length))
       if (!state.hasTimedOut)
         state.setTimeoutTimestamp(open.last.ts_us / 1000 + SessionGapUs / 1000)
     }
     val emit = if (emitOpen || state.hasTimedOut) sessions else closed
     emit.zipWithIndex.iterator.map { case (s, i) =>
-      SessOut(userId, i + 1L, s.length.toLong,
+      SessOut(userId, baseId + i, s.length.toLong,
         s.head.ts_us, s.last.ts_us,
         math.rint(s.map(_.value).sum * 1e4) / 1e4)
     }
@@ -155,6 +174,20 @@ object StreamingJobs {
     try query.processAllAvailable() finally query.stop()
     spark.table(sink).orderBy("user_id", "session_id")
   }
+  /** Oracle for sessionAggStream: DuckDB time_bucket over 1-hour
+    * intervals is epoch-aligned for sub-day intervals, matching
+    * Spark's `window(ts, "1 hour")` tumbling buckets.
+    */
+  val sessionAggSql: String =
+    """SELECT
+      |  epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS window_start_us,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY window_start_us, event_type
+      |ORDER BY window_start_us, event_type""".stripMargin
+
   def sessionAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_session_agg_${System.nanoTime()}"

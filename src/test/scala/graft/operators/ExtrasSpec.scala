@@ -16,7 +16,7 @@ class ExtrasSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_orders"))
     val plain = ev.join(uo, "user_id")
       .select("event_id", "n_orders").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val salted = SkewJoin.saltedJoin(ev, uo, "user_id", 8, abs(hash(col("event_id"))))
+    val salted = SkewJoin.saltedJoin(ev, uo, "user_id", 8, hash(col("event_id")))
       .select("event_id", "n_orders").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted == plain, s"salted ${salted.size} vs plain ${plain.size}")
     assert(plain.nonEmpty)

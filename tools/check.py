@@ -23,6 +23,13 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # Normalize integer WIDTH only (Spark int32 vs DuckDB int64 hashes
+    # the same on the driver) — but leave float-vs-int alone: a DuckDB
+    # HUGEINT (uncast integer sum) lands as float64 and MUST fail the
+    # dtype check below, because it fails the driver's hash.
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
     return df
 
 fails = 0
@@ -42,9 +49,13 @@ for name in sorted(oracle):
     if len(s) != len(d):
         print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); fails += 1; continue
     try:
-        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+        # check_dtype=True: the driver's hash is type-sensitive, so an
+        # oracle column coming back as a different pandas dtype (e.g.
+        # DuckDB HUGEINT from an uncast integer sum -> float64 vs
+        # Spark's int64) must FAIL here too, not just mismatch values.
+        pd.testing.assert_frame_equal(s, d, check_dtype=True, check_exact=True)
         print(f"OK   {name}: {len(s)} rows")
     except AssertionError as e:
-        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}"); fails += 1
+        print(f"FAIL {name}: value/dtype mismatch\n{str(e)[:800]}"); fails += 1
 print(f"{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
