@@ -230,34 +230,112 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // Embedding near-dup: cosine ≥ threshold with an EXACT projection
-  // band join — unit vectors with cos(a,b) ≥ τ satisfy
-  // |⟨a,u⟩ − ⟨b,u⟩| ≤ ‖a−b‖ = √(2−2τ), so bucketing the projection
-  // onto u at width √(2−2τ) and joining each point to adjacent buckets
-  // covers all qualifying pairs with zero false negatives. At the
-  // production τ=0.95 the width is 0.316 → strong pruning; the query
-  // entry uses τ=0.45 (this corpus's near-dup scale), where the prune
-  // is weak but the plan is identical.
+  // Embedding near-dup: EXACT cosine ≥ τ self-join, cluster-blocked.
+  //
+  // Why not projection bands: a qualifying pair only satisfies
+  // |Δ⟨·,u⟩| ≤ √(2−2τ) per axis, but projections of isotropic 64-d
+  // unit vectors concentrate at σ = 1/√dim = 0.125 — far inside the
+  // band width (1.05 at τ=0.45, and still 0.316 at τ=0.95). Measured
+  // on the testdata: a 1-axis band leaves ALL C(n,2) pairs, and no
+  // Lipschitz bucketing can do better, so round-1's band join was
+  // really an all-pairs join through ~2 hot shuffle keys — one
+  // reducer at scale. The exact fix is not a better band, it's:
+  //
+  // 1. Partition the sphere into deterministic cells (dominant
+  //    signed coordinate → ≤ 2·dim cells, data-independent).
+  // 2. Per cell: centroid + max member angle α (one tiny agg).
+  // 3. Prune cell PAIRS by the spherical triangle inequality:
+  //    angle(x,y) ≥ θ(ci,cj) − αi − αj for x∈ci, y∈cj, so a pair of
+  //    cells with cos(θ−αi−αj) < τ cannot contain a qualifying pair.
+  //    Exact — zero false negatives.
+  // 4. Surviving cell pairs become balanced blocked join keys; exact
+  //    cosine verify runs on the join output only.
+  //
+  // On clustered corpora (the production near-dup case) the bound
+  // kills almost all cross-cell pairs (spec proves ≥10× on planted
+  // clusters). On isotropic data nothing CAN prune at low τ, and this
+  // degrades gracefully to a BALANCED all-pairs: ~cells²/2 evenly
+  // sized join keys instead of one hot bucket — the n²·d work
+  // parallelizes over every executor. Cells come from the shared
+  // deterministic k-means (KMeans.lloyd), so on clustered data the
+  // cells ARE the clusters and α stays small. A skew extension
+  // (sub-split oversized cells by hash) is straightforward but not
+  // needed at these corpus sizes.
   // -------------------------------------------------------------------
 
-  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
-    val width = math.sqrt(2.0 - 2.0 * threshold)
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-      .withColumn("proj", expr("CAST(embedding[0] AS DOUBLE)") / col("nrm"))
-      .withColumn("bucket", floor(col("proj") / lit(width)))
-    val probes = e.withColumn("probe", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-    probes.as("a").join(e.as("b"), col("a.probe") === col("b.bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      // each qualifying pair matches exactly once: only side a probes
-      // (±1 buckets), so (a,b) meets at the single probe equal to
-      // b's bucket — no pair-level dedup shuffle needed.
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        (arrayDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+  /** Candidate (a_id, b_id) pairs from the pruned cell-blocked join —
+    * exact superset of all pairs with cosine ≥ threshold. Exposed so
+    * pruning can be measured (see DedupSimilaritySpec).
+    * Input e: (vec_id, embedding float[], nrm).
+    */
+  def embeddingCandidatesFor(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val n = e.count()
+    val k = math.max(1, math.min(256, (n / 8).toInt))
+    val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters = 3)
+    val c = KMeans.assign(e, KMeans.centDf(spark, cents)).persist()
+    // unit centroids → per-cell max member angle α (collect is
+    // O(cells), the only driver-side state besides the centroids)
+    val unit: Map[Int, Array[Double]] = cents.zipWithIndex.map { case (v, i) =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      i -> (if (nn > 0) v.map(_ / nn).toArray else v.toArray)
+    }.toMap
+    val unitDf = unit.toSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
+      .toDF("cluster", "cvec")
+    val minCc = c.join(broadcast(unitDf), "cluster")
+      .select(col("cluster"),
+        (arrayDot(col("embedding"), col("cvec")) / col("nrm")).as("cc"))
+      .groupBy("cluster").agg(min(col("cc")).as("min_cc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    // α rounded UP (and the bound slackened) so FP error only ever
+    // ADDS candidate cell pairs — the exact verify discards extras
+    val alpha = minCc.map { case (cell, cc) => cell -> (math.acos(clamp(cc)) + 1e-7) }
+    val ids = minCc.keys.toSeq.sorted // occupied cells only
+    val compatible = for {
+      i <- ids; j <- ids
+      if i <= j
+      theta = math.acos(clamp(unit(i).zip(unit(j)).map { case (x, y) => x * y }.sum))
+      if math.cos(math.max(0.0, theta - alpha(i) - alpha(j))) >= threshold - 1e-6
+      // both orientations for distinct cells so the a_id < b_id filter
+      // keeps each unordered pair exactly once
+      ori <- if (i == j) Seq((i, j)) else Seq((i, j), (j, i))
+    } yield (ori._1, ori._2, s"${ori._1}|${ori._2}")
+    val pairs = compatible.toDF("cell_a", "cell_b", "pkey")
+    val aSide = c.join(broadcast(pairs.select(col("pkey"), col("cell_a").as("cluster"))), "cluster")
+      .select(col("pkey"), col("vec_id").as("a_id"))
+    val bSide = c.join(broadcast(pairs.select(col("pkey"), col("cell_b").as("cluster"))), "cluster")
+      .select(col("pkey"), col("vec_id").as("b_id"))
+    aSide.join(bSide, "pkey")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+  }
+
+  /** Exact pairs with cosine ≥ threshold over an arbitrary
+    * (vec_id, embedding) relation: pruned candidates, then the
+    * codegen-dot verify — the arrays never ride the candidate
+    * shuffle, they re-join by id.
+    */
+  def embeddingDedupFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+    val e = raw.select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+    embeddingCandidatesFor(spark, e, threshold)
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (arrayDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("a_id", "b_id")
   }
+
+  def embeddingCandidates(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    embeddingCandidatesFor(spark,
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+      threshold)
+
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    embeddingDedupFor(spark, Tables.embeddings(spark, dir).select("vec_id", "embedding"), threshold)
 
   val embeddingDedupSql: String =
     """WITH n AS (

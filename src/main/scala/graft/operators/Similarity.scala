@@ -116,48 +116,31 @@ object Similarity {
       val n = e.count()
       // deterministic seeding: evenly-strided vec_ids
       val stride = math.max(1L, n / numClusters)
-      var centroids: Array[Seq[Double]] = e
+      val seeds: Array[Seq[Double]] = e
         .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(numClusters)
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
         .map(_.getSeq[Double](0))
 
-      // argmin over squared L2 via ||e-c||^2 = ||e||^2 - 2<e,c> + ||c||^2
-      // (centroids cast to float literals so the codegen dot applies);
-      // ties break to the lower centroid id via struct ordering.
-      def centDist(vec: Column, nrm: Column, c: Seq[Double], i: Int): Column = {
-        val d = nrm * nrm - lit(2.0) * arrayDot(vec, typedLit(c.map(_.toFloat))) +
-          lit(c.map(x => x * x).sum)
-        struct(d.as("d"), lit(i).as("c"))
-      }
-      def assignExpr(cents: Array[Seq[Double]]): Column =
-        array_min(array(cents.zipWithIndex.map { case (c, i) =>
-          centDist(col("embedding"), col("nrm"), c, i)
-        }: _*)).getField("c")
-
-      for (_ <- 0 until lloydIters) {
-        // per-dimension means: K×64 groups — a tiny keyed agg + collect
-        val updated = e.withColumn("cluster", assignExpr(centroids))
-          .select(col("cluster"),
-            posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
-          .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-        centroids = centroids.indices.map { i =>
-          if (updated.contains((i, 0))) centroids(i).indices.map(p => updated((i, p)))
-          else centroids(i)
-        }.toArray
-      }
-
-      val assigned = e.withColumn("cluster", assignExpr(centroids))
-      // nprobe nearest clusters per query: sort (dist, id) structs, slice
-      val q = assigned.filter(col("vec_id") < 10)
+      // Centroids travel as a broadcast RELATION, not as expression
+      // literals: the plan is O(1) in K (the old K-struct-literal
+      // expression tree blew up codegen at production K ≈ √n). The
+      // Lloyd collects are O(K·dim), bounded regardless of corpus
+      // size. See KMeans for the assignment shape.
+      val centroids = KMeans.lloyd(spark, e, seeds, lloydIters)
+      val index = KMeans.assign(e, KMeans.centDf(spark, centroids))
+      // nprobe nearest clusters per query, via the same broadcast
+      // centroid relation: per-(query, cluster) distance → window
+      // top-nprobe. The query set is small; the window is per-query.
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cluster"))
+      val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        .withColumn("probe_dists", array(centroids.zipWithIndex.map { case (c, i) =>
-          centDist(col("qe"), col("qn"), c, i)
-        }: _*))
-        .withColumn("probes", slice(expr("transform(array_sort(probe_dists), s -> s.c)"), 1, nprobe))
-        .select(col("q_id"), col("qe"), col("qn"), explode(col("probes")).as("cluster"))
-      val scored = assigned.join(broadcast(q), Seq("cluster"))
+        .crossJoin(broadcast(KMeans.centDf(spark, centroids)))
+        .withColumn("d",
+          col("qn") * col("qn") - lit(2.0) * arrayDot(col("qe"), col("cent")) + col("cnorm2"))
+        .withColumn("prnk", row_number().over(wProbe))
+        .filter(col("prnk") <= nprobe)
+        .select(col("q_id"), col("qe"), col("qn"), col("cluster"))
+      val scored = index.join(broadcast(q), Seq("cluster"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           (dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

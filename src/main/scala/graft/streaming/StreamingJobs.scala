@@ -153,13 +153,29 @@ object StreamingJobs {
   /** Driver-facing run: stream events → stateful sessionizer →
     * memory sink; result equals the batch sessionize (oracled).
     */
-  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame =
+    runSessionizeStream(spark, dir, glob = "events.parquet",
+      emitOpen = true, maxFilesPerTrigger = None)
+
+  /** Parameterized sessionizer run. The multi-microbatch spec feeds a
+    * directory of chunked event files one file per trigger with
+    * emitOpen=false, so sessions close via gap splits and event-time
+    * timeouts across many invocations — the production shape.
+    */
+  def runSessionizeStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String,
+      emitOpen: Boolean,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_sessionize_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+    val reader0 = spark.readStream.schema(eventsSchema)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString))
+    val stream = reader
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "30 minutes")
@@ -169,7 +185,7 @@ object StreamingJobs {
     val query = stream
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        sessionizeFn(emitOpen = true))
+        sessionizeFn(emitOpen))
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
     spark.table(sink).orderBy("user_id", "session_id")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.LocalSpark.{sfDir, spark}
@@ -52,6 +53,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.45 - 1e-6)
     }
+  }
+
+  test("cell-blocked dedup is exact on the real corpus and prunes >=10x on clustered data") {
+    import spark.implicits._
+    // exactness on the real (isotropic — worst case) corpus: the cell
+    // bound must not lose a single qualifying pair vs brute force
+    val brute = {
+      val e = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      (for {
+        (i, ea) <- e; (j, eb) <- e
+        if i < j && cos(ea, eb) >= 0.45
+      } yield (i, j)).toSet
+    }
+    val blocked = Dedup.embeddingDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocked ${blocked.size} vs brute ${brute.size}")
+
+    // pruning on clustered data (the production near-dup case):
+    // 20 tight planted clusters -> the angular cell bound must kill
+    // nearly every cross-cell pair
+    val dim = 64
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(d =>
+        2.0 * graft.functions.Hashing.toUnitDouble(seed * 7919L + d) - 1.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.tabulate(20)(c => unit(c + 1000L))
+    val pts = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      val noise = unit(i + 5000L)
+      val v = c.zip(noise).map { case (x, e) => x + 0.05 * e }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat).toSeq)
+    }
+    val clustered = pts.toDF("vec_id", "embedding")
+      .withColumn("nrm", lit(1.0))
+    val allPairs = 1000L * 999 / 2
+    val cand = Dedup.embeddingCandidatesFor(spark, clustered, 0.8).count()
+    info(s"clustered candidates: $cand of $allPairs all-pairs")
+    assert(cand <= allPairs / 10,
+      s"cell bound should prune >=10x on clustered data ($cand of $allPairs)")
+    // and stays exact there too
+    val ded = Dedup.embeddingDedupFor(spark, pts.toDF("vec_id", "embedding"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteC = (for {
+      (i, ea) <- pts; (j, eb) <- pts
+      if i < j
+      d = ea.zip(eb).map { case (x, y) => x.toDouble * y }.sum
+      if d >= 0.8
+    } yield (i, j)).toSet
+    assert(ded == bruteC, s"clustered blocked ${ded.size} vs brute ${bruteC.size}")
+  }
+
+  test("IVF assignment plan stays O(1) in K (broadcast relation, not K literals)") {
+    val big = Similarity.knnIvf(spark, sfDir, numClusters = 64, lloydIters = 1, nprobe = 8)
+    val plan = big.queryExecution.executedPlan.toString
+    // the old shape embedded one named_struct literal per centroid in
+    // every operator; the join-based plan must not scale with K
+    val structs = "named_struct".r.findAllIn(plan).size
+    assert(structs < 16, s"$structs struct literals in plan — assignment still scales with K")
+    assert(big.count() > 0)
   }
 
   test("exact dedup returns empty on dup-free corpus") {

@@ -21,4 +21,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream ${streamed.size} rows vs batch ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("stateful sessionizer over >=3 microbatches with timeouts equals the single-batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet") // ts: long nanos
+    val schema = ev.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val rows = ev.orderBy("ts").collect()
+    val maxTs = rows.map(_.getLong(tsIdx)).max
+    // sentinel far-future event (fake user -1): pushes the watermark
+    // past every open session so event-time timeouts flush them
+    val sentinel = org.apache.spark.sql.Row(
+      -1L, maxTs + 2L * 3600 * 1000000000L, -1L, "click", 0.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msb").toFile.getAbsolutePath
+    val chunkCount = 3
+    val per = (rows.length + chunkCount - 1) / chunkCount
+    // time-ordered chunks -> one file per microbatch (arrival tracks
+    // event time, so the watermark advances monotonically)
+    (rows.grouped(per).map(_.toSeq).toSeq :+ Seq(sentinel)).zipWithIndex.foreach { case (chunk, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), schema)
+      val stage = s"$tmp/stage$i"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/chunk$i.parquet"))
+    }
+    val multi = StreamingJobs.runSessionizeStream(
+      spark, tmp, glob = "chunk*.parquet", emitOpen = false, maxFilesPerTrigger = Some(1))
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val single = StreamingJobs.sessionizeStream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(multi == single,
+      s"multi-batch ${multi.size} sessions vs single-batch ${single.size}")
+    assert(multi.nonEmpty)
+    // session ids must stay unique per user across microbatches (the
+    // bug this guards: per-invocation numbering restarting at 1)
+    val keyed = multi.toSeq.map(s => (s._1, s._2))
+    assert(keyed.distinct.size == keyed.size, "duplicate (user, session_id) keys")
+  }
 }
