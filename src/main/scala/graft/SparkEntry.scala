@@ -49,6 +49,8 @@ object SparkEntry {
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_predict"   -> HmmQueries.predict _,
     "hmm_decode_events" -> HmmQueries.decodeEvents _,
+    "hmm_train_cli" -> HmmQueries.trainCli _,
+    "hmm_checkpoint_resume" -> HmmQueries.checkpointResume _,
     // §2.6 text analysis
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -98,7 +100,7 @@ object SparkEntry {
     "seq_build"     -> Sequencer.buildSql,
     "seq_stats"     -> Sequencer.statsSql,
     "hmm_supervised" -> HmmQueries.supervisedSql,
-    "hmm_model_io"  -> HmmQueries.supervisedSql, // round trip = identity
+    "hmm_model_io"  -> HmmQueries.modelIoSql, // round trip (with names) = identity
     "text_tokens"      -> TextAnalysis.tokensSql,
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_langid"      -> TextAnalysis.langidSql,

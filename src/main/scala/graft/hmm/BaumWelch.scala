@@ -49,16 +49,53 @@ object BaumWelch {
 
   final case class FitResult(model: HmmModel, logLikPerIter: Array[Double], iterations: Int, converged: Boolean)
 
+  /** Latest `model-N` checkpoint under `dir`, if any — via the Hadoop
+    * FileSystem API so checkpoint dirs work on any cluster FS, not
+    * just local disk (reference: BaumWelchDriver.java:128 writes
+    * per-iteration `model-N` dirs for exactly this resume story).
+    */
+  def latestCheckpoint(spark: org.apache.spark.sql.SparkSession, dir: String): Option[(Int, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("model-") => n.stripPrefix("model-").toIntOption.map(_ -> n) }
+      .flatten
+      .sortBy(-_._1)
+      .headOption
+      .map { case (iter, name) => (iter, s"$dir/$name") }
+  }
+
+  /** Distributed EM with optional per-iteration checkpointing.
+    *
+    * `checkpointDir = Some(dir)` writes the model (full double
+    * precision, plus the loglik history) to `dir/model-N` after every
+    * iteration. With `resume = true`, training restarts from the
+    * newest `model-N` instead of `init` — a driver loss mid-way
+    * through a 50-iteration run on a 100 TB corpus costs one
+    * iteration, not the whole job.
+    */
   def fit(
       sequences: RDD[Array[Int]],
       init: HmmModel,
       maxIterations: Int = 20,
-      epsilon: Double = 1e-4): FitResult = {
+      epsilon: Double = 1e-4,
+      checkpointDir: Option[String] = None,
+      resume: Boolean = false): FitResult = {
     val sc = sequences.sparkContext
+    lazy val spark = org.apache.spark.sql.SparkSession.builder().getOrCreate()
     var model = init
     val logLiks = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var converged = false
     var iter = 0
+    if (resume) checkpointDir.flatMap(latestCheckpoint(spark, _)).foreach {
+      case (ckptIter, ckptPath) =>
+        val (m, lls) = ModelIO.load(spark, ckptPath)
+        model = m
+        logLiks ++= lls
+        iter = ckptIter
+    }
+    var converged = false
     while (iter < maxIterations && !converged) {
       val bc = sc.broadcast(model)
       val k = model.numStates
@@ -73,6 +110,8 @@ object BaumWelch {
       converged = model.frobeniusDistance(next) < epsilon
       model = next
       iter += 1
+      checkpointDir.foreach(d =>
+        ModelIO.save(spark, model, s"$d/model-$iter", logLiks.toSeq))
     }
     FitResult(model, logLiks.toArray, iter, converged)
   }

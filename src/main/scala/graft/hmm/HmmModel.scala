@@ -1,10 +1,12 @@
 package graft.hmm
 
 /** Dense HMM model: π (K), A (K×K row-stochastic transition), B (K×M
-  * row-stochastic emission).
+  * row-stochastic emission), with optional hidden-state and
+  * emitted-symbol name maps.
   *
-  * Mirrors the reference's model surface (BaumWelchModel.java — π/A/B
-  * plus state-name maps; BaumWelchUtils.java:238-266 convergence) as a
+  * Mirrors the reference's model surface (BaumWelchModel.java:93-94 —
+  * π/A/B plus the hidden/emitted state-name maps carried by
+  * MapWritableCache; BaumWelchUtils.java:238-266 convergence) as a
   * plain serializable case class: the model is tiny (K,M ≲ 100s →
   * ≪ 1 MB) so it travels to executors as a broadcast, never as rows.
   */
@@ -13,12 +15,27 @@ final case class HmmModel(
     numSymbols: Int,
     pi: Array[Double],
     a: Array[Array[Double]],
-    b: Array[Array[Double]]) {
+    b: Array[Array[Double]],
+    stateNames: Option[IndexedSeq[String]] = None,
+    symbolNames: Option[IndexedSeq[String]] = None) {
+
+  /** Hidden-state name (defaults to s0..s{K-1} when no map given). */
+  def stateName(i: Int): String = stateNames.map(_(i)).getOrElse(s"s$i")
+
+  /** Emitted-symbol name (defaults to o0..o{M-1} when no map given). */
+  def symbolName(j: Int): String = symbolNames.map(_(j)).getOrElse(s"o$j")
+
+  def withNames(states: Seq[String], symbols: Seq[String]): HmmModel =
+    copy(stateNames = Some(states.toIndexedSeq), symbolNames = Some(symbols.toIndexedSeq))
 
   def validate(tol: Double = 1e-9): Unit = {
     require(pi.length == numStates, s"pi length ${pi.length} != $numStates")
     require(a.length == numStates && a.forall(_.length == numStates), "A shape")
     require(b.length == numStates && b.forall(_.length == numSymbols), "B shape")
+    stateNames.foreach(n => require(n.length == numStates,
+      s"stateNames length ${n.length} != $numStates"))
+    symbolNames.foreach(n => require(n.length == numSymbols,
+      s"symbolNames length ${n.length} != $numSymbols"))
     def rowOk(r: Array[Double]) =
       math.abs(r.sum - 1.0) < tol && r.forall(v => v >= 0 && v <= 1 + tol)
     require(rowOk(pi), s"pi not stochastic: sum=${pi.sum}")

@@ -76,8 +76,12 @@ object HmmQueries {
 
   // -------------------------------------------------------------------
   // hmm_model_io: persist/restore round trip through parquet long form
-  // (reference: BaumWelchUtils.WriteModelToDirectory / CreateHmmModel).
-  // Oracle = the supervised SQL: a correct round trip is the identity.
+  // (reference: BaumWelchUtils.WriteModelToDirectory / CreateHmmModel),
+  // carrying the hidden/emitted state NAME maps like the reference
+  // model does (BaumWelchModel.java:93-94): hidden states are named
+  // s<i>, emitted symbols carry their vocab event_type. Oracle = the
+  // supervised SQL extended with the same names: a correct round trip
+  // is the identity.
   // -------------------------------------------------------------------
 
   def modelIo(spark: SparkSession, dir: String): DataFrame = {
@@ -87,9 +91,53 @@ object HmmQueries {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       f"graft_hmm_model_io_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
-    supervised(spark, dir).write.mode("overwrite").parquet(path)
+    val v = Sequencer.vocab(spark, dir)
+      .select(col("sym").cast("long").as("j"), col("event_type"))
+    val named = supervised(spark, dir)
+      .join(broadcast(v), Seq("j"), "left")
+      .withColumn("i_name", concat(lit("s"), col("i").cast("string")))
+      .withColumn("j_name",
+        when(col("kind") === "emission", col("event_type"))
+          .when(col("kind") === "transition", concat(lit("s"), col("j").cast("string")))
+          .otherwise(lit("")))
+      .select("kind", "i", "j", "prob", "i_name", "j_name")
+    named.write.mode("overwrite").parquet(path)
     spark.read.parquet(path).orderBy("kind", "i", "j")
   }
+
+  val modelIoSql: String =
+    s"""WITH ${Sequencer.vocabCte},
+       |e AS (
+       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+       |         event_id % 3 AS state, sym
+       |  FROM events JOIN vocab USING (event_type)
+       |), seq AS (
+       |  SELECT user_id, state, sym,
+       |    lead(state) OVER w AS next_state,
+       |    row_number() OVER w AS rn
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |), pi AS (
+       |  SELECT 'pi' AS kind, state AS i, -1 AS j,
+       |    count(*) / sum(count(*)) OVER () AS prob
+       |  FROM seq WHERE rn = 1 GROUP BY state
+       |), a AS (
+       |  SELECT 'transition' AS kind, state AS i, next_state AS j,
+       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
+       |  FROM seq WHERE next_state IS NOT NULL GROUP BY state, next_state
+       |), b AS (
+       |  SELECT 'emission' AS kind, state AS i, sym AS j,
+       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
+       |  FROM seq GROUP BY state, sym
+       |)
+       |SELECT kind, i, j, prob,
+       |  's' || CAST(i AS VARCHAR) AS i_name,
+       |  CASE WHEN kind = 'emission'
+       |         THEN (SELECT event_type FROM vocab v WHERE v.sym = u.j)
+       |       WHEN kind = 'transition' THEN 's' || CAST(j AS VARCHAR)
+       |       ELSE '' END AS j_name
+       |FROM (
+       |  SELECT * FROM pi UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b
+       |) u ORDER BY kind, i, j""".stripMargin
 
   // -------------------------------------------------------------------
   // Model construction for the decode/likelihood queries: a smoothed
@@ -274,6 +322,59 @@ object HmmQueries {
       }
       .toDF("user_id", "step", "state", "sym")
       .orderBy("user_id", "step")
+  }
+
+  private def scratch(name: String, dir: String): String =
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      f"${name}_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
+
+  /** CLI training driver surface (reference BaumWelchDriver.java CLI):
+    * trains on the events table via TrainHmm.run and dumps the written
+    * named-model directory. Rows-only check: treeAggregate sums are
+    * order-sensitive at full precision.
+    */
+  def trainCli(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("graft_train_cli", dir)
+    TrainHmm.run(spark, TrainHmm.Config(
+      input = dir, output = out, numStates = 3,
+      maxIterations = 5, restarts = 2, seed = 42L))
+    spark.read.parquet(s"$out/model")
+      .select(col("kind"), col("i"), col("j"), round(col("value"), 4).as("value"), col("name"))
+      .orderBy("kind", "i", "j", "name")
+  }
+
+  /** Checkpoint/resume surface (reference BaumWelchDriver.java:128
+    * model-N dirs): runs 3 checkpointed iterations, then a resumed fit
+    * to 6 — the dump is the resumed model plus its full loglik
+    * history. The spec asserts the resumed trajectory equals an
+    * uninterrupted one.
+    */
+  def checkpointResume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ckpt = scratch("graft_bw_ckpt", dir)
+    // fresh checkpoint dir per run: a stale model-N would turn the
+    // first fit into a no-op resume target beyond maxIterations
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val m = Sequencer.vocab(spark, dir).count().toInt
+    val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
+    try {
+      val init = HmmModel.random(NumStates, m, seed = 42L)
+      // "crash" after 3 iterations…
+      BaumWelch.fit(seqs, init, maxIterations = 3, epsilon = 0.0,
+        checkpointDir = Some(ckpt))
+      // …and resume from the newest model-N to 6
+      val res = BaumWelch.fit(seqs, init, maxIterations = 6, epsilon = 0.0,
+        checkpointDir = Some(ckpt), resume = true)
+      val modelRows = res.model.toRows(round = 4)
+        .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }
+      val llRows = res.logLikPerIter.zipWithIndex.map { case (ll, it) =>
+        ("loglik_iter", it.toLong, -1L, math.rint(ll * 1e4) / 1e4)
+      }
+      (modelRows ++ llRows).toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+    } finally seqs.unpersist()
   }
 
   private def mix64(x0: Long): Double = graft.functions.Hashing.toUnitDouble(x0)

@@ -13,11 +13,13 @@ import graft.LocalSpark.{sfDir, spark}
 class PlanAuditSpec extends AnyFunSuite {
 
   // streaming queries execute a full stream on call; the format
-  // round-trip / partitioned-sink entries perform filesystem writes at
-  // DataFrame-construction time — neither belongs in a static audit.
+  // round-trip / partitioned-sink / training-driver entries perform
+  // filesystem writes (and EM training) at DataFrame-construction
+  // time — none belong in a static audit.
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
-    "format_roundtrip", "sink_partitioned")
+    "format_roundtrip", "sink_partitioned",
+    "hmm_train_cli", "hmm_checkpoint_resume")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.collect {

@@ -1,0 +1,94 @@
+package graft.hmm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.LocalSpark.{sfDir, spark}
+
+/** Model persistence, checkpoint/resume, and the CLI training driver
+  * (reference surface: BaumWelchUtils model IO, BaumWelchDriver
+  * model-N checkpoints + CLI).
+  */
+class PersistenceSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toFile.getAbsolutePath
+
+  test("named model round-trips exactly through ModelIO parquet") {
+    val m = HmmModel.random(3, 4, seed = 7L)
+      .withNames(Seq("idle", "browse", "buy"), Seq("a", "b", "c", "d"))
+    val path = s"${tmp("graft_mio")}/model"
+    ModelIO.save(spark, m, path, logLiks = Seq(-10.5, -9.25))
+    val (loaded, lls) = ModelIO.load(spark, path)
+    loaded.validate()
+    assert(loaded.numStates == 3 && loaded.numSymbols == 4)
+    assert(loaded.pi.toSeq == m.pi.toSeq)
+    assert(loaded.a.flatten[Double].toSeq == m.a.flatten[Double].toSeq)
+    assert(loaded.b.flatten[Double].toSeq == m.b.flatten[Double].toSeq)
+    assert(loaded.stateNames.contains(IndexedSeq("idle", "browse", "buy")))
+    assert(loaded.symbolNames.contains(IndexedSeq("a", "b", "c", "d")))
+    assert(lls.toSeq == Seq(-10.5, -9.25))
+    assert(loaded.stateName(2) == "buy" && loaded.symbolName(0) == "a")
+  }
+
+  test("unnamed model round-trips with default names and no name rows") {
+    val m = HmmModel.random(2, 3, seed = 11L)
+    val path = s"${tmp("graft_mio_un")}/model"
+    ModelIO.save(spark, m, path)
+    val (loaded, lls) = ModelIO.load(spark, path)
+    assert(loaded.stateNames.isEmpty && loaded.symbolNames.isEmpty)
+    assert(loaded.stateName(1) == "s1" && loaded.symbolName(2) == "o2")
+    assert(lls.isEmpty)
+    assert(loaded.frobeniusDistance(m) == 0.0)
+  }
+
+  test("checkpointed fit resumed mid-run converges to the uninterrupted trajectory") {
+    import spark.implicits._
+    val m = Sequencer.vocab(spark, sfDir).count().toInt
+    val seqs = Sequencer.sequenceDs(spark, sfDir).map(_._2.toArray).rdd.cache()
+    try {
+      val init = HmmModel.random(3, m, seed = 5L)
+      val full = BaumWelch.fit(seqs, init, maxIterations = 8, epsilon = 0.0)
+      val ckpt = tmp("graft_ckpt")
+      // crash after 3 iterations, then resume to 8
+      BaumWelch.fit(seqs, init, maxIterations = 3, epsilon = 0.0,
+        checkpointDir = Some(ckpt))
+      assert(BaumWelch.latestCheckpoint(spark, ckpt).map(_._1).contains(3))
+      val resumed = BaumWelch.fit(seqs, init, maxIterations = 8, epsilon = 0.0,
+        checkpointDir = Some(ckpt), resume = true)
+      assert(resumed.iterations == 8)
+      assert(resumed.logLikPerIter.length == full.logLikPerIter.length)
+      resumed.logLikPerIter.zip(full.logLikPerIter).foreach { case (r, f) =>
+        assert(math.abs(r - f) < 1e-6, s"loglik diverged: $r vs $f")
+      }
+      assert(resumed.model.frobeniusDistance(full.model) < 1e-9,
+        "resumed model differs from the uninterrupted one")
+      // the resume really did skip work: checkpoints now reach iter 8
+      assert(BaumWelch.latestCheckpoint(spark, ckpt).map(_._1).contains(8))
+    } finally seqs.unpersist()
+  }
+
+  test("TrainHmm CLI trains from events and writes a loadable named model") {
+    val out = tmp("graft_cli_out")
+    val res = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out,
+      "--states", "3", "--max-iterations", "5", "--restarts", "2", "--seed", "42")))
+    assert(res.logLikPerIter.nonEmpty)
+    val (model, lls) = ModelIO.load(spark, s"$out/model")
+    model.validate(1e-6)
+    assert(model.numStates == 3)
+    assert(lls.toSeq == res.logLikPerIter.toSeq)
+    // emitted symbols are named by their event types, in vocab order
+    val vocab = Sequencer.vocab(spark, sfDir).collect()
+      .sortBy(_.getInt(1)).map(_.getString(0)).toIndexedSeq
+    assert(model.symbolNames.contains(vocab))
+    assert(model.stateNames.contains(IndexedSeq("s0", "s1", "s2")))
+  }
+
+  test("TrainHmm arg parsing rejects junk and requires paths") {
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq("--bogus", "x")))
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq("--input", "a")))
+    val cfg = TrainHmm.parse(Seq("--input", "a", "--output", "b",
+      "--epsilon", "0.01", "--checkpoint-dir", "c", "--resume"))
+    assert(cfg.epsilon == 0.01 && cfg.checkpointDir.contains("c") && cfg.resume)
+  }
+}
