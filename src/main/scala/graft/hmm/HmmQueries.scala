@@ -362,11 +362,11 @@ object HmmQueries {
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {
       val init = HmmModel.random(NumStates, m, seed = 42L)
-      // "crash" after 3 iterations…
-      BaumWelch.fit(seqs, init, maxIterations = 3, epsilon = 0.0,
+      // "crash" after 2 iterations…
+      BaumWelch.fit(seqs, init, maxIterations = 2, epsilon = 0.0,
         checkpointDir = Some(ckpt))
-      // …and resume from the newest model-N to 6
-      val res = BaumWelch.fit(seqs, init, maxIterations = 6, epsilon = 0.0,
+      // …and resume from the newest model-N to 4
+      val res = BaumWelch.fit(seqs, init, maxIterations = 4, epsilon = 0.0,
         checkpointDir = Some(ckpt), resume = true)
       val modelRows = res.model.toRows(round = 4)
         .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }

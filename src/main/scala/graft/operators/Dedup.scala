@@ -268,8 +268,12 @@ object Dedup {
     * pruning can be measured (see DedupSimilaritySpec).
     * Input e: (vec_id, embedding float[], nrm).
     */
-  def embeddingCandidatesFor(spark: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
+  def embeddingCandidatesFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
+    // the Lloyd passes + α aggregation re-read this relation ~6×;
+    // persist so the parquet scan happens once (LRU-evicted later —
+    // the relation is (n × dim) floats, tiny next to the join)
+    val e = raw.persist()
     val n = e.count()
     val k = math.max(1, math.min(256, (n / 8).toInt))
     val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters = 3)
