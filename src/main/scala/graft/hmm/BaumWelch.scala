@@ -95,6 +95,17 @@ object BaumWelch {
         logLiks ++= lls
         iter = ckptIter
     }
+    else checkpointDir.foreach { d =>
+      // fresh run: clear stale model-N dirs from any previous run, or
+      // a later resume would silently pick up the OLD trajectory
+      // (worst case as a no-op when its iteration exceeds
+      // maxIterations, returning the stale model as "trained")
+      val path = new org.apache.hadoop.fs.Path(d)
+      val fs = path.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(path))
+        fs.listStatus(path).filter(_.getPath.getName.startsWith("model-"))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
     var converged = false
     while (iter < maxIterations && !converged) {
       val bc = sc.broadcast(model)

@@ -88,9 +88,7 @@ object HmmQueries {
     // overwrite mode so repeated runs reuse one dir instead of leaking
     // temp dirs; keyed by (input dir, process) so concurrent gate runs
     // over different datasets never interleave overwrite-and-read
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      f"graft_hmm_model_io_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
+    val path = scratch("graft_hmm_model_io", dir)
     val v = Sequencer.vocab(spark, dir)
       .select(col("sym").cast("long").as("j"), col("event_type"))
     val named = supervised(spark, dir)
@@ -345,10 +343,11 @@ object HmmQueries {
   }
 
   /** Checkpoint/resume surface (reference BaumWelchDriver.java:128
-    * model-N dirs): runs 3 checkpointed iterations, then a resumed fit
-    * to 6 — the dump is the resumed model plus its full loglik
-    * history. The spec asserts the resumed trajectory equals an
-    * uninterrupted one.
+    * model-N dirs): runs 2 checkpointed iterations, then a resumed fit
+    * to 4 — the dump is the resumed model plus its full loglik
+    * history (4 loglik_iter rows, checkpoints end at model-4). The
+    * spec asserts a resumed trajectory equals an uninterrupted one
+    * over 8 iterations.
     */
   def checkpointResume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

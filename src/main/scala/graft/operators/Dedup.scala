@@ -291,10 +291,21 @@ object Dedup {
         (arrayDot(col("embedding"), col("cvec")) / col("nrm")).as("cc"))
       .groupBy("cluster").agg(min(col("cc")).as("min_cc"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // e is fully consumed by the collects above (c is materialized and
+    // persisted); drop it so repeated calls don't stack cache entries.
+    // The caller's verify joins re-scan the narrow source once — cheap
+    // next to the candidate join. c itself stays cached until evicted:
+    // it feeds the lazily-consumed result, so there is no safe point
+    // to unpersist it here.
+    e.unpersist()
     def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
-    // α rounded UP (and the bound slackened) so FP error only ever
-    // ADDS candidate cell pairs — the exact verify discards extras
-    val alpha = minCc.map { case (cell, cc) => cell -> (math.acos(clamp(cc)) + 1e-7) }
+    // α rounded UP so FP error only ever ADDS candidate cell pairs
+    // (the exact verify discards extras). The float-product dot gives
+    // cc an absolute error ~1e-6, and acos amplifies it unboundedly
+    // near cc≈1 (d acos/dc = 1/√(1−c²)) — so widen on the COSINE side
+    // (cc − 1e-6) before acos, where the error actually lives, plus a
+    // small radian slack for the far-from-1 regime.
+    val alpha = minCc.map { case (cell, cc) => cell -> (math.acos(clamp(cc - 1e-6)) + 1e-7) }
     val ids = minCc.keys.toSeq.sorted // occupied cells only
     val compatible = for {
       i <- ids; j <- ids

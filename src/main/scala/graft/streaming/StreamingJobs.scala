@@ -136,11 +136,17 @@ object StreamingJobs {
       else (e :: acc.head) :: acc.tail
     }.map(_.reverse).reverse
     val (closed, open) = (sessions.dropRight(1), sessions.last)
-    if (emitOpen || state.hasTimedOut) state.remove()
-    else {
+    if (emitOpen) state.remove()
+    else if (state.hasTimedOut) {
+      // flush the open session but KEEP the counter: batch sessionize
+      // numbers a user's sessions 1..n over their whole history, so a
+      // user returning after a timeout must continue, not restart at 1.
+      // The remaining state is just the counter (no events, no timeout)
+      // and is touched again only when the user's next events arrive.
+      state.update(SessState(Nil, baseId + sessions.length))
+    } else {
       state.update(SessState(open, baseId + closed.length))
-      if (!state.hasTimedOut)
-        state.setTimeoutTimestamp(open.last.ts_us / 1000 + SessionGapUs / 1000)
+      state.setTimeoutTimestamp(open.last.ts_us / 1000 + SessionGapUs / 1000)
     }
     val emit = if (emitOpen || state.hasTimedOut) sessions else closed
     emit.zipWithIndex.iterator.map { case (s, i) =>

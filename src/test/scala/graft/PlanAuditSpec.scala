@@ -19,7 +19,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
     "format_roundtrip", "sink_partitioned",
-    "hmm_train_cli", "hmm_checkpoint_resume")
+    "hmm_train_cli", "hmm_checkpoint_resume",
+    // constructing this plan runs the k-means cell build (several jobs)
+    "dedup_embedding")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.collect {

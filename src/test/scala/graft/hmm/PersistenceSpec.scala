@@ -67,6 +67,29 @@ class PersistenceSpec extends AnyFunSuite {
     } finally seqs.unpersist()
   }
 
+  test("a fresh checkpointed fit clears stale model-N dirs from earlier runs") {
+    import spark.implicits._
+    val m = Sequencer.vocab(spark, sfDir).count().toInt
+    val seqs = Sequencer.sequenceDs(spark, sfDir).map(_._2.toArray).rdd.cache()
+    try {
+      val ckpt = tmp("graft_stale")
+      BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 1L),
+        maxIterations = 4, epsilon = 0.0, checkpointDir = Some(ckpt))
+      assert(BaumWelch.latestCheckpoint(spark, ckpt).map(_._1).contains(4))
+      // a NEW run (resume=false, different seed, fewer iterations)
+      // must not leave the old model-3/model-4 behind as resume bait
+      val fresh = BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 2L),
+        maxIterations = 2, epsilon = 0.0, checkpointDir = Some(ckpt))
+      assert(BaumWelch.latestCheckpoint(spark, ckpt).map(_._1).contains(2),
+        "stale higher-numbered checkpoints survived a fresh run")
+      // resume now extends THIS trajectory, not the old one
+      val resumed = BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 2L),
+        maxIterations = 3, epsilon = 0.0, checkpointDir = Some(ckpt), resume = true)
+      assert(resumed.iterations == 3)
+      assert(resumed.logLikPerIter.take(2).toSeq == fresh.logLikPerIter.toSeq)
+    } finally seqs.unpersist()
+  }
+
   test("TrainHmm CLI trains from events and writes a loadable named model") {
     val out = tmp("graft_cli_out")
     val res = TrainHmm.run(spark, TrainHmm.parse(Seq(

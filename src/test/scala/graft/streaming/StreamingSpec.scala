@@ -64,4 +64,35 @@ class StreamingSpec extends AnyFunSuite {
     val keyed = multi.toSeq.map(s => (s._1, s._2))
     assert(keyed.distinct.size == keyed.size, "duplicate (user, session_id) keys")
   }
+
+  test("timeout flush keeps the session counter for users who return later") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingJobs.{SessEvent, SessState}
+    def ev(tsUs: Long, id: Long) =
+      SessEvent(7L, tsUs, id, 1.0, new java.sql.Timestamp(tsUs / 1000))
+    // an open session (counter at 3) times out with no new data:
+    // it must be emitted as session 3 and the counter must SURVIVE
+    val timedOut = TestGroupState.create[SessState](
+      Optional.of(SessState(List(ev(1000000L, 1L)), 3L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(10L * 3600 * 1000)), hasTimedOut = true)
+    val flushed = StreamingJobs.sessionizeFn(emitOpen = false)(
+      7L, Iterator.empty, timedOut).toList
+    assert(flushed.map(_.session_id) == List(3L))
+    assert(timedOut.exists, "counter state must survive the timeout flush")
+    assert(timedOut.get == SessState(Nil, 4L))
+    // the user returns much later: the next closed session continues
+    // at 4, not back at 1
+    val returned = TestGroupState.create[SessState](
+      Optional.of(SessState(Nil, 4L)),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(0L)), hasTimedOut = false)
+    val later = 100L * 3600 * 1000000L // 100h, in micros
+    val gap = StreamingJobs.SessionGapUs
+    val out = StreamingJobs.sessionizeFn(emitOpen = false)(
+      7L, Iterator(ev(later, 2L), ev(later + 2 * gap, 3L)), returned).toList
+    assert(out.map(_.session_id) == List(4L), s"numbering restarted: $out")
+    assert(returned.get.nextSessionId == 5L)
+  }
 }
