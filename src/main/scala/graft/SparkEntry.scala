@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, RelationalExtras, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, RelationalExtras, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -56,6 +56,9 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.quality _,
     "text_langid"      -> TextAnalysis.langid _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // §2.4+ curation: reproducible sampling + corpus n-gram stats
+    "sample_hash" -> ((s: SparkSession, d: String) => Curation.sampleHash(s, d)),
+    "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -105,6 +108,8 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "sample_hash" -> Curation.sampleHashSql,
+    "ngram_top"   -> Curation.ngramTopSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
