@@ -49,10 +49,13 @@ object BaumWelch {
 
   final case class FitResult(model: HmmModel, logLikPerIter: Array[Double], iterations: Int, converged: Boolean)
 
-  /** Latest `model-N` checkpoint under `dir`, if any — via the Hadoop
-    * FileSystem API so checkpoint dirs work on any cluster FS, not
-    * just local disk (reference: BaumWelchDriver.java:128 writes
-    * per-iteration `model-N` dirs for exactly this resume story).
+  /** Latest COMPLETE `model-N` checkpoint under `dir`, if any — via
+    * the Hadoop FileSystem API so checkpoint dirs work on any cluster
+    * FS, not just local disk (reference: BaumWelchDriver.java:128
+    * writes per-iteration `model-N` dirs for exactly this resume
+    * story). A dir without the committer's _SUCCESS marker is a
+    * partial write from a crashed driver — skipped, so resume falls
+    * back to the newest checkpoint that actually committed.
     */
   def latestCheckpoint(spark: org.apache.spark.sql.SparkSession, dir: String): Option[(Int, String)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -62,6 +65,8 @@ object BaumWelch {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("model-") => n.stripPrefix("model-").toIntOption.map(_ -> n) }
       .flatten
+      .filter { case (_, name) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name/_SUCCESS")) }
       .sortBy(-_._1)
       .headOption
       .map { case (iter, name) => (iter, s"$dir/$name") }
@@ -88,12 +93,17 @@ object BaumWelch {
     var model = init
     val logLiks = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
+    var converged = false
     if (resume) checkpointDir.flatMap(latestCheckpoint(spark, _)).foreach {
       case (ckptIter, ckptPath) =>
-        val (m, lls) = ModelIO.load(spark, ckptPath)
+        val (m, lls, conv) = ModelIO.loadCheckpoint(spark, ckptPath)
         model = m
         logLiks ++= lls
         iter = ckptIter
+        // a run that had already converged resumes as converged —
+        // without this, resume would take one extra EM step and
+        // drift off the uninterrupted trajectory
+        converged = conv
     }
     else checkpointDir.foreach { d =>
       // fresh run: clear stale model-N dirs from any previous run, or
@@ -106,7 +116,6 @@ object BaumWelch {
         fs.listStatus(path).filter(_.getPath.getName.startsWith("model-"))
           .foreach(s => fs.delete(s.getPath, true))
     }
-    var converged = false
     while (iter < maxIterations && !converged) {
       val bc = sc.broadcast(model)
       val k = model.numStates
@@ -122,7 +131,7 @@ object BaumWelch {
       model = next
       iter += 1
       checkpointDir.foreach(d =>
-        ModelIO.save(spark, model, s"$d/model-$iter", logLiks.toSeq))
+        ModelIO.save(spark, model, s"$d/model-$iter", logLiks.toSeq, converged))
     }
     FitResult(model, logLiks.toArray, iter, converged)
   }

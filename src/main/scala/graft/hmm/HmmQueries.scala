@@ -46,8 +46,12 @@ object HmmQueries {
     pi.unionByName(a).unionByName(b).orderBy("kind", "i", "j")
   }
 
-  val supervisedSql: String =
-    s"""WITH ${Sequencer.vocabCte},
+  /** Shared CTE chain for the supervised-model oracles — ONE copy so
+    * a fix (e.g. a dtype cast) cannot drift between supervisedSql and
+    * modelIoSql.
+    */
+  private val supervisedCtes: String =
+    s"""${Sequencer.vocabCte},
        |e AS (
        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
        |         event_id % 3 AS state, sym
@@ -69,7 +73,10 @@ object HmmQueries {
        |  SELECT 'emission' AS kind, state AS i, sym AS j,
        |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
        |  FROM seq GROUP BY state, sym
-       |)
+       |)""".stripMargin
+
+  val supervisedSql: String =
+    s"""WITH $supervisedCtes
        |SELECT * FROM (
        |  SELECT * FROM pi UNION ALL SELECT * FROM a UNION ALL SELECT * FROM b
        |) ORDER BY kind, i, j""".stripMargin
@@ -104,29 +111,7 @@ object HmmQueries {
   }
 
   val modelIoSql: String =
-    s"""WITH ${Sequencer.vocabCte},
-       |e AS (
-       |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
-       |         event_id % 3 AS state, sym
-       |  FROM events JOIN vocab USING (event_type)
-       |), seq AS (
-       |  SELECT user_id, state, sym,
-       |    lead(state) OVER w AS next_state,
-       |    row_number() OVER w AS rn
-       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-       |), pi AS (
-       |  SELECT 'pi' AS kind, state AS i, -1 AS j,
-       |    count(*) / sum(count(*)) OVER () AS prob
-       |  FROM seq WHERE rn = 1 GROUP BY state
-       |), a AS (
-       |  SELECT 'transition' AS kind, state AS i, next_state AS j,
-       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
-       |  FROM seq WHERE next_state IS NOT NULL GROUP BY state, next_state
-       |), b AS (
-       |  SELECT 'emission' AS kind, state AS i, sym AS j,
-       |    count(*) / sum(count(*)) OVER (PARTITION BY state) AS prob
-       |  FROM seq GROUP BY state, sym
-       |)
+    s"""WITH $supervisedCtes
        |SELECT kind, i, j, prob,
        |  's' || CAST(i AS VARCHAR) AS i_name,
        |  CASE WHEN kind = 'emission'
@@ -351,12 +336,9 @@ object HmmQueries {
     */
   def checkpointResume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the first fit below is a fresh run (resume=false), which clears
+    // any stale model-N dirs itself
     val ckpt = scratch("graft_bw_ckpt", dir)
-    // fresh checkpoint dir per run: a stale model-N would turn the
-    // first fit into a no-op resume target beyond maxIterations
-    val fs = new org.apache.hadoop.fs.Path(ckpt)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val m = Sequencer.vocab(spark, dir).count().toInt
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {

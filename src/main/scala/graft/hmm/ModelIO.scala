@@ -17,7 +17,8 @@ object ModelIO {
 
   final case class ModelRow(kind: String, i: Long, j: Long, value: Double, name: String)
 
-  def rows(model: HmmModel, logLiks: Seq[Double] = Nil): Seq[ModelRow] = {
+  def rows(model: HmmModel, logLiks: Seq[Double] = Nil,
+           converged: Boolean = false): Seq[ModelRow] = {
     val k = model.numStates
     val m = model.numSymbols
     val piRows = model.pi.zipWithIndex.map { case (v, i) => ModelRow("pi", i, -1, v, "") }
@@ -34,13 +35,15 @@ object ModelIO {
     val llRows = logLiks.zipWithIndex.map { case (ll, it) =>
       ModelRow("loglik_iter", it, -1, ll, "")
     }
-    piRows.toSeq ++ aRows ++ bRows ++ sNames ++ oNames ++ llRows
+    val convRow =
+      if (converged) Seq(ModelRow("converged", 0, -1, 1.0, "")) else Nil
+    piRows.toSeq ++ aRows ++ bRows ++ sNames ++ oNames ++ llRows ++ convRow
   }
 
   def save(spark: SparkSession, model: HmmModel, path: String,
-           logLiks: Seq[Double] = Nil): Unit = {
+           logLiks: Seq[Double] = Nil, converged: Boolean = false): Unit = {
     import spark.implicits._
-    rows(model, logLiks).toDF()
+    rows(model, logLiks, converged).toDF()
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
@@ -52,6 +55,12 @@ object ModelIO {
 
   /** Restore a model (+ any checkpointed per-iteration logliks). */
   def load(spark: SparkSession, path: String): (HmmModel, Array[Double]) = {
+    val (m, lls, _) = loadCheckpoint(spark, path)
+    (m, lls)
+  }
+
+  /** Restore a checkpoint: model, loglik history, converged flag. */
+  def loadCheckpoint(spark: SparkSession, path: String): (HmmModel, Array[Double], Boolean) = {
     val all = spark.read.parquet(path)
       .selectExpr("kind", "CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j",
         "CAST(value AS DOUBLE) AS value", "name")
@@ -70,6 +79,6 @@ object ModelIO {
           stateNames = if (sN.nonEmpty) Some(sN.toIndexedSeq) else None,
           symbolNames = if (oN.nonEmpty) Some(oN.toIndexedSeq) else None)
       else base
-    (model, logLiks)
+    (model, logLiks, grab("converged").nonEmpty)
   }
 }

@@ -63,6 +63,8 @@ object TrainHmm {
     */
   def run(spark: SparkSession, cfg: Config): BaumWelch.FitResult = {
     import spark.implicits._
+    // collect the (tiny) vocab once; the parquet write below reuses
+    // the collected rows instead of re-running the distinct+window
     val vocab = Sequencer.vocab(spark, cfg.input).collect()
       .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
     val numSymbols = vocab.length
@@ -81,8 +83,9 @@ object TrainHmm {
       val named = res.model.withNames(
         (0 until cfg.numStates).map(i => s"s$i"),
         vocab.map(_._1).toSeq)
-      ModelIO.save(spark, named, s"${cfg.output}/model", res.logLikPerIter.toSeq)
-      Sequencer.vocab(spark, cfg.input)
+      ModelIO.save(spark, named, s"${cfg.output}/model",
+        res.logLikPerIter.toSeq, res.converged)
+      vocab.toSeq.toDF("event_type", "sym")
         .write.mode("overwrite").parquet(s"${cfg.output}/vocab")
       res.copy(model = named)
     } finally seqs.unpersist()

@@ -44,11 +44,21 @@ object Curation {
     * exchange, and the final top-k is a TakeOrdered, not a full sort.
     */
   def ngramTop(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
-    Tables.documents(spark, dir)
+    ngramTopFor(Tables.documents(spark, dir), k)
+
+  /** Same over any (…, text) relation — spec-testable on synthetic
+    * corpora (short/empty documents included).
+    */
+  def ngramTopFor(docs: DataFrame, k: Int = 25): DataFrame =
+    docs
+      // tokenize ONCE as a column — Catalyst does not hoist a
+      // loop-invariant split() out of a lambda, and sub-2-token docs
+      // must be filtered BEFORE sequence(0, size-2) goes negative
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2))))").as("bgs"))
-      .filter(size(col("bgs")) > 0)
+        "array_distinct(transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 2))))").as("bgs"))
       .select(explode(col("bgs")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_docs"))

@@ -90,6 +90,36 @@ class PersistenceSpec extends AnyFunSuite {
     } finally seqs.unpersist()
   }
 
+  test("resume skips partial checkpoints and respects a persisted converged flag") {
+    import spark.implicits._
+    val m = Sequencer.vocab(spark, sfDir).count().toInt
+    val seqs = Sequencer.sequenceDs(spark, sfDir).map(_._2.toArray).rdd.cache()
+    try {
+      val ckpt = tmp("graft_partial")
+      BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 5L),
+        maxIterations = 3, epsilon = 0.0, checkpointDir = Some(ckpt))
+      // simulate a driver crash mid-write: model-4 exists but never
+      // committed (no _SUCCESS) -> resume must fall back to model-3
+      val partial = new java.io.File(s"$ckpt/model-4")
+      assert(partial.mkdirs())
+      assert(BaumWelch.latestCheckpoint(spark, ckpt).map(_._1).contains(3),
+        "partial checkpoint without _SUCCESS must be skipped")
+
+      // converged flag survives the round trip: a run converging early
+      // must resume as converged and take zero extra EM steps
+      val ckpt2 = tmp("graft_conv")
+      val first = BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 5L),
+        maxIterations = 20, epsilon = 1e3, checkpointDir = Some(ckpt2))
+      assert(first.converged && first.iterations < 20)
+      val resumed = BaumWelch.fit(seqs, HmmModel.random(3, m, seed = 5L),
+        maxIterations = 20, epsilon = 1e3, checkpointDir = Some(ckpt2), resume = true)
+      assert(resumed.converged)
+      assert(resumed.iterations == first.iterations,
+        s"resume of a converged run took extra steps: ${resumed.iterations} vs ${first.iterations}")
+      assert(resumed.model.frobeniusDistance(first.model) == 0.0)
+    } finally seqs.unpersist()
+  }
+
   test("TrainHmm CLI trains from events and writes a loadable named model") {
     val out = tmp("graft_cli_out")
     val res = TrainHmm.run(spark, TrainHmm.parse(Seq(

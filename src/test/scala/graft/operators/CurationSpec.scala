@@ -20,6 +20,20 @@ class CurationSpec extends AnyFunSuite {
     assert(a.toSet.subsetOf(wide), "narrow sample must nest in the wide one")
   }
 
+  test("ngram stats survive empty and single-word documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world hello world"),
+      (2L, "hello"), // single token: no bigrams
+      (3L, ""),      // empty text
+      (4L, "hello world")
+    ).toDF("doc_id", "text")
+    val rows = Curation.ngramTopFor(docs).collect()
+    val byBigram = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBigram("hello world") == 2, s"got $byBigram")
+    assert(!byBigram.contains("hello"), "unigrams must not appear")
+  }
+
   test("top bigrams are document-frequency ranked with deterministic ties") {
     val rows = Curation.ngramTop(spark, sfDir).collect()
     assert(rows.length == 25)
