@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * Hygiene: execution is forced through the `noop` datasource sink —
   * a `.count()` would let Catalyst prune projections, benchmarking
   * narrow per-row queries (text_*, scoring pipelines) as little more
-  * than scan+count. Each query gets one untimed warm-up run (first
-  * -touch parquet IO + the per-dir memoized caches), then the median
-  * of SPARK_GRAFT_BENCH_RUNS (default 3) timed runs is reported, to
-  * damp host-contention outliers.
+  * than scan+count. One untimed warm-up pass over every query (first
+  * -touch parquet IO + the per-dir memoized caches), then
+  * SPARK_GRAFT_BENCH_RUNS (default 3) timed passes run INTERLEAVED
+  * (pass-by-pass round-robin over all queries, not run-by-run per
+  * query), so a transient host-contention window inflates one pass of
+  * many queries — absorbed by the per-query median — instead of all
+  * runs of whichever query it lands on.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,11 +31,13 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      once(fn) // warm-up, untimed
-      val times = (1 to runs).map(_ => once(fn)).sorted
+    val entries = SparkEntry.queries.toSeq
+    entries.foreach { case (_, fn) => once(fn) } // warm-up pass, untimed
+    val passes = (1 to runs).map(_ => entries.map { case (_, fn) => once(fn) })
+    val results = entries.zipWithIndex.map { case ((name, _), i) =>
+      val times = passes.map(_(i)).sorted
       name -> times(times.length / 2)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
