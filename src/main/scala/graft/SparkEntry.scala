@@ -62,6 +62,7 @@ object SparkEntry {
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_groups"        -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "ngram_top"   -> Curation.ngramTopSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_groups"        -> Dedup.dedupGroupsSql,
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,

@@ -142,6 +142,65 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Duplicate-GROUP resolution: connected components over the exact
+  // near-dup pairs → (doc_id, canonical_id = min id in component) —
+  // the keep/drop list a dedup pipeline actually consumes. Spark side
+  // is iterative min-label propagation over the (tiny relative to the
+  // corpus) duplicate-pair edge set, materialized per round; at true
+  // 100 TB pair volumes swap the loop body for the large-star/
+  // small-star step — same fixpoint, fewer rounds. Oracle: DuckDB
+  // recursive-CTE reachability closure.
+  // -------------------------------------------------------------------
+
+  def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold).select("a_id", "b_id").cache()
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var rounds = 0
+    // min-label propagation: converges in <= component-diameter rounds
+    // (near-dup clusters are shallow); the guard only bounds
+    // pathological chains
+    while (changed > 0 && rounds < 25) {
+      val nmin = edges.join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = updated.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = updated
+      rounds += 1
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |${ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), walk(id, reach) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+       |)
+       |SELECT id AS doc_id, least(id, min(reach)) AS canonical_id
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // MinHash(128) + LSH banding (32 bands × 4 rows). Signatures are
   // computed with array-lambda native functions — per doc, NO explode
   // of shingles and no shuffle until the tiny (doc, band, key) relation

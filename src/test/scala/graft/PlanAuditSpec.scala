@@ -20,8 +20,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_session_agg", "stream_dedup", "stream_sessionize",
     "format_roundtrip", "sink_partitioned",
     "hmm_train_cli", "hmm_checkpoint_resume",
-    // constructing this plan runs the k-means cell build (several jobs)
-    "dedup_embedding")
+    // constructing these plans runs eager jobs (k-means cell build /
+    // label-propagation fixpoint loop)
+    "dedup_embedding", "dedup_groups")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.collect {

@@ -126,4 +126,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("exact dedup returns empty on dup-free corpus") {
     assert(Dedup.exact(spark, sfDir).count() == 0)
   }
+
+  test("dedup groups assign every member its component's min doc id") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // brute-force union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val got = Dedup.dedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"components differ: ${got.size} vs ${expected.size} nodes")
+    // canonical ids are fixpoints: every canonical maps to itself
+    got.values.foreach(c => assert(got(c) == c, s"canonical $c not a fixpoint"))
+  }
 }
