@@ -385,14 +385,11 @@ object Dedup {
       .select("a_id", "b_id")
   }
 
-  /** Exact pairs with cosine ≥ threshold over an arbitrary
-    * (vec_id, embedding) relation: pruned candidates, then the
-    * codegen-dot verify — the arrays never ride the candidate
-    * shuffle, they re-join by id.
+  /** Exact cosine verify over pruned candidates — the arrays never
+    * ride the candidate shuffle, they re-join by id.
     */
-  def embeddingDedupFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
-    val e = raw.select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-    embeddingCandidatesFor(spark, e, threshold)
+  private def verifyCosine(e: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+    cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -400,16 +397,35 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("a_id", "b_id")
+
+  /** Exact pairs with cosine ≥ threshold over an arbitrary
+    * (vec_id, embedding) relation.
+    */
+  def embeddingDedupFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+    val e = raw.select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+    verifyCosine(e, embeddingCandidatesFor(spark, e, threshold), threshold)
   }
 
-  def embeddingCandidates(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    embeddingCandidatesFor(spark,
-      Tables.embeddings(spark, dir).select(
-        col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
-      threshold)
+  // The candidate relation (and the persisted cell assignment under
+  // it) is memoized per (session, dir, threshold) — repeated queries
+  // over one dataset pay the k-means cell build once, same rule as
+  // the shingle/sequence caches.
+  private val cellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    embeddingDedupFor(spark, Tables.embeddings(spark, dir).select("vec_id", "embedding"), threshold)
+  def embeddingCandidates(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    cellCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$threshold",
+      _ => embeddingCandidatesFor(spark,
+        Tables.embeddings(spark, dir).select(
+          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+        threshold))
+
+  def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+    verifyCosine(e, embeddingCandidates(spark, dir, threshold), threshold)
+  }
 
   val embeddingDedupSql: String =
     """WITH n AS (
