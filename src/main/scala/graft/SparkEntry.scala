@@ -73,6 +73,7 @@ object SparkEntry {
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "media_parse"       -> Multimodal.mediaParse _,
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
@@ -109,6 +110,7 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "media_parse" -> Multimodal.mediaParseSql,
     "sample_hash" -> Curation.sampleHashSql,
     "ngram_top"   -> Curation.ngramTopSql,
     "dedup_exact"         -> Dedup.exactSql,

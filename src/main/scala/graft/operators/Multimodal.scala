@@ -18,6 +18,11 @@ import graft.sources.Tables
   * decoder (libjpeg/ffmpeg via JNI, or a Pandas-UDF sidecar in
   * PySpark) and every schema, batch shape, and partition contract
   * here stays the same.
+  *
+  * `RiffCodec` below the boundary is NOT a stub: BMP and PCM-WAV are
+  * uncompressed containers whose headers are plain little-endian
+  * arithmetic — it synthesizes spec-conformant files and parses them
+  * back by magic bytes, driver-oracled end to end (media_parse).
   * ───────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -105,4 +110,136 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  // -------------------------------------------------------------------
+  // REAL container parsing — not a stub. Uncompressed formats (BMP,
+  // RIFF/WAV) need no codec library: their headers are plain
+  // little-endian byte arithmetic. The rows below are genuine,
+  // spec-conformant BMP/WAV files synthesized per doc_id; the parser
+  // dispatches on the MAGIC BYTES (not a kind column) and reads the
+  // actual container headers. The oracle recomputes every field in
+  // closed form from doc_id, so the driver verifies the whole
+  // synthesize → real-bytes → parse round trip.
+  // -------------------------------------------------------------------
+
+  final case class MediaParsed(
+      doc_id: Long, kind: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, bits: Int,
+      duration_ms: Long, n_bytes: Int)
+
+  object RiffCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def le(n: Int): ByteBuffer =
+      ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+    /** Minimal spec-conformant 24bpp BMP (BITMAPINFOHEADER). */
+    def synthBmp(width: Int, height: Int): Array[Byte] = {
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val imageSize = rowSize * height
+      val fileSize = 54 + imageSize
+      val b = le(fileSize)
+      b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+        .putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      // deterministic pixel data (gradient) + row padding
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          b.put(((x + y) & 0xFF).toByte).put((x & 0xFF).toByte).put((y & 0xFF).toByte)
+          x += 1
+        }
+        var pad = rowSize - 3 * width
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y += 1
+      }
+      b.array()
+    }
+
+    /** Minimal spec-conformant PCM WAV (RIFF/fmt/data). */
+    def synthWav(sampleRate: Int, channels: Int, durMs: Int): Array[Byte] = {
+      val byteRate = sampleRate * channels * 2 // 16-bit PCM
+      val dataLen = durMs * (byteRate / 1000)  // rates are multiples of 1000
+      val b = le(44 + dataLen)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+        .putShort((channels * 2).toShort).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      var i = 0
+      while (i < dataLen) { b.put((i & 0x7F).toByte); i += 1 } // deterministic PCM
+      b.array()
+    }
+
+    /** Parse by magic bytes, reading the real container headers. */
+    def parse(docId: Long, payload: Array[Byte]): MediaParsed = {
+      val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
+        val width = b.getInt(18)
+        val height = b.getInt(22)
+        val bpp = b.getShort(28).toInt
+        MediaParsed(docId, "bmp", width, height, 0, 0, bpp, 0L, payload.length)
+      } else if (payload.length >= 44 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+        val channels = b.getShort(22).toInt
+        val rate = b.getInt(24)
+        val byteRate = b.getInt(28)
+        val bits = b.getShort(34).toInt
+        val dataLen = b.getInt(40)
+        val durMs = if (byteRate > 0) dataLen.toLong * 1000L / byteRate else 0L
+        MediaParsed(docId, "wav", 0, 0, rate, channels, bits, durMs, payload.length)
+      } else MediaParsed(docId, "unknown", 0, 0, 0, 0, 0, 0L, payload.length)
+    }
+  }
+
+  /** Real binary media table: even doc_ids get BMPs, odd get WAVs,
+    * with dimensions/rates in closed form from doc_id (so the oracle
+    * can recompute them without parsing bytes).
+    */
+  def mediaBinaryTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { d =>
+      if (d % 2 == 0)
+        MediaRow(d, "bmp", RiffCodec.synthBmp(
+          width = 16 + (d % 32).toInt, height = 9 + (d % 16).toInt))
+      else
+        MediaRow(d, "wav", RiffCodec.synthWav(
+          sampleRate = 8000 + (d % 8).toInt * 1000,
+          channels = 1 + (d % 2).toInt,
+          durMs = 100 + (d % 20).toInt * 10))
+    }
+  }
+
+  /** Header parse of the real binaries, batched partition-local. */
+  def mediaParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBinaryTable(spark, dir)
+      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.map(r =>
+        RiffCodec.parse(r.doc_id, r.payload))))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: every parsed field in closed form from doc_id — BMP file
+    * size = 54 + height·rowSize with 4-byte row padding; WAV size =
+    * 44 + durMs·byteRate/1000. Matching proves the synthesized bytes
+    * are spec-conformant AND the parser reads them back exactly.
+    */
+  val mediaParseSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN 9 + doc_id % 16 ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS channels,
+      |  CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS bits,
+      |  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 100 + (doc_id % 20) * 10 END AS duration_ms,
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN 54 + (9 + doc_id % 16) * (((3 * (16 + doc_id % 32) + 3) // 4) * 4)
+      |    ELSE 44 + (100 + (doc_id % 20) * 10) *
+      |         ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2 // 1000)
+      |  END AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
