@@ -25,23 +25,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must fail LOUDLY: its time-to-crash is not a
+    // benchmark number, and a silent catch would let a regression that
+    // breaks a query read as a speedup. Errors are collected per
+    // query, emitted in the JSON, and fail the process.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val entries = SparkEntry.queries.toSeq
-    entries.foreach { case (_, fn) => once(fn) } // warm-up pass, untimed
-    val passes = (1 to runs).map(_ => entries.map { case (_, fn) => once(fn) })
+    entries.foreach { case (name, fn) => once(name, fn) } // warm-up pass, untimed
+    val passes = (1 to runs).map(_ => entries.map { case (name, fn) => once(name, fn) })
     val results = entries.zipWithIndex.map { case ((name, _), i) =>
       val times = passes.map(_(i)).sorted
       name -> times(times.length / 2)
     }.toMap
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").take(300) + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -68,7 +68,7 @@ object SparkEntry {
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
-    "knn_ivf"   -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
+    "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "vec_norms" -> Similarity.vecNorms _,
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,
@@ -111,6 +111,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langidSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "media_parse" -> Multimodal.mediaParseSql,
+    "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
     "sample_hash" -> Curation.sampleHashSql,
     "ngram_top"   -> Curation.ngramTopSql,
     "dedup_exact"         -> Dedup.exactSql,

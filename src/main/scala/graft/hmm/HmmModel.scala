@@ -70,6 +70,21 @@ final case class HmmModel(
       yield ("emission", i, j, r(b(i)(j)))
     (piRows.toSeq ++ aRows ++ bRows)
   }
+
+  /** `toRows` with the name maps applied — (kind, i, j, value, i_name,
+    * j_name) — so every model-emitting query dumps the same named
+    * schema as hmm_model_io. Falls back to the s&lt;i&gt;/o&lt;j&gt;
+    * defaults when no map is set.
+    */
+  def toNamedRows(round: Int = 6): Seq[(String, Int, Int, Double, String, String)] =
+    toRows(round).map { case (kind, i, j, v) =>
+      val jn = kind match {
+        case "transition" => stateName(j)
+        case "emission"   => symbolName(j)
+        case _            => ""
+      }
+      (kind, i, j, v, stateName(i), jn)
+    }
 }
 
 object HmmModel {

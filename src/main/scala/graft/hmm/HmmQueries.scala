@@ -240,47 +240,66 @@ object HmmQueries {
       .orderBy("user_id")
   }
 
+  /** Named long-form model dump + loglik history — every
+    * model-emitting query shares hmm_model_io's (kind, i, j, value,
+    * i_name, j_name) schema.
+    */
+  private def namedModelDump(
+      spark: SparkSession, model: HmmModel,
+      logLiks: Seq[Double] = Nil, round: Int = 6): DataFrame = {
+    import spark.implicits._
+    val modelRows = model.toNamedRows(round)
+      .map { case (kind, i, j, v, in, jn) => (kind, i.toLong, j.toLong, v, in, jn) }
+    val factor = math.pow(10, round)
+    val llRows = logLiks.zipWithIndex.map { case (ll, it) =>
+      ("loglik_iter", it.toLong, -1L, math.rint(ll * factor) / factor, "", "")
+    }
+    (modelRows ++ llRows)
+      .toDF("kind", "i", "j", "value", "i_name", "j_name")
+      .orderBy("kind", "i", "j")
+  }
+
+  /** States s0..s{K-1}, symbols named by their vocab event types —
+    * the same naming hmm_model_io and TrainHmm write.
+    */
+  private def vocabNames(spark: SparkSession, dir: String): Seq[String] =
+    Sequencer.vocab(spark, dir).collect()
+      .sortBy(_.getInt(1)).map(_.getString(0)).toSeq
+
   /** Distributed Baum-Welch from a seeded random init; dumps the
-    * trained model (long form) plus one row per iteration loglik.
-    * Values rounded 4dp: double sums across a treeAggregate are
-    * order-sensitive.
+    * trained model (named long form) plus one row per iteration
+    * loglik. Values rounded 4dp: double sums across a treeAggregate
+    * are order-sensitive.
     */
   def baumWelch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val m = Sequencer.vocab(spark, dir).count().toInt
+    val names = vocabNames(spark, dir)
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {
       // 3 seeded restarts, best final loglik kept — EM local-optimum guard
-      val res = BaumWelch.fitBest(seqs, NumStates, m,
+      val res = BaumWelch.fitBest(seqs, NumStates, names.length,
         restarts = 3, seed = 42L, maxIterations = 10, epsilon = 1e-4)
-      val modelRows = res.model.toRows(round = 4)
-        .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }
-      val llRows = res.logLikPerIter.zipWithIndex.map { case (ll, it) =>
-        ("loglik_iter", it.toLong, -1L, math.rint(ll * 1e4) / 1e4)
-      }
-      (modelRows ++ llRows).toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+      val named = res.model.withNames(
+        (0 until NumStates).map(i => s"s$i"), names)
+      namedModelDump(spark, named, res.logLikPerIter.toSeq, round = 4)
     } finally seqs.unpersist()
   }
 
   /** Seeded random-model dump (reference: BaumWelchUtils.BuildRandomModel);
-    * row-stochasticity asserted in the spec.
+    * row-stochasticity asserted in the spec. Names are the s&lt;i&gt;/
+    * o&lt;j&gt; defaults — a random model has no data-derived names.
     */
-  def randomModel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    HmmModel.random(4, 5, seed = 42L).toRows()
-      .toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
-  }
+  def randomModel(spark: SparkSession, dir: String): DataFrame =
+    namedModelDump(spark, HmmModel.random(4, 5, seed = 42L))
 
   /** Model from explicit distributions (Rabiner's classic two-state
     * weather example), validated then dumped.
     */
   def fromDistributions(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val m = HmmModel.fromDistributions(
       Array(0.6, 0.4),
       Array(Array(0.7, 0.3), Array(0.4, 0.6)),
       Array(Array(0.1, 0.4, 0.5), Array(0.6, 0.3, 0.1)))
-    m.toRows().toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+    namedModelDump(spark, m)
   }
 
   /** Forecast: from each user's final Viterbi state, sample 5 future
@@ -339,22 +358,19 @@ object HmmQueries {
     // the first fit below is a fresh run (resume=false), which clears
     // any stale model-N dirs itself
     val ckpt = scratch("graft_bw_ckpt", dir)
-    val m = Sequencer.vocab(spark, dir).count().toInt
+    val names = vocabNames(spark, dir)
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {
-      val init = HmmModel.random(NumStates, m, seed = 42L)
+      val init = HmmModel.random(NumStates, names.length, seed = 42L)
       // "crash" after 2 iterations…
       BaumWelch.fit(seqs, init, maxIterations = 2, epsilon = 0.0,
         checkpointDir = Some(ckpt))
       // …and resume from the newest model-N to 4
       val res = BaumWelch.fit(seqs, init, maxIterations = 4, epsilon = 0.0,
         checkpointDir = Some(ckpt), resume = true)
-      val modelRows = res.model.toRows(round = 4)
-        .map { case (kind, i, j, v) => (kind, i.toLong, j.toLong, v) }
-      val llRows = res.logLikPerIter.zipWithIndex.map { case (ll, it) =>
-        ("loglik_iter", it.toLong, -1L, math.rint(ll * 1e4) / 1e4)
-      }
-      (modelRows ++ llRows).toDF("kind", "i", "j", "value").orderBy("kind", "i", "j")
+      val named = res.model.withNames(
+        (0 until NumStates).map(i => s"s$i"), names)
+      namedModelDump(spark, named, res.logLikPerIter.toSeq, round = 4)
     } finally seqs.unpersist()
   }
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * Usage (sbt "runMain graft.hmm.TrainHmm ..."):
   *   --input DIR --output DIR [--states K]
   *     [--max-iterations N] [--epsilon E] [--restarts R] [--seed S]
-  *     [--checkpoint-dir DIR] [--resume]
+  *     [--model-in DIR] [--checkpoint-dir DIR] [--resume]
   */
 object TrainHmm {
 
@@ -28,6 +28,7 @@ object TrainHmm {
       epsilon: Double = 1e-4,
       restarts: Int = 3,
       seed: Long = 42L,
+      modelIn: Option[String] = None,
       checkpointDir: Option[String] = None,
       resume: Boolean = false)
 
@@ -41,6 +42,7 @@ object TrainHmm {
       case "--epsilon" :: v :: t        => loop(t, cfg.copy(epsilon = v.toDouble))
       case "--restarts" :: v :: t       => loop(t, cfg.copy(restarts = v.toInt))
       case "--seed" :: v :: t           => loop(t, cfg.copy(seed = v.toLong))
+      case "--model-in" :: v :: t       => loop(t, cfg.copy(modelIn = Some(v)))
       case "--checkpoint-dir" :: v :: t => loop(t, cfg.copy(checkpointDir = Some(v)))
       case "--resume" :: t              => loop(t, cfg.copy(resume = true))
       case other :: _ =>
@@ -50,6 +52,12 @@ object TrainHmm {
     require(cfg.input.nonEmpty, "--input is required")
     require(cfg.output.nonEmpty, "--output is required")
     require(cfg.numStates > 0 && cfg.maxIterations > 0 && cfg.restarts > 0, "bad sizes")
+    // a warm start IS the initial model: resuming a checkpoint would
+    // override it, and >1 restarts would need >1 distinct inits
+    require(!(cfg.modelIn.isDefined && cfg.resume),
+      "--model-in and --resume are mutually exclusive")
+    require(!(cfg.modelIn.isDefined && args.contains("--restarts") && cfg.restarts > 1),
+      "--model-in trains one trajectory; --restarts > 1 is meaningless with it")
     cfg
   }
 
@@ -60,6 +68,13 @@ object TrainHmm {
     * identifies one EM trajectory; mixing restarts with resume would
     * silently resume the wrong trajectory) — restarts apply to the
     * fresh, uncheckpointed path.
+    *
+    * With `--model-in DIR` training warm-starts from the SUPPLIED
+    * model (the reference driver's `modelInOption`,
+    * BaumWelchDriver.java:53-55,74-77 — its primary fine-tune-on-new-
+    * data workflow); random init is the fallback, not the rule. The
+    * loaded model's K overrides --states; its symbol count must match
+    * the input's vocabulary.
     */
   def run(spark: SparkSession, cfg: Config): BaumWelch.FitResult = {
     import spark.implicits._
@@ -70,18 +85,25 @@ object TrainHmm {
     val numSymbols = vocab.length
     val seqs = Sequencer.sequenceDs(spark, cfg.input).map(_._2.toArray).rdd.cache()
     try {
-      val res = cfg.checkpointDir match {
-        case Some(ckpt) =>
+      val res = (cfg.modelIn, cfg.checkpointDir) match {
+        case (Some(modelDir), ckpt) =>
+          val (warm, _) = ModelIO.load(spark, modelDir)
+          require(warm.numSymbols == numSymbols,
+            s"--model-in has ${warm.numSymbols} symbols but --input has a " +
+              s"$numSymbols-symbol vocabulary; the model can't emit this data")
+          BaumWelch.fit(seqs, warm, cfg.maxIterations, cfg.epsilon,
+            checkpointDir = ckpt, resume = false)
+        case (None, Some(ckpt)) =>
           BaumWelch.fit(seqs,
             HmmModel.random(cfg.numStates, numSymbols, cfg.seed),
             cfg.maxIterations, cfg.epsilon,
             checkpointDir = Some(ckpt), resume = cfg.resume)
-        case None =>
+        case (None, None) =>
           BaumWelch.fitBest(seqs, cfg.numStates, numSymbols,
             cfg.restarts, cfg.seed, cfg.maxIterations, cfg.epsilon)
       }
       val named = res.model.withNames(
-        (0 until cfg.numStates).map(i => s"s$i"),
+        (0 until res.model.numStates).map(i => s"s$i"),
         vocab.map(_._1).toSeq)
       ModelIO.save(spark, named, s"${cfg.output}/model",
         res.logLikPerIter.toSeq, res.converged)

@@ -19,13 +19,20 @@ object Dedup {
   // Exact: one shuffle of (md5, id) — the text itself never moves.
   // -------------------------------------------------------------------
 
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Exact dup groups over any (doc_id, text) relation — split out so
+    * planted-duplicate corpora exercise the positive case (the driver
+    * corpus has no exact dups, so the oracle alone passes vacuously).
+    */
+  def exactFor(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("dup_hash"))
       .groupBy("dup_hash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
       .orderBy("dup_hash")
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactFor(Tables.documents(spark, dir))
 
   val exactSql: String =
     """SELECT md5(text) AS dup_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
@@ -152,8 +159,19 @@ object Dedup {
   // recursive-CTE reachability closure.
   // -------------------------------------------------------------------
 
-  def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold).select("a_id", "b_id").cache()
+  /** Connected components over an (a_id, b_id) edge relation →
+    * (doc_id, canonical_id = component min). Min-label propagation
+    * PLUS a pointer-jumping shortcut each round (l(v) ←
+    * min(l(v), l(l(v)))) — labels always point at real nodes, so the
+    * self-join halves the label-tree height every round and a
+    * diameter-D chain (shingled boilerplate produces them at corpus
+    * scale) converges in O(log D) rounds, not D. Lineage is truncated
+    * with `localCheckpoint` every [[CcCheckpointEvery]] rounds so the
+    * plan doesn't grow a round-deep join chain (recomputation-on-
+    * eviction and planning cost would otherwise scale with rounds).
+    * Returns (labels, rounds) so specs can assert the round bound.
+    */
+  private[graft] def connectedComponentsFor(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
@@ -161,26 +179,39 @@ object Dedup {
       .withColumn("label", col("id")).cache()
     var changed = 1L
     var rounds = 0
-    // min-label propagation: converges in <= component-diameter rounds
-    // (near-dup clusters are shallow); the guard only bounds
-    // pathological chains
     while (changed > 0 && rounds < 25) {
       val nmin = edges.join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(nmin, Seq("id"), "left")
+      val viaEdges = labels.join(nmin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .cache() // read twice by the self-join below
+      // pointer jump: follow one's label to ITS label and take the min
+      val jumped = viaEdges.as("x")
+        .join(viaEdges.select(col("id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val updated =
+        if ((rounds + 1) % CcCheckpointEvery == 0) jumped.localCheckpoint()
+        else jumped.cache()
       changed = updated.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).count()
+      viaEdges.unpersist() // `updated` is materialized by the count above
       labels.unpersist()
       labels = updated
       rounds += 1
     }
     edges.unpersist()
+    (labels.select(col("id").as("doc_id"), col("label").as("canonical_id")), rounds)
+  }
+
+  private[graft] val CcCheckpointEvery = 5
+
+  def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold).select("a_id", "b_id").cache()
+    val (labels, _) = connectedComponentsFor(pairs)
     pairs.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-      .orderBy("doc_id")
+    labels.orderBy("doc_id")
   }
 
   val dedupGroupsSql: String =
@@ -322,12 +353,13 @@ object Dedup {
   // needed at these corpus sizes.
   // -------------------------------------------------------------------
 
-  /** Candidate (a_id, b_id) pairs from the pruned cell-blocked join —
-    * exact superset of all pairs with cosine ≥ threshold. Exposed so
-    * pruning can be measured (see DedupSimilaritySpec).
-    * Input e: (vec_id, embedding float[], nrm).
+  /** The blocked-join plan behind [[embeddingCandidatesFor]]: the
+    * (vec_id, cluster, sub) block assignment — oversized cells
+    * hash-split so no single join key goes hot — plus the compatible
+    * block-pair keys. Exposed for the skew/pruning specs.
     */
-  def embeddingCandidatesFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def blockPlan(
+      spark: SparkSession, raw: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     // the Lloyd passes + α aggregation re-read this relation ~6×;
     // persist so the parquet scan happens once (LRU-evicted later —
@@ -337,19 +369,19 @@ object Dedup {
     val k = math.max(1, math.min(256, (n / 8).toInt))
     val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters = 3)
     val c = KMeans.assign(e, KMeans.centDf(spark, cents)).persist()
-    // unit centroids → per-cell max member angle α (collect is
-    // O(cells), the only driver-side state besides the centroids)
+    // unit centroids → per-cell max member angle α + cell size (one
+    // O(cells) collect, the only driver-side state besides centroids)
     val unit: Map[Int, Array[Double]] = cents.zipWithIndex.map { case (v, i) =>
       val nn = math.sqrt(v.map(x => x * x).sum)
       i -> (if (nn > 0) v.map(_ / nn).toArray else v.toArray)
     }.toMap
     val unitDf = unit.toSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
       .toDF("cluster", "cvec")
-    val minCc = c.join(broadcast(unitDf), "cluster")
+    val cellStats = c.join(broadcast(unitDf), "cluster")
       .select(col("cluster"),
         (arrayDot(col("embedding"), col("cvec")) / col("nrm")).as("cc"))
-      .groupBy("cluster").agg(min(col("cc")).as("min_cc"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .groupBy("cluster").agg(min(col("cc")).as("min_cc"), count(lit(1)).as("sz"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     // e is fully consumed by the collects above (c is materialized and
     // persisted); drop it so repeated calls don't stack cache entries.
     // The caller's verify joins re-scan the narrow source once — cheap
@@ -357,6 +389,22 @@ object Dedup {
     // it feeds the lazily-consumed result, so there is no safe point
     // to unpersist it here.
     e.unpersist()
+    val minCc = cellStats.map { case (cell, (cc, _)) => cell -> cc }
+    // Skew guard: k-means puts a planted mega-cluster (60% of a
+    // boilerplate-heavy corpus) into ONE cell — exactly the hot-key
+    // failure the cell blocking exists to avoid. Any cell above 2×
+    // the mean membership is hash-split on vec_id into equal
+    // sub-blocks; compatibility stays at CELL granularity (α is a
+    // cell-level bound), each compatible cell pair expands to all its
+    // sub-block pairs, so the result set is unchanged while the
+    // biggest join key shrinks to ~cap.
+    val cap = math.max(8L, math.ceil(2.0 * n / math.max(1, cellStats.size)).toLong)
+    val nsplit: Map[Int, Int] = cellStats.map { case (cell, (_, sz)) =>
+      cell -> math.max(1, math.ceil(sz.toDouble / cap).toInt)
+    }
+    val assigned = c.join(broadcast(nsplit.toSeq.toDF("cluster", "nsplit")), "cluster")
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsplit")).cast("int"))
+      .drop("nsplit")
     def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
     // α rounded UP so FP error only ever ADDS candidate cell pairs
     // (the exact verify discards extras). The float-product dot gives
@@ -371,14 +419,30 @@ object Dedup {
       if i <= j
       theta = math.acos(clamp(unit(i).zip(unit(j)).map { case (x, y) => x * y }.sum))
       if math.cos(math.max(0.0, theta - alpha(i) - alpha(j))) >= threshold - 1e-6
-      // both orientations for distinct cells so the a_id < b_id filter
-      // keeps each unordered pair exactly once
-      ori <- if (i == j) Seq((i, j)) else Seq((i, j), (j, i))
-    } yield (ori._1, ori._2, s"${ori._1}|${ori._2}")
-    val pairs = compatible.toDF("cell_a", "cell_b", "pkey")
-    val aSide = c.join(broadcast(pairs.select(col("pkey"), col("cell_a").as("cluster"))), "cluster")
+      si <- 0 until nsplit(i); sj <- 0 until nsplit(j)
+      if i < j || si <= sj // each unordered block pair once
+      // both orientations for distinct blocks so the a_id < b_id
+      // filter keeps each unordered vector pair exactly once
+      ori <- if (i == j && si == sj) Seq((i, si, j, sj))
+             else Seq((i, si, j, sj), (j, sj, i, si))
+    } yield (ori._1, ori._2, ori._3, ori._4, s"${ori._1}.${ori._2}|${ori._3}.${ori._4}")
+    (assigned, compatible.toDF("cell_a", "sub_a", "cell_b", "sub_b", "pkey"))
+  }
+
+  /** Candidate (a_id, b_id) pairs from the pruned cell-blocked join —
+    * exact superset of all pairs with cosine ≥ threshold. Exposed so
+    * pruning can be measured (see DedupSimilaritySpec).
+    * Input raw: (vec_id, embedding float[], nrm).
+    */
+  def embeddingCandidatesFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+    val (assigned, pairs) = blockPlan(spark, raw, threshold)
+    val aSide = assigned.join(
+      broadcast(pairs.select(col("pkey"), col("cell_a").as("cluster"), col("sub_a").as("sub"))),
+      Seq("cluster", "sub"))
       .select(col("pkey"), col("vec_id").as("a_id"))
-    val bSide = c.join(broadcast(pairs.select(col("pkey"), col("cell_b").as("cluster"))), "cluster")
+    val bSide = assigned.join(
+      broadcast(pairs.select(col("pkey"), col("cell_b").as("cluster"), col("sub_b").as("sub"))),
+      Seq("cluster", "sub"))
       .select(col("pkey"), col("vec_id").as("b_id"))
     aSide.join(bSide, "pkey")
       .filter(col("a_id") < col("b_id"))

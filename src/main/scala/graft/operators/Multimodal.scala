@@ -99,6 +99,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Oracle for media_meta: FakeCodec's fields are closed-form over
+    * the payload bytes, and payload = utf-8 of `text` (pure ASCII in
+    * this corpus, so byte k = ascii(char k)) — the stub DECODE stays a
+    * stub, but the whole Spark path around it (derivation, batched
+    * mapPartitions, schema, types) is driver-verified.
+    */
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
+      |    ELSE 160 + ascii(substr(text, 1, 1)) % 128 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
+      |    ELSE 90 + ascii(substr(text, 2, 1)) % 128 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
+      |    WHEN doc_id % 3 = 0 THEN 0
+      |    WHEN doc_id % 3 = 1 THEN 1000 + ascii(substr(text, 3, 1)) * 250
+      |    ELSE 5000 + ascii(substr(text, 4, 1)) * 1000 END AS BIGINT) AS duration_ms,
+      |  strlen(text) >= 4 AS valid
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Frame sampling / thumbnail plumbing; video rows fan out to one
     * row per sampled frame.
     */

@@ -151,4 +151,17 @@ object Similarity {
         .orderBy("q_id", "rnk")
     } finally e.unpersist()
   }
+
+  /** The `knn_ivf` driver entry with the index knobs exposed through
+    * the environment — SPARK_GRAFT_IVF_CLUSTERS / SPARK_GRAFT_IVF_NPROBE
+    * tune the recall/cost point without a code change (nprobe = K
+    * degenerates to an exhaustive, brute-equivalent search; the recall
+    * curve on this corpus is documented in DedupSimilaritySpec).
+    */
+  def knnIvfEntry(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = sys.env.get("SPARK_GRAFT_IVF_CLUSTERS").map(_.toInt).getOrElse(8)
+    val nprobe = sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(2)
+    require(clusters > 0 && nprobe > 0, "IVF knobs must be positive")
+    knnIvf(spark, dir, numClusters = clusters, nprobe = math.min(nprobe, clusters))
+  }
 }

@@ -45,6 +45,35 @@ object StreamingJobs {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** Production-shape run of the windowed aggregate: UPDATE output
+    * mode over a chunked directory, one file per trigger. Returns the
+    * sink rows plus the per-microbatch aggregation-state row counts
+    * (`stateOperators.numRowsTotal`), so the spec can assert the
+    * declared 30-minute watermark actually EVICTS window state as it
+    * advances — the behavior complete mode can't show (it retains
+    * everything by definition). This is the mode an unbounded
+    * production source runs in.
+    */
+  def runWindowAggUpdate(
+      spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_window_update_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val query = windowAgg(stream)
+      .writeStream.outputMode("update").format("memory").queryName(sink).start()
+    val states = try {
+      query.processAllAvailable()
+      query.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+    } finally query.stop()
+    (spark.table(sink), states)
+  }
+
   /** Streaming dedup as keep-earliest: first event time per
     * (user_id, event_type). Expressed as a streaming min-aggregate —
     * unlike dropDuplicates, the result is deterministic under any

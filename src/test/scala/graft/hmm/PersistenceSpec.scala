@@ -144,4 +144,55 @@ class PersistenceSpec extends AnyFunSuite {
       "--epsilon", "0.01", "--checkpoint-dir", "c", "--resume"))
     assert(cfg.epsilon == 0.01 && cfg.checkpointDir.contains("c") && cfg.resume)
   }
+
+  test("TrainHmm --model-in warm-starts from a saved model (reference modelInOption)") {
+    // first pass: train 4 iterations from random init and save
+    val out1 = tmp("graft_warm1")
+    val first = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out1,
+      "--states", "3", "--max-iterations", "4", "--restarts", "1", "--seed", "7")))
+    // second pass: fine-tune FROM the saved model on the same data
+    val out2 = tmp("graft_warm2")
+    val cfg2 = TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out2,
+      "--max-iterations", "4", "--model-in", s"$out1/model"))
+    assert(cfg2.modelIn.contains(s"$out1/model"))
+    val second = TrainHmm.run(spark, cfg2)
+    // EM monotonicity: the warm run's FIRST loglik is the data loglik
+    // under the saved FINAL model, which must be >= the first run's
+    // last recorded loglik (computed one M-step earlier)
+    assert(second.logLikPerIter.head >= first.logLikPerIter.last - 1e-9,
+      s"warm start lost likelihood: ${second.logLikPerIter.head} < ${first.logLikPerIter.last}")
+    // ...and the warm trajectory keeps improving from there
+    assert(second.logLikPerIter.last >= second.logLikPerIter.head - 1e-9)
+    // the fine-tuned model is itself loadable and valid
+    val (m2, _) = ModelIO.load(spark, s"$out2/model")
+    m2.validate(1e-6)
+    assert(m2.numStates == first.model.numStates)
+  }
+
+  test("TrainHmm --model-in K overrides --states and rejects bad combos") {
+    // save a 4-state model, then warm-start with --states 2: K must
+    // come from the model, not the flag
+    val out = tmp("graft_warmk")
+    TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out,
+      "--states", "4", "--max-iterations", "2", "--restarts", "1")))
+    val res = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", tmp("graft_warmk2"),
+      "--states", "2", "--max-iterations", "2", "--model-in", s"$out/model")))
+    assert(res.model.numStates == 4)
+
+    // mutually exclusive flag combinations fail at parse time
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--model-in", "m", "--resume")))
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--model-in", "m", "--restarts", "3")))
+    // a symbol-count mismatch fails loudly before training
+    val bad = tmp("graft_warmbad")
+    ModelIO.save(spark, HmmModel.random(3, 99, seed = 1L), s"$bad/model")
+    intercept[IllegalArgumentException](TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", tmp("graft_warmbad2"),
+      "--model-in", s"$bad/model"))))
+  }
 }

@@ -8,6 +8,62 @@ import graft.sources.Tables
 
 class StreamingSpec extends AnyFunSuite {
 
+  /** Write row chunks as chunk<i>.parquet files into a fresh dir —
+    * one file per microbatch under maxFilesPerTrigger=1, written in
+    * order so arrival tracks event time.
+    */
+  private def writeChunkDir(
+      chunks: Seq[Seq[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunks").toFile.getAbsolutePath
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(chunk, 1), schema)
+      val stage = s"$tmp/stage$i"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/chunk$i.parquet"))
+    }
+    tmp
+  }
+
+  test("update-mode windowed agg: the watermark bounds state across microbatches") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1600000000L * 1000000000L // ns epoch, hour-aligned enough
+    val hourNs = 3600L * 1000000000L
+    val nHours = 12
+    // 5 events per hour, one chunk per 2 hours -> 6 microbatches; every
+    // 1-hour window's data lives inside a single chunk
+    val chunks = (0 until nHours).grouped(2).map(_.flatMap(h =>
+      (0 until 5).map(i => Row(
+        h * 100L + i, base + h * hourNs + i * 300L * 1000000000L,
+        1L, "click", 1.0, "{}")): Seq[Row]).toSeq).toSeq
+    val dir = writeChunkDir(chunks, schema)
+    val (sinkRows, states) = StreamingJobs.runWindowAggUpdate(spark, dir, "chunk*.parquet")
+    val collected = sinkRows.collect()
+    // every window was emitted, with its full per-window aggregate
+    val byWindow = collected.groupBy(_.getStruct(0).getTimestamp(0))
+    assert(byWindow.size == nHours, s"expected $nHours windows, saw ${byWindow.size}")
+    byWindow.foreach { case (w, rows) =>
+      assert(rows.exists(_.getLong(2) == 5L), s"window $w never reached n_events=5")
+    }
+    // the actual point: state must NOT accumulate one row per window
+    // forever (complete mode would end at >= nHours rows). With a
+    // 30-min watermark advancing 2h per batch, closed windows are
+    // evicted and in-flight state stays a couple of windows deep.
+    assert(states.nonEmpty, "no state-operator progress recorded")
+    assert(states.max < nHours,
+      s"state grew to ${states.max} rows — watermark never evicted (progress: $states)")
+    assert(states.max <= 4,
+      s"state not bounded near the watermark horizon: $states")
+  }
+
   test("streaming windowed agg equals the batch result over the same data") {
     val streamed = StreamingJobs.sessionAggStream(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
