@@ -272,6 +272,7 @@ object HmmQueries {
     * are order-sensitive.
     */
   def baumWelch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val names = vocabNames(spark, dir)
     val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
     try {
