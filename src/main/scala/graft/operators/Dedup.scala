@@ -160,15 +160,20 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Connected components over an (a_id, b_id) edge relation →
-    * (doc_id, canonical_id = component min). Min-label propagation
-    * PLUS a pointer-jumping shortcut each round (l(v) ←
-    * min(l(v), l(l(v)))) — labels always point at real nodes, so the
-    * self-join halves the label-tree height every round and a
-    * diameter-D chain (shingled boilerplate produces them at corpus
-    * scale) converges in O(log D) rounds, not D. Lineage is truncated
-    * with `localCheckpoint` every [[CcCheckpointEvery]] rounds so the
-    * plan doesn't grow a round-deep join chain (recomputation-on-
-    * eviction and planning cost would otherwise scale with rounds).
+    * (doc_id, canonical_id = component min). ADAPTIVE min-label
+    * propagation: the first [[CcJumpAfter]] rounds run the plain
+    * neighbor-min step (one shuffle each — real dup corpora converge
+    * here, diameters are shallow); a component still unconverged
+    * after that is provably deep, so later rounds add the
+    * pointer-jumping shortcut (l(v) ← min(l(v), l(l(v))) — labels
+    * always point at real nodes, so the self-join halves the
+    * label-tree height per round and a diameter-D chain finishes in
+    * O(log D) extra rounds, not D) and truncate lineage with
+    * `localCheckpoint` every [[CcCheckpointEvery]] rounds (only the
+    * deep path runs long enough for plan growth to matter).
+    * Convergence is read from the SAME action that materializes the
+    * round: each row carries its previous label, and one aggregate
+    * counts decreases — no separate join+count pass.
     * Returns (labels, rounds) so specs can assert the round bound.
     */
   private[graft] def connectedComponentsFor(pairs: DataFrame): (DataFrame, Int) = {
@@ -179,24 +184,35 @@ object Dedup {
       .withColumn("label", col("id")).cache()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < 40) {
       val nmin = edges.join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val viaEdges = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
+      // (id, old = entering label, label = neighbor-min update)
+      val propagated = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache() // read twice by the self-join below
-      // pointer jump: follow one's label to ITS label and take the min
-      val jumped = viaEdges.as("x")
-        .join(viaEdges.select(col("id").as("label"), col("label").as("ll")).as("y"),
-          Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val deep = rounds >= CcJumpAfter
+      var hop: Option[DataFrame] = None
+      val next =
+        if (!deep) propagated
+        else {
+          val p = propagated.cache() // read twice by the self-join
+          hop = Some(p)
+          p.as("x")
+            .join(p.select(col("id").as("label"), col("label").as("ll")).as("y"),
+              Seq("label"), "left")
+            .select(col("id"), col("old"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        }
       val updated =
-        if ((rounds + 1) % CcCheckpointEvery == 0) jumped.localCheckpoint()
-        else jumped.cache()
-      changed = updated.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
-      viaEdges.unpersist() // `updated` is materialized by the count above
+        if (deep && (rounds + 1) % CcCheckpointEvery == 0) next.localCheckpoint()
+        else next.cache()
+      // single materializing action: labels only ever decrease, so
+      // "any row with label < old" ⇔ not yet converged
+      changed = updated
+        .agg(sum(when(col("label") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .first().getLong(0)
+      hop.foreach(_.unpersist())
       labels.unpersist()
       labels = updated
       rounds += 1
@@ -204,6 +220,10 @@ object Dedup {
     edges.unpersist()
     (labels.select(col("id").as("doc_id"), col("label").as("canonical_id")), rounds)
   }
+
+  /** Rounds of plain propagation before engaging the pointer-jump
+    * (deep-chain) machinery; shallow corpora never pay for it. */
+  private[graft] val CcJumpAfter = 3
 
   private[graft] val CcCheckpointEvery = 5
 

@@ -127,6 +127,131 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.exact(spark, sfDir).count() == 0)
   }
 
+  test("exact dedup finds planted duplicate groups (positive path)") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "alpha beta gamma"), (2L, "unique one"), (1L, "alpha beta gamma"),
+      (7L, "alpha beta gamma"), (5L, "delta delta"), (4L, "delta delta"),
+      (6L, "solo document")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.exactFor(docs).collect()
+    assert(rows.length == 2, s"expected 2 dup groups, got ${rows.length}")
+    // (min_doc_id -> n_docs): the triple collapses to doc 1, the pair to doc 4
+    val byMin = rows.map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(byMin == Map(1L -> 3L, 4L -> 2L), s"groups were $byMin")
+    // hashes are distinct per group
+    assert(rows.map(_.getString(0)).distinct.length == 2)
+  }
+
+  test("connected components: 50-node chain converges within the O(log D) round bound") {
+    import spark.implicits._
+    // worst-case diameter: a path graph 0-1-2-...-49 (plus an isolated
+    // pair so multiple components coexist)
+    val chain = (0L until 49L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val (labels, rounds) = Dedup.connectedComponentsFor(chain.toDF("a_id", "b_id"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 52)
+    (0L to 49L).foreach(i => assert(got(i) == 0L, s"node $i labeled ${got(i)}"))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    // 3 plain rounds + pointer-jump doubling + 1 detection round ≪ D=49
+    val bound = 2 * math.ceil(math.log(50.0) / math.log(2.0)).toInt + 3
+    assert(rounds <= bound, s"$rounds rounds exceeds O(log D) bound $bound")
+    info(s"50-chain converged in $rounds rounds (bound $bound, plain propagation would need ~49)")
+  }
+
+  test("connected components: shallow components converge before the jump machinery engages") {
+    import spark.implicits._
+    // triangle + star + pair: every diameter ≤ 2, the common dup-corpus case
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsFor(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(rounds <= Dedup.CcJumpAfter,
+      s"shallow corpus took $rounds rounds — paid for the deep-chain path")
+  }
+
+  test("blockPlan sub-splits a planted mega-cluster; candidates match cell-granularity exactly") {
+    import spark.implicits._
+    val dim = 64
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(d =>
+        2.0 * graft.functions.Hashing.toUnitDouble(seed * 7919L + d) - 1.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 60% of 500 vectors in ONE tight cluster (the boilerplate-heavy
+    // corpus case), the rest spread over 10 loose clusters
+    val mega = unit(1L)
+    val spread = Array.tabulate(10)(c => unit(c + 50L))
+    val pts = (0 until 500).map { i =>
+      val c = if (i < 300) mega else spread(i % 10)
+      val noise = unit(i + 9000L)
+      val eps = if (i < 300) 0.02 else 0.05
+      val v = c.zip(noise).map { case (x, e) => x + eps * e }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat).toSeq)
+    }
+    val raw = pts.toDF("vec_id", "embedding").withColumn("nrm", lit(1.0))
+    val (assigned, pairs) = Dedup.blockPlan(spark, raw, 0.8)
+    val asg = assigned.select("vec_id", "cluster", "sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // (a) no hot join key: largest (cluster, sub) block obeys the cap
+    val cells = asg.map(_._2).distinct.length
+    val cap = math.max(8L, math.ceil(2.0 * 500 / cells).toLong)
+    val maxBlock = asg.groupBy(t => (t._2, t._3)).values.map(_.length).max
+    info(s"$cells occupied cells, cap $cap, largest (cluster,sub) block $maxBlock")
+    assert(maxBlock <= cap,
+      s"largest block $maxBlock exceeds cap $cap — mega-cluster not split")
+    // the mega cluster really was split into multiple sub-blocks
+    val megaCell = asg.groupBy(_._2).maxBy(_._2.length)
+    assert(megaCell._2.map(_._3).distinct.length > 1, "hot cell has a single sub-block")
+    // (b) sub-splitting changes NOTHING: candidates == cell-granularity pairs
+    val cellPairOk = pairs.select("cell_a", "cell_b").distinct().collect()
+      .flatMap(r => Seq((r.getInt(0), r.getInt(1)), (r.getInt(1), r.getInt(0)))).toSet
+    val cellOf = asg.map(t => t._1 -> t._2).toMap
+    val cellLevel = (for {
+      (i, _) <- pts; (j, _) <- pts
+      if i < j && cellPairOk((cellOf(i), cellOf(j)))
+    } yield (i, j)).toSet
+    val withSplit = Dedup.embeddingCandidatesFor(spark, raw, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withSplit == cellLevel,
+      s"sub-split candidates ${withSplit.size} != cell-level ${cellLevel.size}")
+    // (c) end-to-end result still exact vs brute force
+    val brute = (for {
+      (i, ea) <- pts; (j, eb) <- pts
+      if i < j
+      d = ea.zip(eb).map { case (x, y) => x.toDouble * y }.sum
+      if d >= 0.8
+    } yield (i, j)).toSet
+    val ded = Dedup.embeddingDedupFor(spark, pts.toDF("vec_id", "embedding"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ded == brute, s"skewed corpus: blocked ${ded.size} vs brute ${brute.size}")
+  }
+
+  test("IVF recall@5 is monotone in nprobe and exact at nprobe = K") {
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.knnBrute(spark, sfDir))
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val ivf = topk(Similarity.knnIvf(spark, sfDir, numClusters = 8, nprobe = np))
+      val hits = brute.keys.toSeq.map(q => (brute(q) & ivf.getOrElse(q, Set.empty)).size).sum
+      np -> hits.toDouble / (brute.size * 5)
+    }
+    info("recall@5 curve: " +
+      recalls.map { case (np, r) => f"nprobe=$np%d:$r%.3f" }.mkString(", "))
+    recalls.sliding(2).foreach {
+      case Seq((npLo, lo), (npHi, hi)) =>
+        assert(hi >= lo - 1e-9, f"recall dropped $lo%.3f@$npLo -> $hi%.3f@$npHi")
+      case _ =>
+    }
+    assert(recalls.last._2 == 1.0,
+      s"nprobe = K probes every cell — must equal brute force, got ${recalls.last._2}")
+  }
+
   test("dedup groups assign every member its component's min doc id") {
     val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
