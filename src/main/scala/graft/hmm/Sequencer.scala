@@ -44,9 +44,12 @@ object Sequencer {
     * vocab broadcast-joined on.
     */
   def eventsWithSym(spark: SparkSession, dir: String): DataFrame =
+    eventsWithVocab(spark, dir, vocab(spark, dir))
+
+  private def eventsWithVocab(spark: SparkSession, dir: String, v: DataFrame): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
-      .join(broadcast(vocab(spark, dir)), "event_type")
+      .join(broadcast(v), "event_type")
 
   /** Long-form sequences: (user_id, pos, sym), pos ordered by
     * (ts, event_id). This is the SQL-oracled dump of `sequenceDs`.
@@ -82,16 +85,31 @@ object Sequencer {
   def sequenceDs(spark: SparkSession, dir: String): Dataset[(Long, Seq[Int])] =
     // keyed by (session, dir): the persisted Dataset is bound to its
     // SparkContext (see Dedup.shingled for the same rule)
-    seqCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", _ => {
-      import spark.implicits._
-      eventsWithSym(spark, dir)
-        .select(col("user_id"), struct(col("ts_us"), col("event_id"), col("sym")).as("e"))
-        .groupBy("user_id")
-        .agg(array_sort(collect_list(col("e"))).as("es"))
-        .select(col("user_id"), expr("transform(es, x -> x.sym)").as("syms"))
-        .as[(Long, Seq[Int])]
-        .persist()
-    })
+    seqCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", _ =>
+      sequencesFrom(spark, eventsWithSym(spark, dir)).persist())
+
+  /** Sequences under an EXPLICIT event_type → symbol mapping — the
+    * warm-start fine-tune path, where the symbol space belongs to the
+    * loaded model (a superset of the slice's own vocabulary), not to
+    * the data. Unlike [[sequenceDs]] this is not cached: fine-tune
+    * slices are one-shot inputs.
+    */
+  def sequenceDsMapped(
+      spark: SparkSession, dir: String,
+      mapping: Map[String, Int]): Dataset[(Long, Seq[Int])] = {
+    import spark.implicits._
+    sequencesFrom(spark, eventsWithVocab(spark, dir,
+      mapping.toSeq.toDF("event_type", "sym")))
+  }
+
+  private def sequencesFrom(spark: SparkSession, e: DataFrame): Dataset[(Long, Seq[Int])] = {
+    import spark.implicits._
+    e.select(col("user_id"), struct(col("ts_us"), col("event_id"), col("sym")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), expr("transform(es, x -> x.sym)").as("syms"))
+      .as[(Long, Seq[Int])]
+  }
 
   /** Per-sequence length / distinct-symbol / entropy stats.
     * Two keyed aggregations; the entropy p·ln p is exact-double on

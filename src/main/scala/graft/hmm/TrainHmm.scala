@@ -73,25 +73,46 @@ object TrainHmm {
     * model (the reference driver's `modelInOption`,
     * BaumWelchDriver.java:53-55,74-77 — its primary fine-tune-on-new-
     * data workflow); random init is the fallback, not the rule. The
-    * loaded model's K overrides --states; its symbol count must match
-    * the input's vocabulary.
+    * loaded model's K overrides --states. Its symbol space must COVER
+    * the input's vocabulary: a named model may carry a superset (the
+    * reference fine-tunes a full-corpus model on filtered slices,
+    * BaumWelchDriver.java:57,67), in which case the slice's event
+    * types are mapped into the model's symbol indices and the output
+    * keeps the model's full vocabulary. An unnamed warm model has no
+    * map to align by, so its symbol count must match exactly.
     */
   def run(spark: SparkSession, cfg: Config): BaumWelch.FitResult = {
     import spark.implicits._
     // collect the (tiny) vocab once; the parquet write below reuses
     // the collected rows instead of re-running the distinct+window
-    val vocab = Sequencer.vocab(spark, cfg.input).collect()
-      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    val dataVocab = Sequencer.vocab(spark, cfg.input).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq
+    val warm = cfg.modelIn.map(d => ModelIO.load(spark, d)._1)
+    // symbol space: the warm model's named vocabulary when it has one,
+    // else the data's own
+    val (vocab, seqDs) = warm match {
+      case Some(w) if w.symbolNames.isDefined =>
+        val names = w.symbolNames.get
+        val idx = names.zipWithIndex.toMap
+        val missing = dataVocab.map(_._1).filterNot(idx.contains)
+        require(missing.isEmpty,
+          s"--model-in vocabulary (${names.length} symbols) is missing data " +
+            s"event types: ${missing.mkString(", ")}; the model can't emit this data")
+        (names.zipWithIndex, Sequencer.sequenceDsMapped(spark, cfg.input, idx))
+      case Some(w) =>
+        require(w.numSymbols == dataVocab.length,
+          s"--model-in has ${w.numSymbols} symbols but --input has a " +
+            s"${dataVocab.length}-symbol vocabulary; the model can't emit this data")
+        (dataVocab, Sequencer.sequenceDs(spark, cfg.input))
+      case None =>
+        (dataVocab, Sequencer.sequenceDs(spark, cfg.input))
+    }
     val numSymbols = vocab.length
-    val seqs = Sequencer.sequenceDs(spark, cfg.input).map(_._2.toArray).rdd.cache()
+    val seqs = seqDs.map(_._2.toArray).rdd.cache()
     try {
-      val res = (cfg.modelIn, cfg.checkpointDir) match {
-        case (Some(modelDir), ckpt) =>
-          val (warm, _) = ModelIO.load(spark, modelDir)
-          require(warm.numSymbols == numSymbols,
-            s"--model-in has ${warm.numSymbols} symbols but --input has a " +
-              s"$numSymbols-symbol vocabulary; the model can't emit this data")
-          BaumWelch.fit(seqs, warm, cfg.maxIterations, cfg.epsilon,
+      val res = (warm, cfg.checkpointDir) match {
+        case (Some(w), ckpt) =>
+          BaumWelch.fit(seqs, w, cfg.maxIterations, cfg.epsilon,
             checkpointDir = ckpt, resume = false)
         case (None, Some(ckpt)) =>
           BaumWelch.fit(seqs,
@@ -104,7 +125,7 @@ object TrainHmm {
       }
       val named = res.model.withNames(
         (0 until res.model.numStates).map(i => s"s$i"),
-        vocab.map(_._1).toSeq)
+        vocab.map(_._1))
       ModelIO.save(spark, named, s"${cfg.output}/model",
         res.logLikPerIter.toSeq, res.converged)
       vocab.toSeq.toDF("event_type", "sym")

@@ -195,4 +195,55 @@ class PersistenceSpec extends AnyFunSuite {
       "--input", sfDir, "--output", tmp("graft_warmbad2"),
       "--model-in", s"$bad/model"))))
   }
+
+  test("TrainHmm --model-in fine-tunes a slice whose vocabulary is a SUBSET of the model's") {
+    import org.apache.spark.sql.functions.col
+    // full-corpus model: symbol space = the complete event_type vocab
+    val out1 = tmp("graft_sup1")
+    val first = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out1,
+      "--states", "3", "--max-iterations", "3", "--restarts", "1", "--seed", "42")))
+    val types = Sequencer.vocab(spark, sfDir).collect()
+      .sortBy(_.getInt(1)).map(_.getString(0)).toIndexedSeq
+    assert(types.length >= 2, "corpus needs >= 2 event types for a proper slice")
+    // carve a slice missing the LAST vocab entry (so slice symbol ids
+    // would differ from the model's without the name-map alignment)
+    val dropped = types.last
+    val slice = tmp("graft_sup_slice")
+    graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= dropped)
+      .write.mode("overwrite").parquet(s"$slice/events.parquet")
+    // fine-tune: model vocab (superset) must be accepted and kept
+    val out2 = tmp("graft_sup2")
+    val res = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", slice, "--output", out2,
+      "--max-iterations", "4", "--model-in", s"$out1/model")))
+    assert(res.model.numSymbols == types.length,
+      "fine-tuned model must keep the full symbol space")
+    assert(res.model.symbolNames.contains(types))
+    // EM stayed monotone on the slice
+    res.logLikPerIter.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9, s"loglik dropped: $a -> $b")
+      case _         =>
+    }
+    // the fine-tuned model round-trips and stays stochastic
+    val (m2, _) = ModelIO.load(spark, s"$out2/model")
+    m2.validate(1e-6)
+    assert(m2.symbolNames.contains(types))
+    // a slice with an event type the model has never seen still fails:
+    // rename one slice type to something outside the model vocabulary
+    val alien = tmp("graft_sup_alien")
+    graft.sources.Tables.events(spark, sfDir)
+      .withColumn("event_type",
+        org.apache.spark.sql.functions.when(
+          col("event_type") === types.head,
+          org.apache.spark.sql.functions.lit("never_seen_type"))
+          .otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(s"$alien/events.parquet")
+    val ex = intercept[IllegalArgumentException](TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", alien, "--output", tmp("graft_sup_alien_out"),
+      "--model-in", s"$out1/model"))))
+    assert(ex.getMessage.contains("never_seen_type"))
+    assert(first.model.numSymbols == types.length)
+  }
 }
