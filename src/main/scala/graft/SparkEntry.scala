@@ -112,6 +112,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "media_parse" -> Multimodal.mediaParseSql,
     "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
+    "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums
     "sample_hash" -> Curation.sampleHashSql,
     "ngram_top"   -> Curation.ngramTopSql,
     "dedup_exact"         -> Dedup.exactSql,

@@ -23,6 +23,8 @@ import graft.sources.Tables
   * uncompressed containers whose headers are plain little-endian
   * arithmetic — it synthesizes spec-conformant files and parses them
   * back by magic bytes, driver-oracled end to end (media_parse).
+  * `frameSample` is likewise real: it samples actual pixel rows out
+  * of those BMPs by stride arithmetic (media_framesample oracle).
   * ───────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -34,8 +36,9 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, duration_ms: Long, valid: Boolean)
 
-  final case class Frame(
-      doc_id: Long, frame_idx: Int, frame_bytes: Int, thumb_w: Int, thumb_h: Int)
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Long, row_y: Long,
+      row_offset: Long, row_bytes: Long, pixel_sum: Long)
 
   /** Codec batch size: real decoders amortize per-call overhead over
     * a batch; the iterator is consumed in groups of this size.
@@ -62,17 +65,6 @@ object Multimodal {
       }
     }
 
-    def sampleFrames(r: MediaRow, stride: Int): Seq[Frame] = {
-      val meta = decodeBatch(Seq(r)).head
-      if (!meta.valid || meta.duration_ms == 0) {
-        Seq(Frame(r.doc_id, 0, r.payload.length, meta.width / 4, meta.height / 4))
-      } else {
-        val nFrames = (meta.duration_ms / 1000L).toInt.max(1)
-        (0 until nFrames by stride).map { i =>
-          Frame(r.doc_id, i, (r.payload.length / nFrames).max(1), meta.width / 4, meta.height / 4)
-        }
-      }
-    }
   }
 
   /** Media table derived from documents: payload = utf-8 bytes of the
@@ -121,17 +113,58 @@ object Multimodal {
       |  strlen(text) >= 4 AS valid
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling / thumbnail plumbing; video rows fan out to one
-    * row per sampled frame.
+  /** Frame/row sampling over the REAL BMP binaries (not the stub):
+    * every stride-th pixel row of each bitmap becomes a "frame" row,
+    * located by genuine BMP stride arithmetic (4-byte-aligned rows,
+    * 54-byte header) and checksummed by summing the row's actual
+    * pixel bytes — the partition-local fan-out shape a real
+    * frame-sampler/thumbnailer has, with no codec dependency.
+    * Oracle: all five derived fields are closed-form in doc_id (the
+    * synthesized gradient makes the pixel sum w(w-1) + 2wy), so the
+    * driver verifies the synthesize → real-bytes → sample round trip.
     */
   def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(col("media_type") === "video")
-      .mapPartitions(_.flatMap(r => FakeCodec.sampleFrames(r, stride)))
+    mediaBinaryTable(spark, dir)
+      .filter(col("media_type") === "bmp")
+      .mapPartitions(_.flatMap { r =>
+        val b = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val w = b.getInt(18)
+        val h = b.getInt(22)
+        val rowSize = ((3 * w + 3) / 4) * 4
+        (0 until h by stride).zipWithIndex.map { case (y, i) =>
+          val off = 54 + y * rowSize
+          var s = 0L
+          var x = 0
+          while (x < 3 * w) { s += (r.payload(off + x) & 0xFF); x += 1 }
+          FrameRow(r.doc_id, i.toLong, y.toLong, off.toLong, rowSize.toLong, s)
+        }
+      })
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Closed-form oracle for [[frameSample]] at the default stride 2:
+    * w = 16 + d%32, h = 9 + d%16, rowSize = ((3w+3)//4)*4; sampled
+    * file rows y = 0,2,…&lt;h; pixel bytes at (x,y) are the synthetic
+    * gradient ((x+y)&0xFF, x&0xFF, y&0xFF) with x+y ≤ 69 &lt; 256, so
+    * the row sum collapses to w(w−1) + 2wy exactly.
+    */
+  val frameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 9 + doc_id % 16 AS h,
+      |    ((3 * (16 + doc_id % 32) + 3) // 4) * 4 AS row_size
+      |  FROM documents WHERE doc_id % 2 = 0
+      |)
+      |SELECT doc_id,
+      |  CAST(y // 2 AS BIGINT) AS frame_idx,
+      |  CAST(y AS BIGINT) AS row_y,
+      |  CAST(54 + y * row_size AS BIGINT) AS row_offset,
+      |  CAST(row_size AS BIGINT) AS row_bytes,
+      |  CAST(w * (w - 1) + 2 * w * y AS BIGINT) AS pixel_sum
+      |FROM b, unnest(generate_series(0, CAST(h - 1 AS BIGINT), 2)) AS t(y)
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   // -------------------------------------------------------------------
   // REAL container parsing — not a stub. Uncompressed formats (BMP,

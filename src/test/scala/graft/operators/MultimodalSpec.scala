@@ -49,14 +49,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling fans out video rows by stride and is batch-stable") {
+  test("frame sampling reads real BMP pixel rows by stride and is batch-stable") {
     val frames = Multimodal.frameSample(spark, sfDir, stride = 2).collect()
     assert(frames.nonEmpty)
-    // only videos; frame indices follow the stride
     val byDoc = frames.groupBy(_.getLong(0))
-    byDoc.values.foreach { fs =>
-      val idxs = fs.map(_.getInt(1)).sorted.toSeq
-      assert(idxs == idxs.indices.map(_ * 2), s"stride-2 indices, got $idxs")
+    // only BMPs (even doc_ids) fan out
+    assert(byDoc.keySet.forall(_ % 2 == 0))
+    byDoc.foreach { case (d, fs) =>
+      // sampled file rows follow the stride and cover ceil(h/2) rows
+      val h = 9 + (d % 16)
+      val ys = fs.map(_.getLong(2)).sorted.toSeq
+      assert(ys == (0L until h by 2).toSeq, s"doc $d rows $ys")
+      // pixel sums match the gradient's closed form w(w-1) + 2wy —
+      // i.e. the sampler summed the ACTUAL payload bytes
+      val w = 16 + (d % 32)
+      fs.foreach { r =>
+        assert(r.getLong(5) == w * (w - 1) + 2 * w * r.getLong(2),
+          s"doc $d row ${r.getLong(2)} pixel sum ${r.getLong(5)}")
+        assert(r.getLong(3) == 54 + r.getLong(2) * r.getLong(4))
+      }
+    }
+    // a different stride changes the fan-out accordingly
+    val s3 = Multimodal.frameSample(spark, sfDir, stride = 3).collect()
+    val byDoc3 = s3.groupBy(_.getLong(0))
+    byDoc3.foreach { case (d, fs) =>
+      val h = 9 + (d % 16)
+      assert(fs.map(_.getLong(2)).sorted.toSeq == (0L until h by 3).toSeq)
     }
     // stability: running again yields identical rows (no partition-
     // dependent state in the codec path)
