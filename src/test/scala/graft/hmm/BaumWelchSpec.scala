@@ -69,4 +69,57 @@ class BaumWelchSpec extends AnyFunSuite {
     assert(res.converged, "should converge well before 200 iterations at eps=1e-3")
     assert(res.iterations < 200)
   }
+
+  /** Asserts the shared named-dump contract of the model-emitting
+    * queries: s&lt;i&gt; state names everywhere, symbol names from the
+    * given expected list, empty names only on loglik rows.
+    */
+  private def checkNamedDump(
+      rows: Array[org.apache.spark.sql.Row], symbols: IndexedSeq[String]): Unit = {
+    val byKind = rows.groupBy(_.getString(0))
+    byKind.getOrElse("pi", Array.empty).foreach { r =>
+      assert(r.getString(4) == s"s${r.getLong(1)}" && r.getString(5) == "")
+    }
+    byKind.getOrElse("transition", Array.empty).foreach { r =>
+      assert(r.getString(4) == s"s${r.getLong(1)}")
+      assert(r.getString(5) == s"s${r.getLong(2)}")
+    }
+    val em = byKind.getOrElse("emission", Array.empty)
+    em.foreach { r =>
+      assert(r.getString(4) == s"s${r.getLong(1)}")
+      assert(r.getString(5) == symbols(r.getLong(2).toInt),
+        s"emission j=${r.getLong(2)} named ${r.getString(5)}")
+    }
+    // the emitted name set covers the whole symbol space
+    assert(em.map(_.getString(5)).toSet == symbols.toSet)
+    byKind.getOrElse("loglik_iter", Array.empty).foreach { r =>
+      assert(r.getString(4) == "" && r.getString(5) == "")
+    }
+  }
+
+  test("model dumps carry vocab-consistent state/symbol name maps") {
+    import graft.LocalSpark.sfDir
+    val vocab = Sequencer.vocab(spark, sfDir).collect()
+      .sortBy(_.getInt(1)).map(_.getString(0)).toIndexedSeq
+    assert(vocab.nonEmpty && vocab.forall(_.nonEmpty))
+
+    // hmm_baumwelch: data-derived — symbol names ARE the event types
+    val bw = HmmQueries.baumWelch(spark, sfDir).collect()
+    checkNamedDump(bw, vocab)
+    val lls = bw.filter(_.getString(0) == "loglik_iter")
+      .sortBy(_.getLong(1)).map(_.getDouble(3))
+    assert(lls.nonEmpty, "baum-welch dump must carry its loglik history")
+    lls.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-3, s"4dp-rounded loglik fell $a -> $b")
+      case _           =>
+    }
+
+    // hmm_random_model: no data-derived names — s<i>/o<j> defaults
+    val rm = HmmQueries.randomModel(spark, sfDir).collect()
+    checkNamedDump(rm, (0 until 5).map(j => s"o$j"))
+
+    // hmm_model_from_distributions: Rabiner 2-state, 3-symbol defaults
+    val fd = HmmQueries.fromDistributions(spark, sfDir).collect()
+    checkNamedDump(fd, (0 until 3).map(j => s"o$j"))
+  }
 }
