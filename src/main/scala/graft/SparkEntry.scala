@@ -59,6 +59,8 @@ object SparkEntry {
     // §2.4+ curation: reproducible sampling + corpus n-gram stats
     "sample_hash" -> ((s: SparkSession, d: String) => Curation.sampleHash(s, d)),
     "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
+    "stratified_sample" -> Curation.stratifiedSample _,
+    "text_repetition"   -> Curation.textRepetition _,
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -86,6 +88,9 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
     "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
     "cust_no_orders"   -> RelationalExtras.custNoOrders _,
+    "events_json"       -> RelationalExtras.eventsJson _,
+    "range_join"        -> RelationalExtras.rangeJoin _,
+    "group_percentiles" -> RelationalExtras.groupPercentiles _,
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitioned _,
@@ -115,6 +120,8 @@ object SparkEntry {
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums
     "sample_hash" -> Curation.sampleHashSql,
     "ngram_top"   -> Curation.ngramTopSql,
+    "stratified_sample" -> Curation.stratifiedSampleSql,
+    "text_repetition"   -> Curation.textRepetitionSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_groups"        -> Dedup.dedupGroupsSql,
@@ -127,6 +134,9 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemoSql,
     "q18_large_orders" -> RelationalExtras.q18LargeOrdersSql,
     "cust_no_orders"   -> RelationalExtras.custNoOrdersSql,
+    "events_json"       -> RelationalExtras.eventsJsonSql,
+    "range_join"        -> RelationalExtras.rangeJoinSql,
+    "group_percentiles" -> RelationalExtras.groupPercentilesSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,
     // the stateful streaming sessionizer must reproduce the batch

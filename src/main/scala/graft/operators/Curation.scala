@@ -76,4 +76,88 @@ object Curation {
       |SELECT bigram, count(*) AS n_docs
       |FROM bg GROUP BY bigram
       |ORDER BY n_docs DESC, bigram LIMIT 25""".stripMargin
+
+  /** Stratified (per-source budgeted) sampling audit: each source
+    * keeps a different fraction of its documents — even-numbered
+    * sources 25%, odd 12.5% — selected by the same content-addressed
+    * md5 prefix rule as [[sampleHash]], so membership is stable
+    * across engines and re-partitioning. Output is the per-source
+    * audit (total vs kept), the report a curation pipeline uses to
+    * check its domain mixture.
+    *
+    * Scale: one narrow scan, the CASE is per-row map-side work, one
+    * bounded groupBy(source) — no per-group driver loops, no RNG.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val bound = when(pmod(srcNum, lit(2)) === 0, lit("40")).otherwise(lit("20"))
+    Tables.documents(spark, dir)
+      .withColumn("h", substring(md5(col("text").cast("binary")), 1, 2))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h") < bound, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN substring(md5(text), 1, 2) <
+      |    (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0
+      |     THEN '40' ELSE '20' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gopher-style repetition / quality signals, per document:
+    * word count, mean word length, duplicate-bigram fraction, and
+    * top-word fraction (the rules large-corpus filters use to drop
+    * boilerplate and degenerate repetition).
+    *
+    * Scale: pure array-lambda expressions — zero shuffle, zero UDFs;
+    * the O(distinct·words) top-word pass is per-document CPU bounded
+    * by document length, which beats an explode + per-doc groupBy
+    * (two shuffles over every token in the corpus) at any scale.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionFor(Tables.documents(spark, dir))
+
+  /** Same over any (doc_id, text) relation — spec-testable on
+    * planted repetitive/degenerate documents.
+    */
+  private[graft] def textRepetitionFor(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"), expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 2)))").as("bgs"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        round(expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+          .cast("double") / size(col("w")), 4).as("mean_word_len"),
+        round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double") / size(col("bgs")), 4)
+          .as("dup_bigram_frac"),
+        round(expr("array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))")
+          .cast("double") / size(col("w")), 4).as("top_word_frac"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, w,
+      |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  round(CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE) / len(w), 4)
+      |    AS mean_word_len,
+      |  round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4)
+      |    AS dup_bigram_frac,
+      |  round(CAST(list_max(list_transform(list_distinct(w),
+      |    d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+      |    AS top_word_frac
+      |FROM bg ORDER BY doc_id""".stripMargin
 }

@@ -140,4 +140,98 @@ object RelationalExtras {
         round(element_at(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000)), 1), 2).as("p50_price"),
         round(element_at(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_price"))
       .orderBy("l_returnflag")
+
+  /** Semi-structured column handling: `events.props` is a JSON string;
+    * `from_json` with an explicit schema parses it ONCE into a typed
+    * struct inside codegen (no UDF, no second parse per field), then
+    * ordinary aggregation. At 100 TB the parse is embarrassingly
+    * parallel map-side work and only (event_type, k) reaches the
+    * exchange.
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  val eventsJsonSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Non-equi interval join done the scale-safe way: a naive
+    * point-in-range join is a cartesian (every probe row against
+    * every interval). Bucketing both sides to epoch weeks turns it
+    * into an EQUI-join on the bucket — each 7-day interval explodes
+    * into the ≤2 week buckets it overlaps, each ship date lands in
+    * exactly one — with the precise range predicate applied after the
+    * hash match. Shuffle volume is O(probe + 2·intervals), never
+    * O(probe × intervals); a probe row can match a given interval
+    * through only one bucket, so no dedup is needed.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinFor(
+      Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 97 === 1)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("lo")),
+      Tables.lineitem(spark, dir).select(to_date(col("l_shipdate")).as("d")))
+
+  /** Core of [[rangeJoin]] over any ((o_orderkey, lo: date),
+    * (d: date)) pair of relations; intervals are [lo, lo + 7 days).
+    */
+  private[graft] def rangeJoinFor(intervals: DataFrame, probe: DataFrame): DataFrame = {
+    val anchor = to_date(lit("1970-01-01"))
+    val iv = intervals
+      .withColumn("hi", date_add(col("lo"), 7))
+      // weeks covered by [lo, hi): week(lo) .. week(hi - 1 day)
+      .withColumn("bucket", explode(sequence(
+        floor(datediff(col("lo"), anchor) / 7).cast("long"),
+        floor(datediff(date_sub(col("hi"), 1), anchor) / 7).cast("long"))))
+    probe
+      .withColumn("bucket", floor(datediff(col("d"), anchor) / 7).cast("long"))
+      .join(broadcast(iv), "bucket")
+      .filter(col("d") >= col("lo") && col("d") < col("hi"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+      |FROM orders o JOIN lineitem l
+      |  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+      | AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE) + 7
+      |WHERE o.o_orderkey % 97 = 1
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** Exact per-group quartiles — the oracled counterpart of
+    * approxStats' sketch path (Spark `percentile` and DuckDB
+    * `quantile_cont` both linearly interpolate). Exact percentiles
+    * cost a per-group sort; at 100 TB prefer approxStats unless the
+    * group cardinality is small, which (returnflag, linestatus) is.
+    */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"),
+        round(expr("percentile(l_quantity, 0.50)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q3_qty"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("median_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val groupPercentilesSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+      |  round(quantile_cont(l_quantity, 0.50), 4) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS median_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

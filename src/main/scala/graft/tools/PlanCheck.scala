@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc: print plan summaries for the round-2 operators. */
+/** Ad-hoc: print plan summaries for recently-added operators. */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -28,6 +28,12 @@ object PlanCheck {
     audit("sample_hash", graft.operators.Curation.sampleHash(spark, dir))
     audit("ngram_top", graft.operators.Curation.ngramTop(spark, dir))
     audit("knn_ivf", graft.operators.Similarity.knnIvf(spark, dir))
+    audit("events_json", graft.operators.RelationalExtras.eventsJson(spark, dir))
+    audit("range_join", graft.operators.RelationalExtras.rangeJoin(spark, dir))
+    audit("group_percentiles", graft.operators.RelationalExtras.groupPercentiles(spark, dir))
+    audit("stratified_sample", graft.operators.Curation.stratifiedSample(spark, dir))
+    audit("text_repetition", graft.operators.Curation.textRepetition(spark, dir))
+    audit("media_framesample", graft.operators.Multimodal.frameSample(spark, dir))
     spark.stop()
   }
 }

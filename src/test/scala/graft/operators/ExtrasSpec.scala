@@ -48,4 +48,63 @@ class ExtrasSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("bucketed range join handles interval boundaries and week-bucket crossings") {
+    import spark.implicits._
+    // 2020-01-06 is a Monday; the [lo, lo+7) interval crosses an
+    // epoch-week boundary (weeks are anchored at Thu 1970-01-01), so
+    // matches on both sides of the boundary prove the 2-bucket explode
+    val iv = Seq((1L, java.sql.Date.valueOf("2020-01-06")))
+      .toDF("o_orderkey", "lo")
+    val probe = Seq(
+      "2020-01-06", // = lo: in
+      "2020-01-08", // epoch-week of lo ends Wed night; Thu 01-09 starts the next
+      "2020-01-09", // next epoch-week, still < hi: in (bucket crossing)
+      "2020-01-12", // = hi - 1 day: in
+      "2020-01-13", // = hi: OUT (half-open)
+      "2020-01-05"  // < lo: out
+    ).map(java.sql.Date.valueOf).map(Tuple1(_)).toDF("d")
+    val got = RelationalExtras.rangeJoinFor(iv, probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L), s"got $got")
+    // an interval with zero matches yields no row (inner-join shape)
+    val empty = RelationalExtras.rangeJoinFor(
+      Seq((9L, java.sql.Date.valueOf("1995-05-01"))).toDF("o_orderkey", "lo"), probe)
+    assert(empty.count() == 0)
+  }
+
+  test("exact group percentiles interpolate like a sorted-array reference") {
+    val got = RelationalExtras.groupPercentiles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      val v = if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+      math.rint(v * 1e4) / 1e4
+    }
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val xs = vs.map(_._2)
+      val (q1, med, q3) = got(k)
+      assert(q1 == pct(xs, 0.25) && med == pct(xs, 0.5) && q3 == pct(xs, 0.75),
+        s"$k: ($q1, $med, $q3) vs reference")
+    }
+  }
+
+  test("events_json parses every props row (no nulls) and sums match a string-extract cross-check") {
+    val got = RelationalExtras.eventsJson(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val check = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\\d+", 0).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == check, s"json parse disagrees with regex extract: $got vs $check")
+    assert(got.values.map(_._1).sum > 0)
+  }
 }
