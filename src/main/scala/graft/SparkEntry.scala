@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, RelationalExtras, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -61,6 +61,10 @@ object SparkEntry {
     "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
     "stratified_sample" -> Curation.stratifiedSample _,
     "text_repetition"   -> Curation.textRepetition _,
+    "pack_chunks"  -> ((s: SparkSession, d: String) => Curation.packChunks(s, d)),
+    "contam_ngram" -> ((s: SparkSession, d: String) => Curation.contamNgram(s, d)),
+    "pii_scrub"    -> TextAnalysis.piiScrub _,
+    "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -72,6 +76,7 @@ object SparkEntry {
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "vec_norms" -> Similarity.vecNorms _,
+    "vec_quantize" -> Similarity.vecQuantize _,
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -79,6 +84,7 @@ object SparkEntry {
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
+    "stream_enrich"      -> StreamingJobs.enrichStream _,
     // engine breadth beyond §2 (grouping sets, windows, pivot,
     // sketches, skew handling)
     "agg_rollup"     -> RelationalExtras.aggRollup _,
@@ -122,6 +128,11 @@ object SparkEntry {
     "ngram_top"   -> Curation.ngramTopSql,
     "stratified_sample" -> Curation.stratifiedSampleSql,
     "text_repetition"   -> Curation.textRepetitionSql,
+    "pack_chunks"  -> Curation.packChunksSql,
+    "contam_ngram" -> Curation.contamNgramSql,
+    "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec
+    "bm25_topk"    -> Search.bm25TopKSql,
+    "vec_quantize" -> Similarity.vecQuantizeSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_groups"        -> Dedup.dedupGroupsSql,
@@ -144,5 +155,6 @@ object SparkEntry {
     "stream_sessionize" -> Relational.sessionizeSql,
     "stream_dedup"       -> StreamingJobs.streamDedupSql,
     "stream_session_agg" -> StreamingJobs.sessionAggSql,
+    "stream_enrich"      -> StreamingJobs.enrichStreamSql,
   )
 }

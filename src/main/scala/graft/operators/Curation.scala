@@ -160,4 +160,112 @@ object Curation {
       |    d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
       |    AS top_word_frac
       |FROM bg ORDER BY doc_id""".stripMargin
+
+  /** Token-budget chunk packing: documents are laid out sequentially
+    * into fixed-size token chunks (the layout step before writing
+    * training shards), and each document reports the chunk span it
+    * lands in. Packing is PER SOURCE — each source stream packs
+    * independently, which is what makes the operator scale: a global
+    * sequential layout would serialize the corpus through one
+    * partition, while per-source prefix sums run as parallel window
+    * partitions (at 100 TB the unit would be source × shard-range,
+    * same shape, more partitions).
+    *
+    * Deterministic: order within a source is doc_id; token count is
+    * the whitespace split; a document straddling a boundary spans
+    * chunk_start..chunk_end (documents are not reordered — this is
+    * the streaming-concatenation layout, not bin packing, so the
+    * result is reproducible and engine-independent).
+    */
+  def packChunks(spark: SparkSession, dir: String, budget: Int = 512): DataFrame =
+    packChunksFor(Tables.documents(spark, dir), budget)
+
+  private[graft] def packChunksFor(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"tok_before div $budget").as("chunk_start"),
+        expr(s"(tok_before + n_tokens - 1) div $budget").as("chunk_end"),
+        pmod(col("tok_before"), lit(budget.toLong)).as("chunk_offset"))
+      .orderBy("doc_id")
+  }
+
+  val packChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_before
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens,
+      |  tok_before // 512 AS chunk_start,
+      |  (tok_before + n_tokens - 1) // 512 AS chunk_end,
+      |  tok_before % 512 AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination audit: word-5-gram overlap between a
+    * deterministic "benchmark" slice (content-addressed: md5 prefix
+    * '0', ~1/16 of the corpus — standing in for an eval set) and the
+    * rest of the corpus. Per benchmark document: how many corpus
+    * documents share at least one 5-gram, and how many distinct
+    * 5-grams leak. This is the decontamination check run before
+    * training on scraped data.
+    *
+    * Scale: candidate generation is an inverted-index equi-join on
+    * the 5-gram — never a doc×doc product — and the benchmark side
+    * (eval sets are ≪ corpus) is broadcast, so the corpus-side gram
+    * stream never shuffles: map-side hash join + one bounded
+    * groupBy(bench_id).
+    */
+  def contamNgram(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    contamNgramFor(Tables.documents(spark, dir), n)
+
+  private[graft] def contamNgramFor(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        (substring(md5(col("text").cast("binary")), 1, 1) === "0").as("is_bench"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("is_bench"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+        .as("gram"))
+    val bench  = grams.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val corpus = grams.filter(!col("is_bench"))
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+    corpus.join(broadcast(bench), "gram")
+      .groupBy("bench_id")
+      .agg(
+        countDistinct(col("corpus_id")).as("n_contaminated_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("bench_id")
+  }
+
+  val contamNgramSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substring(md5(text), 1, 1) = '0' AS is_bench,
+      |    str_split(text, ' ') AS w
+      |  FROM documents WHERE len(str_split(text, ' ')) >= 5
+      |), g AS (
+      |  SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM t, unnest(generate_series(1, len(w) - 4)) AS s(i)
+      |)
+      |SELECT b.doc_id AS bench_id,
+      |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated_docs,
+      |  CAST(count(DISTINCT b.gram) AS BIGINT) AS n_shared_grams
+      |FROM g b JOIN g c ON b.gram = c.gram AND NOT c.is_bench
+      |WHERE b.is_bench
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
 }

@@ -164,4 +164,54 @@ object Similarity {
     require(clusters > 0 && nprobe > 0, "IVF knobs must be positive")
     knnIvf(spark, dir, numClusters = clusters, nprobe = math.min(nprobe, clusters))
   }
+
+  /** Int8 scalar-quantization audit: per vector, symmetric per-vector
+    * quantization (scale = max|x| / 127, q_i = round(x_i / scale)),
+    * reporting the scale, an order-sensitive integer checksum of the
+    * code vector, and the squared reconstruction error. This is the
+    * 4×-compression step an ANN index applies before sharding — the
+    * audit is what tells you the quantizer is safe for a corpus.
+    *
+    * Scale: pure per-row array-lambda arithmetic — zero shuffle,
+    * whole-stage codegen; at 100 TB this runs at scan speed. The
+    * checksum folds position-weighted codes so the oracle compares
+    * the exact code VECTOR, not just a summary; the SSE fold runs
+    * strictly left-to-right in both engines, so the doubles are
+    * bit-identical and survive any rounding.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("scale",
+        expr("array_max(transform(e, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+      .select(
+        col("vec_id"), col("label"),
+        round(col("scale"), 8).as("scale8"),
+        expr("""aggregate(sequence(1, size(e)), 0L,
+                 (a, i) -> a + i * CAST(round(CAST(element_at(e, i) AS DOUBLE) / scale) AS BIGINT))""")
+          .as("q_checksum"),
+        // squared via multiplication, not pow(): Math.pow and C pow may
+        // differ in the last ulp for identical inputs; x*x is exact IEEE
+        round(expr("""aggregate(transform(e, x -> CAST(x AS DOUBLE)
+                   - round(CAST(x AS DOUBLE) / scale) * scale),
+                 CAST(0.0 AS DOUBLE), (a, d) -> a + d * d)"""), 10)
+          .as("sse10"))
+      .orderBy("vec_id")
+
+  val vecQuantizeSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+      |      AS scale
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, label,
+      |  round(scale, 8) AS scale8,
+      |  CAST(list_sum(list_transform(range(1, len(e) + 1),
+      |    i -> i * CAST(round(CAST(e[i] AS DOUBLE) / scale) AS BIGINT))) AS BIGINT)
+      |    AS q_checksum,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e,
+      |    x -> CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)),
+      |    (a, d) -> a + d * d), 10) AS sse10
+      |FROM s ORDER BY vec_id""".stripMargin
 }

@@ -131,4 +131,81 @@ object TextAnalysis {
       |  CAST(list_sum(list_transform(str_split(text, ' '),
       |    (x, i) -> i * (ascii(x) * 131 + length(x)))) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // PII scrubbing — the redaction pass a corpus runs before training.
+  // -------------------------------------------------------------------
+
+  /** Patterns are the RE2-compatible subset (char classes, bounded
+    * repeats, alternation-free) so Java regex (Spark) and RE2
+    * (DuckDB) agree by construction.
+    */
+  private[graft] val emailRe   = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val urlRe     = "https?://[^ ]+"
+  private[graft] val longNumRe = "[0-9]{6,}"
+
+  /** PII scrub audit: per-source counts of emails / URLs / long digit
+    * runs and the byte delta after redacting them. The driver corpus
+    * is synthetic prose with no PII, so the aggregate is a zero
+    * audit — the per-row regex machinery still runs on every
+    * document, and the planted-PII positive path is exercised by
+    * [[scrubFor]] in CurationSpec.
+    *
+    * Scale: per-row regex over a narrow (source, text) scan, one
+    * bounded groupBy(source) — no shuffle of text.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubFor(Tables.documents(spark, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_longnums")).as("n_longnums"),
+        sum(col("len_delta")).as("len_delta"))
+      .orderBy("source")
+
+  /** Per-document scrub over any (…, source, text) relation: counts
+    * per PII class plus the redacted text and the length delta.
+    * Redaction order is email → url → longnum (fixed, since an email
+    * can contain digits and a URL can contain both).
+    */
+  private[graft] def scrubFor(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longNumRe, "<NUM>")
+    // regexp_count(col, lit(pattern)) keeps the pattern OUT of the SQL
+    // parser — an expr() literal would eat the \. escape (Spark SQL
+    // strings treat backslash as an escape character).
+    docs.select(
+      col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(urlRe)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(longNumRe)).cast("long").as("n_longnums"),
+      scrubbed.as("scrubbed"),
+      (length(col("text")) - length(scrubbed)).cast("long").as("len_delta"))
+  }
+
+  val piiScrubSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |      AS n_emails,
+      |    len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+      |    len(regexp_extract_all(text, '[0-9]{6,}')) AS n_longnums,
+      |    length(text) - length(
+      |      regexp_replace(regexp_replace(regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        'https?://[^ ]+', '<URL>', 'g'),
+      |        '[0-9]{6,}', '<NUM>', 'g')) AS len_delta
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+      |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+      |  CAST(sum(n_longnums) AS BIGINT) AS n_longnums,
+      |  CAST(sum(len_delta) AS BIGINT) AS len_delta
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

@@ -264,4 +264,39 @@ object StreamingJobs {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start_us", "event_type")
   }
+
+  /** Stream-static enrichment: the events stream joined to a static
+    * dimension (the symbol vocabulary) — the standard streaming
+    * lookup-join shape. The static side is a broadcast hash join
+    * against every microbatch: STATELESS (no watermark, no state
+    * store), so at scale the only cost is the dim broadcast, re-read
+    * per batch and refreshable between batches. Output is the
+    * enriched event stream, directly comparable to the batch join.
+    */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_enrich_${System.nanoTime()}"
+    val dim = broadcast(graft.hmm.Sequencer.vocab(spark, dir))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+    val query = stream.join(dim, "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("sym"))
+      .orderBy("event_id")
+  }
+
+  val enrichStreamSql: String =
+    s"""WITH ${graft.hmm.Sequencer.vocabCte}
+       |SELECT e.event_id, e.user_id,
+       |  epoch_us(e.ts::TIMESTAMP) AS ts_us, e.event_type, v.sym
+       |FROM events e JOIN vocab v USING (event_type)
+       |ORDER BY e.event_id""".stripMargin
 }
