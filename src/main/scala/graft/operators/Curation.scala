@@ -230,13 +230,16 @@ object Curation {
     * groupBy(bench_id).
     */
   def contamNgram(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
-    contamNgramFor(Tables.documents(spark, dir), n)
+    contamNgramFor(Tables.documents(spark, dir), n,
+      substring(md5(col("text").cast("binary")), 1, 1) === "0")
 
-  private[graft] def contamNgramFor(docs: DataFrame, n: Int = 5): DataFrame = {
+  /** Same with the benchmark membership injected — spec corpora plant
+    * known leaks with an explicit flag instead of the md5 rule.
+    */
+  private[graft] def contamNgramFor(
+      docs: DataFrame, n: Int, isBench: org.apache.spark.sql.Column): DataFrame = {
     val grams = docs
-      .select(col("doc_id"),
-        (substring(md5(col("text").cast("binary")), 1, 1) === "0").as("is_bench"),
-        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), isBench.as("is_bench"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("is_bench"), explode(array_distinct(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))

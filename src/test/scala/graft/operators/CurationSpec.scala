@@ -89,4 +89,70 @@ class CurationSpec extends AnyFunSuite {
     assert(got.keySet == docs.map(_._1).toSet)
     got.values.foreach { case (n, k) => assert(k <= n) }
   }
+
+  test("chunk packing lays out documents sequentially per source (closed form)") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "s0", words(6)),  // before=0  -> chunk 0..0, offset 0
+      (2L, "s0", words(8)),  // before=6  -> chunk 0..1 (straddles), offset 6
+      (3L, "s0", words(4)),  // before=14 -> chunk 1..1, offset 4
+      (4L, "s1", words(25))  // own source: before=0 -> chunk 0..2, offset 0
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.packChunksFor(docs, budget = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((6L, 0L, 0L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((8L, 0L, 1L, 6L)), s"got ${got(2L)}")
+    assert(got(3L) == ((4L, 1L, 1L, 4L)), s"got ${got(3L)}")
+    // sources pack independently: doc 4 starts at chunk 0 of s1
+    assert(got(4L) == ((25L, 0L, 2L, 0L)), s"got ${got(4L)}")
+  }
+
+  test("contamination audit counts planted 3-gram leaks exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),  // benchmark: grams {a b c, b c d, c d e}
+      (2L, "a b c x y"),  // leaks "a b c"
+      (3L, "q w e r t"),  // clean
+      (4L, "b c d e f")   // leaks "b c d", "c d e"
+    ).toDF("doc_id", "text")
+    val got = Curation.contamNgramFor(docs, n = 3,
+      isBench = org.apache.spark.sql.functions.col("doc_id") === 1L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L, s"contaminated docs: ${r.getLong(1)}") // docs 2 and 4
+    assert(r.getLong(2) == 3L, s"shared grams: ${r.getLong(2)}")      // all three leak
+  }
+
+  test("PII scrub redacts planted emails, URLs, and long numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s0", "contact john.doe@example.com now"),
+      (2L, "s0", "see https://example.com/page for info"),
+      (3L, "s0", "card 1234567890 stolen"),
+      (4L, "s0", "clean text only"),
+      // the URL swallows its digit run BEFORE the number pass runs,
+      // but the per-class count is over the raw text
+      (5L, "s1", "mail a@b.co or http://x.io/1234567")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.scrubFor(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))))
+      .toMap
+    assert(got(1L)._1 == 1L && got(1L)._4 == "contact <EMAIL> now")
+    assert(got(2L)._2 == 1L && got(2L)._4 == "see <URL> for info")
+    assert(got(3L)._3 == 1L && got(3L)._4 == "card <NUM> stolen")
+    assert(got(4L) == ((0L, 0L, 0L, "clean text only", 0L)))
+    val (em5, url5, num5, scrub5, _) = got(5L)
+    assert(em5 == 1L && url5 == 1L && num5 == 1L, s"got ${got(5L)}")
+    assert(scrub5 == "mail <EMAIL> or <URL>", s"got '$scrub5'")
+    // len_delta is consistent with the redacted text on every row
+    got.values.foreach { case (_, _, _, s, d) => assert(d >= 0 || s.length > 0) }
+    docs.collect().foreach { r =>
+      val (_, _, _, s, d) = got(r.getLong(0))
+      assert(d == r.getString(2).length - s.length)
+    }
+  }
 }
