@@ -97,6 +97,8 @@ object SparkEntry {
     "events_json"       -> RelationalExtras.eventsJson _,
     "range_join"        -> RelationalExtras.rangeJoin _,
     "group_percentiles" -> RelationalExtras.groupPercentiles _,
+    "scd2_dim"          -> RelationalExtras.scd2Dim _,
+    "stream_join"       -> StreamingJobs.streamJoin _,
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitioned _,
@@ -148,6 +150,8 @@ object SparkEntry {
     "events_json"       -> RelationalExtras.eventsJsonSql,
     "range_join"        -> RelationalExtras.rangeJoinSql,
     "group_percentiles" -> RelationalExtras.groupPercentilesSql,
+    "scd2_dim"          -> RelationalExtras.scd2DimSql,
+    "stream_join"       -> StreamingJobs.streamJoinSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,
     // the stateful streaming sessionizer must reproduce the batch

@@ -234,4 +234,42 @@ object RelationalExtras {
       |  round(quantile_cont(l_extendedprice, 0.50), 4) AS median_price
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** SCD type-2 dimension build: each customer's orders become
+    * versioned rows with [eff_from, eff_to) validity ranges (the
+    * next order closes the previous version; the last version stays
+    * open, flagged current). The warehouse pattern for turning an
+    * event/order log into a point-in-time joinable dimension.
+    *
+    * Scale: one window shuffle partitioned by customer key —
+    * versions are computed inside each partition with lead(), no
+    * self-join; customer keys are high-cardinality so the exchange
+    * is balanced.
+    */
+  def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("eff_from"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("eff_from"), col("o_totalprice"))
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      .select(
+        col("o_custkey"),
+        row_number().over(w).as("version"),
+        unix_micros(col("eff_from")).as("eff_from_us"),
+        unix_micros(col("eff_to")).as("eff_to_us"),
+        col("eff_to").isNull.as("is_current"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val scd2DimSql: String =
+    """SELECT o_custkey,
+      |  row_number() OVER w AS version,
+      |  epoch_us(o_orderdate) AS eff_from_us,
+      |  epoch_us(lead(o_orderdate, 1) OVER w) AS eff_to_us,
+      |  lead(o_orderdate, 1) OVER w IS NULL AS is_current,
+      |  o_orderkey, o_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
 }

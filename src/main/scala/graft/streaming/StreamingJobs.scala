@@ -299,4 +299,57 @@ object StreamingJobs {
        |  epoch_us(e.ts::TIMESTAMP) AS ts_us, e.event_type, v.sym
        |FROM events e JOIN vocab v USING (event_type)
        |ORDER BY e.event_id""".stripMargin
+
+  /** Stream-stream interval join: signups matched to the same user's
+    * purchases within the following 2 hours — the attribution join.
+    * Both sides are watermarked AND the join carries an event-time
+    * range condition, which is what lets Spark evict join state: a
+    * buffered signup can be dropped once the purchase-side watermark
+    * passes s_ts + 2h, so state is bounded by (watermark + range)
+    * horizon, not by stream length. Inner-join matches emit in the
+    * microbatch they pair up in — no result is held for the
+    * watermark, so the finite-corpus run is complete.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_join_${System.nanoTime()}"
+    def side(tpe: String, pfx: String): DataFrame =
+      spark.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user_id"),
+          col("event_id").as(s"${pfx}_event_id"),
+          expr("timestamp_micros(ts div 1000)").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "30 minutes")
+    val joined = side("signup", "s").join(side("purchase", "p"),
+      col("s_user_id") === col("p_user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+    val query = joined
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink)
+      .select(col("s_user_id").as("user_id"),
+        col("s_event_id"), col("p_event_id"),
+        unix_micros(col("s_ts")).as("s_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+      .orderBy("user_id", "s_event_id", "p_event_id")
+  }
+
+  val streamJoinSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id AS s_event_id, ts::TIMESTAMP AS s_ts
+      |  FROM events WHERE event_type = 'signup'
+      |), p AS (
+      |  SELECT user_id, event_id AS p_event_id, ts::TIMESTAMP AS p_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT s.user_id, s_event_id, p_event_id,
+      |  epoch_us(s_ts) AS s_ts_us, epoch_us(p_ts) AS p_ts_us
+      |FROM s JOIN p ON s.user_id = p.user_id
+      |  AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 2 HOUR
+      |ORDER BY s.user_id, s_event_id, p_event_id""".stripMargin
 }
