@@ -310,14 +310,23 @@ object StreamingJobs {
     * microbatch they pair up in — no result is held for the
     * watermark, so the finite-corpus run is complete.
     */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    runStreamJoin(spark, dir, "events.parquet")._1
+
+  /** Same, parameterized by file glob and returning the per-batch
+    * join-state row counts (`stateOperators.numRowsTotal`) so the
+    * spec can assert the watermark + range condition actually EVICT
+    * buffered rows as the stream advances.
+    */
+  def runStreamJoin(
+      spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_join_${System.nanoTime()}"
     def side(tpe: String, pfx: String): DataFrame =
       spark.readStream
         .schema(eventsSchema)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(dir)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user_id"),
@@ -330,13 +339,19 @@ object StreamingJobs {
         col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
     val query = joined
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try query.processAllAvailable() finally query.stop()
-    spark.table(sink)
+    val states = try {
+      query.processAllAvailable()
+      query.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+    } finally query.stop()
+    val out = spark.table(sink)
       .select(col("s_user_id").as("user_id"),
         col("s_event_id"), col("p_event_id"),
         unix_micros(col("s_ts")).as("s_ts_us"),
         unix_micros(col("p_ts")).as("p_ts_us"))
       .orderBy("user_id", "s_event_id", "p_event_id")
+    (out, states)
   }
 
   val streamJoinSql: String =

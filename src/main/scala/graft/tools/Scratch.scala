@@ -2,7 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc profiling entry (not part of the driver contract). */
+/** Ad-hoc profiling entry (not part of the driver contract):
+  * `runMain graft.tools.Scratch <sfDir> <query...>` prints each named
+  * SparkEntry query's formatted plan and timed row count.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,10 +16,14 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val t0 = System.nanoTime()
-    val df = graft.SparkEntry.entry(spark)
-    println(s"[scratch] rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s"); df.collect().take(3).foreach(r => println(s"[scratch] row: $r")); println(s"[scratch] n_events total=${df.agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0)}")
-    df.explain("formatted")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("hmm_decode_events")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val n = df.count()
+      println(s"[scratch] $name rows=$n in ${(System.nanoTime() - t0) / 1e9}s")
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }

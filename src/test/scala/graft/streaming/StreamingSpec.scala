@@ -151,4 +151,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.session_id) == List(4L), s"numbering restarted: $out")
     assert(returned.get.nextSessionId == 5L)
   }
+
+  test("stream-stream join: results match batch semantics and join state is evicted") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1600000000L * 1000000000L // ns epoch
+    val hourNs = 3600L * 1000000000L
+    val minNs = 60L * 1000000000L
+    val nHours = 10
+    // per hour: one signup at :01 and purchases at :20 and :40 — each
+    // purchase matches the signups of its own and the previous hour
+    // (2h window), never older ones
+    def signup(h: Int) =
+      Row(h * 10L, base + h * hourNs + 1 * minNs, 1L, "signup", 1.0, "{}")
+    def purchase(h: Int, k: Int) =
+      Row(h * 10L + k, base + h * hourNs + (20 * k) * minNs, 1L, "purchase", 1.0, "{}")
+    val chunks = (0 until nHours).map(h => Seq(signup(h), purchase(h, 1), purchase(h, 2)))
+    val dir = writeChunkDir(chunks, schema)
+    val (out, states) = StreamingJobs.runStreamJoin(spark, dir, "chunk*.parquet")
+    val got = out.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (s_event_id, p_event_id)
+    // closed form: purchase (h, k) at h:20k matches signup h (h:01)
+    // and signup h-1 ((h-1):01, gap 1h19 or 1h39 <= 2h)
+    val expected = (for {
+      h <- 0 until nHours; k <- 1 to 2
+      sh <- Seq(h, h - 1) if sh >= 0
+    } yield (sh * 10L, h * 10L + k)).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+    // eviction: state must never hold everything seen, and must end
+    // well below the 30 buffered rows (watermark 30min + 2h range ->
+    // only the last ~3 hours of signups and ~1 hour of purchases
+    // remain, modulo the 1-batch watermark lag)
+    assert(states.nonEmpty)
+    assert(states.max < 30, s"join state grew unbounded: $states")
+    assert(states.last <= 15, s"final state not evicted: $states")
+  }
 }
