@@ -102,6 +102,7 @@ object SparkEntry {
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitioned _,
+    "bucketed_join"     -> graft.sources.Formats.bucketedJoin _,
     "stream_sessionize" -> StreamingJobs.sessionizeStream _,
   )
 
@@ -154,6 +155,7 @@ object SparkEntry {
     "stream_join"       -> StreamingJobs.streamJoinSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,
+    "bucketed_join"     -> graft.sources.Formats.bucketedJoinSql,
     // the stateful streaming sessionizer must reproduce the batch
     // sessionization exactly
     "stream_sessionize" -> Relational.sessionizeSql,

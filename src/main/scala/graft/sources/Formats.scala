@@ -56,6 +56,49 @@ object Formats {
       .orderBy("l_returnflag")
   }
 
+  /** Bucketed co-located join: orders and lineitem are written
+    * bucketed (and sorted) by the join key into the session catalog,
+    * then joined WITHOUT any exchange — both sides' bucketing
+    * satisfies the join's distribution requirement, so the sort-merge
+    * join runs bucket-local. This is THE technique for a 100 TB fact
+    * table that is joined on the same key repeatedly: pay the shuffle
+    * once at write time, never again at read time. The spec asserts
+    * the joined plan contains zero Exchange operators; the oracle
+    * checks the result equals the plain join.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = f"${(dir.hashCode & 0x7fffffff)}%x"
+    val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    if (!spark.catalog.tableExists(ot)) {
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp("graft_bkt_orders", dir)).saveAsTable(ot)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("graft_bkt_lineitem", dir)).saveAsTable(lt)
+    }
+    // merge hint: the point is the exchange-free sort-merge join, not
+    // a broadcast that would happen to fit at test scale
+    spark.table(ot).hint("merge")
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val sinkPartitionedSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
       |  round(sum(l_quantity), 4) AS sum_qty,

@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // time — none belong in a static audit.
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
-    "format_roundtrip", "sink_partitioned",
+    "stream_enrich", "stream_join",
+    "format_roundtrip", "sink_partitioned", "bucketed_join",
     "hmm_train_cli", "hmm_checkpoint_resume",
     // constructing these plans runs eager jobs (k-means cell build /
     // label-propagation fixpoint loop)
@@ -31,6 +32,18 @@ class PlanAuditSpec extends AnyFunSuite {
         name -> plan.contains("CartesianProduct")
     }.filter(_._2).map(_._1)
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("bucketed join plans with ZERO exchanges (bucket-local sort-merge)") {
+    val plan = graft.sources.Formats.bucketedJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // the join itself must be exchange-free: the only exchange allowed
+    // in the whole plan is the single-partition one for the final
+    // bounded groupBy(o_orderpriority) rollup
+    val joinPart = plan.split("SortMergeJoin").last
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n$plan")
   }
 
   test("headline scans push filters and prune columns") {
