@@ -46,6 +46,7 @@ object SparkEntry {
     "hmm_backward"  -> HmmQueries.backward _,
     "hmm_likelihood" -> HmmQueries.likelihood _,
     "hmm_viterbi"   -> HmmQueries.viterbi _,
+    "hmm_posterior" -> HmmQueries.posterior _,
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_predict"   -> HmmQueries.predict _,
     "hmm_decode_events" -> HmmQueries.decodeEvents _,

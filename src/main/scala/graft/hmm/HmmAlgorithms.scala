@@ -82,6 +82,22 @@ object HmmAlgorithms {
     beta
   }
 
+  /** Per-position posterior state distribution γ_t(i) = P(q_t = i | O, λ):
+    * scaled α·β re-normalized per position (the per-t normalization
+    * cancels whatever scaling convention α/β carry, so this is exact
+    * regardless of the scale vector).
+    */
+  def gamma(m: HmmModel, obs: Array[Int]): Array[Array[Double]] = {
+    val (alpha, scale) = forwardScaled(m, obs)
+    val beta = backwardScaled(m, obs, scale)
+    val k = m.numStates
+    Array.tabulate(obs.length) { t =>
+      val row = Array.tabulate(k)(i => alpha(t)(i) * beta(t)(i))
+      val s = row.sum
+      row.map(_ / s)
+    }
+  }
+
   def logLikelihood(m: HmmModel, obs: Array[Int]): Double = {
     val (_, scale) = forwardScaled(m, obs)
     var s = 0.0

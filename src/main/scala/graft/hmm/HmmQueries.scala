@@ -206,6 +206,27 @@ object HmmQueries {
       .orderBy("user_id", "state")
   }
 
+  /** Per-event posterior state distribution γ_t (forward-backward),
+    * long form — the marginal-MAP complement to Viterbi's joint-MAP
+    * path (posterior decoding minimizes expected per-position error;
+    * Viterbi maximizes whole-path probability). Same scale shape as
+    * the other model-driven queries: broadcast model, one narrow map.
+    */
+  def posterior(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        for {
+          (row, pos) <- HmmAlgorithms.gamma(bc.value, syms.toArray).iterator.zipWithIndex
+          (g, s) <- row.iterator.zipWithIndex
+        } yield (uid, pos, s, math.rint(g * 1e6) / 1e6)
+      }
+      .toDF("user_id", "pos", "state", "gamma")
+      .orderBy("user_id", "pos", "state")
+  }
+
   /** Per-event Viterbi state path, long form (user_id, pos, state). */
   def viterbi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -48,6 +48,28 @@ class HmmSpec extends AnyFunSuite {
     assert(HmmAlgorithms.viterbi(m, Array(0, 1, 2)).toSeq == Seq(1, 0, 0))
   }
 
+  test("posterior gamma equals exact path-enumeration marginals") {
+    // K=2, T=4: 16 paths — brute-force P(q_t = i | O) exactly
+    val obs = Array(0, 1, 2, 0)
+    val k = m.numStates
+    val paths = Seq.tabulate(1 << obs.length)(mask =>
+      Array.tabulate(obs.length)(t => (mask >> t) & 1))
+    def joint(q: Array[Int]): Double =
+      q.indices.map { t =>
+        val trans = if (t == 0) m.pi(q(0)) else m.a(q(t - 1))(q(t))
+        trans * m.b(q(t))(obs(t))
+      }.product
+    val z = paths.map(joint).sum
+    val exact = Array.tabulate(obs.length, k)((t, i) =>
+      paths.filter(_(t) == i).map(joint).sum / z)
+    val got = HmmAlgorithms.gamma(m, obs)
+    for (t <- obs.indices; i <- 0 until k)
+      assert(math.abs(got(t)(i) - exact(t)(i)) < 1e-12,
+        s"gamma($t)($i): ${got(t)(i)} vs exact ${exact(t)(i)}")
+    // and each position's posterior is a distribution
+    got.foreach(row => assert(math.abs(row.sum - 1.0) < 1e-12))
+  }
+
   test("random model is seeded-deterministic and row-stochastic") {
     val r1 = HmmModel.random(4, 6, 42L)
     val r2 = HmmModel.random(4, 6, 42L)
