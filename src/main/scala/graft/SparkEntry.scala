@@ -64,6 +64,7 @@ object SparkEntry {
     "text_repetition"   -> Curation.textRepetition _,
     "pack_chunks"  -> ((s: SparkSession, d: String) => Curation.packChunks(s, d)),
     "contam_ngram" -> ((s: SparkSession, d: String) => Curation.contamNgram(s, d)),
+    "corpus_filter" -> Curation.corpusFilter _,
     "pii_scrub"    -> TextAnalysis.piiScrub _,
     "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     // §2.4 deduplication
@@ -134,6 +135,7 @@ object SparkEntry {
     "text_repetition"   -> Curation.textRepetitionSql,
     "pack_chunks"  -> Curation.packChunksSql,
     "contam_ngram" -> Curation.contamNgramSql,
+    "corpus_filter" -> Curation.corpusFilterSql,
     "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec
     "bm25_topk"    -> Search.bm25TopKSql,
     "vec_quantize" -> Similarity.vecQuantizeSql,

@@ -256,6 +256,68 @@ object Curation {
       .orderBy("bench_id")
   }
 
+  /** Composite quality filter (the C4/Gopher-style keep/drop pass):
+    * per document, the repetition/length signals plus a verdict and
+    * the FIRST failing rule as the drop reason — the audit format a
+    * curation pipeline reports before materializing the kept corpus.
+    * Thresholds are calibrated to this corpus's signal distribution
+    * so both verdicts occur (min 25 words; dup-bigram ≤ 0.05;
+    * top-word ≤ 0.12).
+    *
+    * Scale: per-row array lambdas, zero shuffle — the verdict column
+    * is scan-speed; the signal fractions are exact int/int doubles so
+    * threshold comparisons are engine-independent.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusFilterFor(Tables.documents(spark, dir))
+
+  private[graft] def corpusFilterFor(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("dup_bigram_frac", round(when(col("n_words") >= 2,
+        lit(1.0) - size(array_distinct(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")))
+          .cast("double") /
+          expr("CAST(size(w) - 1 AS DOUBLE)")).otherwise(lit(0.0)), 4))
+      .withColumn("top_word_frac", round(
+        expr("array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))")
+          .cast("double") / col("n_words"), 4))
+      .withColumn("reason",
+        when(col("n_words") < 25, "too_short")
+          .when(col("dup_bigram_frac") > 0.05, "repetitive_bigrams")
+          .when(col("top_word_frac") > 0.12, "top_word_dominance")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_words"), col("dup_bigram_frac"),
+        col("top_word_frac"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy("doc_id")
+
+  val corpusFilterSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    round(CASE WHEN len(w) >= 2 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+      |        / CAST(len(w) - 1 AS DOUBLE)
+      |      ELSE 0.0 END, 4) AS dup_bigram_frac,
+      |    round(CAST(list_max(list_transform(list_distinct(w),
+      |      d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+      |      AS top_word_frac
+      |  FROM t
+      |)
+      |SELECT doc_id, n_words, dup_bigram_frac, top_word_frac,
+      |  (CASE WHEN n_words < 25 THEN 'too_short'
+      |        WHEN dup_bigram_frac > 0.05 THEN 'repetitive_bigrams'
+      |        WHEN top_word_frac > 0.12 THEN 'top_word_dominance'
+      |        ELSE 'ok' END) = 'ok' AS keep,
+      |  CASE WHEN n_words < 25 THEN 'too_short'
+      |       WHEN dup_bigram_frac > 0.05 THEN 'repetitive_bigrams'
+      |       WHEN top_word_frac > 0.12 THEN 'top_word_dominance'
+      |       ELSE 'ok' END AS reason
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val contamNgramSql: String =
     """WITH t AS (
       |  SELECT doc_id, substring(md5(text), 1, 1) = '0' AS is_bench,

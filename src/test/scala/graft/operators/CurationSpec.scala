@@ -90,6 +90,30 @@ class CurationSpec extends AnyFunSuite {
     got.values.foreach { case (n, k) => assert(k <= n) }
   }
 
+  test("corpus filter drops planted degenerate docs with the right first reason") {
+    import spark.implicits._
+    val long = Seq.tabulate(30)(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),                                   // clean: keep
+      (2L, "too short"),                            // too_short
+      (3L, Seq.fill(30)("spam spam").mkString(" ")),// repetitive AND dominated:
+                                                    //   first failing rule wins
+      // w0 dominates (6/40 > 0.12) but stays non-adjacent, so every
+      // bigram is unique and only the top-word rule fires
+      (4L, long + " " + (1 to 5).map(i => s"w0 x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.corpusFilterFor(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getString(5)))).toMap
+    assert(got(1L) == ((true, "ok")), s"got ${got(1L)}")
+    assert(got(2L) == ((false, "too_short")), s"got ${got(2L)}")
+    assert(got(3L) == ((false, "repetitive_bigrams")), s"got ${got(3L)}")
+    assert(got(4L) == ((false, "top_word_dominance")), s"got ${got(4L)}")
+    // the corpus split is non-vacuous at the calibrated thresholds
+    val corpus = Curation.corpusFilter(spark, sfDir).collect().map(_.getBoolean(4))
+    assert(corpus.exists(identity) && corpus.exists(!_),
+      "thresholds must produce both keep and drop verdicts on the corpus")
+  }
+
   test("chunk packing lays out documents sequentially per source (closed form)") {
     import spark.implicits._
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
