@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -65,6 +65,7 @@ object SparkEntry {
     "pack_chunks"  -> ((s: SparkSession, d: String) => Curation.packChunks(s, d)),
     "contam_ngram" -> ((s: SparkSession, d: String) => Curation.contamNgram(s, d)),
     "corpus_filter" -> Curation.corpusFilter _,
+    "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
     "pii_scrub"    -> TextAnalysis.piiScrub _,
     "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     // §2.4 deduplication

@@ -22,8 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "format_roundtrip", "sink_partitioned", "bucketed_join",
     "hmm_train_cli", "hmm_checkpoint_resume",
     // constructing these plans runs eager jobs (k-means cell build /
-    // label-propagation fixpoint loop)
-    "dedup_embedding", "dedup_groups")
+    // label-propagation fixpoint loop / BPE merge loop)
+    "dedup_embedding", "dedup_groups", "bpe_train")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.collect {

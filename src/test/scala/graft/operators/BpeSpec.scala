@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.LocalSpark.{sfDir, spark}
+
+class BpeSpec extends AnyFunSuite {
+
+  /** Independent reference BPE on a word-frequency dict: same greedy
+    * left-to-right merge and (count desc, pair lexicographic)
+    * tie-break, written against the algorithm definition rather than
+    * the operator code.
+    */
+  private def referenceBpe(
+      wordFreq: Map[String, Long], merges: Int): Seq[(Int, String, String, Long)] = {
+    var dict = wordFreq.toSeq.map { case (w, f) => (w.split("").toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 0 until merges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (toks, f) =>
+        toks.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step, l, r, c))
+        dict = dict.map { case (toks, f) =>
+          val merged = toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+            if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+            else acc :+ t
+          }
+          (merged, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merges match the reference implementation on the Sennrich corpus") {
+    import spark.implicits._
+    // the word-frequency dict from the BPE paper's worked example
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val docs = words.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Bpe.bpeTrainFor(docs, merges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = referenceBpe(words.map { case (w, f) => w -> f.toLong }.toMap, 6)
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the famous first merges: ('e','s') over newest+widest, then ('es','t')
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
+    assert(got(1)._2 == "es" && got(1)._3 == "t" && got(1)._4 == 9L)
+  }
+
+  test("BPE on the corpus is deterministic and merges have monotone utility") {
+    val a = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
+    val b = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
+    assert(a == b, "BPE training must be deterministic across runs")
+    assert(a.size == 4)
+    // merged symbols grow: every later merge's pair existed only after
+    // earlier merges or in the base alphabet; counts are positive
+    a.foreach(row => assert(row(3).asInstanceOf[Long] > 0))
+  }
+}
