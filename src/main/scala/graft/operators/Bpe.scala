@@ -29,11 +29,16 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     // corpus -> word-frequency dict (the only corpus-sized shuffle)
+    // the corpus-sized shuffle runs wide; the RESULT is dict-sized, so
+    // coalesce before the merge loop — iteration jobs then run on a
+    // partition count matched to the dict, not to the corpus (at 10M
+    // dict rows you'd coalesce to a few hundred, same reasoning)
     var dict = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(word, ''), t -> t <> '')").as("tokens"), col("freq"))
+      .coalesce(1)
       .persist()
     dict.count() // materialize before the loop
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
