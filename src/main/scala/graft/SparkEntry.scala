@@ -65,6 +65,7 @@ object SparkEntry {
     "pack_chunks"  -> ((s: SparkSession, d: String) => Curation.packChunks(s, d)),
     "contam_ngram" -> ((s: SparkSession, d: String) => Curation.contamNgram(s, d)),
     "corpus_filter" -> Curation.corpusFilter _,
+    "curate_corpus" -> Curation.curateCorpus _,
     "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
     "pii_scrub"    -> TextAnalysis.piiScrub _,
     "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "pack_chunks"  -> Curation.packChunksSql,
     "contam_ngram" -> Curation.contamNgramSql,
     "corpus_filter" -> Curation.corpusFilterSql,
+    "curate_corpus" -> Curation.curateCorpusSql,
     "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec
     "bm25_topk"    -> Search.bm25TopKSql,
     "vec_quantize" -> Similarity.vecQuantizeSql,

@@ -318,6 +318,103 @@ object Curation {
       |       ELSE 'ok' END AS reason
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation audit — the pipeline's final report: every
+    * document gets ONE disposition under the standard drop order
+    * (exact dup → near-dup group non-canonical → quality filter →
+    * kept), counted per source. This is the operator a user runs to
+    * see what the whole curation pass did to their domain mixture.
+    *
+    * Composes the exact-hash window, the connected-components
+    * keep/drop list ([[Dedup.dedupGroups]]), and [[corpusFilterFor]];
+    * the oracle composes the same three as SQL CTEs (including the
+    * recursive closure), so the driver verifies the full pipeline
+    * end to end.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val exact = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .select(col("doc_id"), (col("doc_id") =!= col("min_id")).as("exact_dup"))
+    val near = Dedup.dedupGroups(spark, dir)
+      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("near_dup"))
+    val qual = corpusFilterFor(docs).select(col("doc_id"), (!col("keep")).as("low_q"))
+    docs
+      .join(exact, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .join(qual, "doc_id")
+      .withColumn("disposition",
+        when(col("exact_dup"), "exact_dup")
+          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+          .when(col("low_q"), "low_quality")
+          .otherwise("kept"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("disposition") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("disposition") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("disposition") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(col("disposition") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val curateCorpusSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) jq
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), walk(id, reach) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+       |), cc AS (
+       |  SELECT id AS doc_id, least(id, min(reach)) AS canonical_id
+       |  FROM walk GROUP BY id
+       |), ex AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+       |  FROM documents
+       |), fs AS (
+       |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+       |), fq AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    round(CASE WHEN len(w) >= 2 THEN
+       |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+       |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+       |        / CAST(len(w) - 1 AS DOUBLE)
+       |      ELSE 0.0 END, 4) AS dup_bigram_frac,
+       |    round(CAST(list_max(list_transform(list_distinct(w),
+       |      d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+       |      AS top_word_frac
+       |  FROM fs
+       |), q AS (
+       |  SELECT doc_id,
+       |    (n_words < 25 OR dup_bigram_frac > 0.05 OR top_word_frac > 0.12) AS low_q
+       |  FROM fq
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ex.exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dup,
+       |  CAST(sum(CASE WHEN NOT ex.exact_dup
+       |    AND coalesce(d.doc_id <> cc.canonical_id, false) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_near_dup,
+       |  CAST(sum(CASE WHEN NOT ex.exact_dup
+       |    AND NOT coalesce(d.doc_id <> cc.canonical_id, false)
+       |    AND q.low_q THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       |  CAST(sum(CASE WHEN NOT ex.exact_dup
+       |    AND NOT coalesce(d.doc_id <> cc.canonical_id, false)
+       |    AND NOT q.low_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d
+       |JOIN ex USING (doc_id)
+       |LEFT JOIN cc USING (doc_id)
+       |JOIN q USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val contamNgramSql: String =
     """WITH t AS (
       |  SELECT doc_id, substring(md5(text), 1, 1) = '0' AS is_bench,
