@@ -81,6 +81,7 @@ object SparkEntry {
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
+    "label_centroids" -> Similarity.labelCentroids _,
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -102,6 +103,7 @@ object SparkEntry {
     "range_join"        -> RelationalExtras.rangeJoin _,
     "group_percentiles" -> RelationalExtras.groupPercentiles _,
     "scd2_dim"          -> RelationalExtras.scd2Dim _,
+    "q10_returned"      -> RelationalExtras.q10ReturnedItems _,
     "stream_join"       -> StreamingJobs.streamJoin _,
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
@@ -142,6 +144,7 @@ object SparkEntry {
     "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec
     "bm25_topk"    -> Search.bm25TopKSql,
     "vec_quantize" -> Similarity.vecQuantizeSql,
+    "label_centroids" -> Similarity.labelCentroidsSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_groups"        -> Dedup.dedupGroupsSql,
@@ -158,6 +161,7 @@ object SparkEntry {
     "range_join"        -> RelationalExtras.rangeJoinSql,
     "group_percentiles" -> RelationalExtras.groupPercentilesSql,
     "scd2_dim"          -> RelationalExtras.scd2DimSql,
+    "q10_returned"      -> RelationalExtras.q10ReturnedItemsSql,
     "stream_join"       -> StreamingJobs.streamJoinSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,

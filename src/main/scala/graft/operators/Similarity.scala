@@ -198,6 +198,55 @@ object Similarity {
           .as("sse10"))
       .orderBy("vec_id")
 
+  /** Per-label centroid audit: element-wise mean vector, its norm,
+    * and the label's inertia (mean squared distance to its centroid)
+    * — the cluster-quality report for a labeled embedding corpus.
+    *
+    * Scale: one posexplode shuffle keyed (label, pos) for the means
+    * (K×dim groups), one (label, pos) equi-join back for distances —
+    * never a vector×vector product. Centroids are rounded 6dp BEFORE
+    * the distance pass on both engines, so the distance inputs are
+    * identical and the final rounding is safe against accumulation-
+    * order drift.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = e.groupBy("label", "pos")
+      .agg(round(avg(col("v")), 6).as("c"))
+    val d2 = e.join(cent, Seq("label", "pos"))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+    val norms = cent.groupBy("label")
+      .agg(sqrt(sum(col("c") * col("c"))).as("centroid_norm"))
+    d2.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("inertia"))
+      .join(norms, "label")
+      .select(col("label"), col("n_vecs"), round(col("centroid_norm"), 6).as("centroid_norm"),
+        col("inertia"))
+      .orderBy("label")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |), cent AS (
+      |  SELECT label, pos, round(avg(v), 6) AS c FROM e GROUP BY label, pos
+      |), d2 AS (
+      |  SELECT e.label, e.vec_id, sum((e.v - cent.c) * (e.v - cent.c)) AS d2
+      |  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      |  GROUP BY e.label, e.vec_id
+      |), norms AS (
+      |  SELECT label, sqrt(sum(c * c)) AS centroid_norm FROM cent GROUP BY label
+      |)
+      |SELECT d2.label, count(*) AS n_vecs,
+      |  round(any_value(norms.centroid_norm), 6) AS centroid_norm,
+      |  round(avg(d2.d2), 6) AS inertia
+      |FROM d2 JOIN norms ON d2.label = norms.label
+      |GROUP BY d2.label ORDER BY d2.label""".stripMargin
+
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,
