@@ -337,8 +337,13 @@ object Curation {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("h")))
       .select(col("doc_id"), (col("doc_id") =!= col("min_id")).as("exact_dup"))
+    // the CC keep/drop list is tiny (one row per grouped doc) but its
+    // LINEAGE is the whole iterative label-propagation plan —
+    // materialize it so the report joins against rows, not against a
+    // thousand-node replay of the fixpoint loop
     val near = Dedup.dedupGroups(spark, dir)
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("near_dup"))
+      .localCheckpoint()
     val qual = corpusFilterFor(docs).select(col("doc_id"), (!col("keep")).as("low_q"))
     docs
       .join(exact, "doc_id")
