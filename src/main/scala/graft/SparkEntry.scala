@@ -104,6 +104,7 @@ object SparkEntry {
     "group_percentiles" -> RelationalExtras.groupPercentiles _,
     "scd2_dim"          -> RelationalExtras.scd2Dim _,
     "q10_returned"      -> RelationalExtras.q10ReturnedItems _,
+    "attribution"       -> RelationalExtras.attribution _,
     "stream_join"       -> StreamingJobs.streamJoin _,
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
@@ -162,6 +163,7 @@ object SparkEntry {
     "group_percentiles" -> RelationalExtras.groupPercentilesSql,
     "scd2_dim"          -> RelationalExtras.scd2DimSql,
     "q10_returned"      -> RelationalExtras.q10ReturnedItemsSql,
+    "attribution"       -> RelationalExtras.attributionSql,
     "stream_join"       -> StreamingJobs.streamJoinSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,

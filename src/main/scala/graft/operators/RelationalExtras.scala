@@ -235,6 +235,64 @@ object RelationalExtras {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** First-touch attribution: every purchase is credited to the FIRST
+    * event type of its session (30-min-gap sessionization, same rule
+    * as `sessionize`) — the marketing-analytics rollup of which entry
+    * channel leads to purchases. One shuffle by user, three window
+    * passes inside the user partition, one bounded groupBy(channel);
+    * ties inside a session break on (ts, event_id) so "first" is
+    * deterministic on both engines.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("event_type"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > lit(30L * 60 * 1000000), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    sess
+      .withColumn("first_touch", first(col("event_type")).over(bySess))
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id"), col("session_id")).as("n_sessions"),
+        round(sum(col("value")), 4).as("purchase_value"))
+      .orderBy("first_touch")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type, value
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                  OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+      |             THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), sessions AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), touched AS (
+      |  SELECT *, first_value(event_type) OVER (PARTITION BY user_id, session_id
+      |    ORDER BY ts_us, event_id) AS first_touch
+      |  FROM sessions
+      |)
+      |SELECT first_touch,
+      |  count(*) AS n_purchases,
+      |  CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions,
+      |  round(sum(value), 4) AS purchase_value
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY first_touch ORDER BY first_touch""".stripMargin
+
   /** TPC-H Q10-style: top-20 customers by revenue lost to returned
     * items in one quarter. Dims (customer, nation) broadcast; the
     * only shuffle is orders ⋈ lineitem on orderkey, with the order-
