@@ -9,6 +9,43 @@ import graft.streaming.StreamingJobs
 
 class ExtrasSpec extends AnyFunSuite {
 
+  test("SCD2 versions are contiguous, ordered, and end open per customer") {
+    val rows = RelationalExtras.scd2Dim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(sorted.map(_._2).toSeq == (1 to vs.length).toSeq, s"cust $cust versions")
+      // each closed version's eff_to equals the next version's eff_from
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._4.contains(b._3), s"cust $cust: range ${a._2} not contiguous")
+        assert(!a._5, s"cust $cust: non-final version flagged current")
+      }
+      // exactly the last version is open and current
+      assert(sorted.last._4.isEmpty && sorted.last._5, s"cust $cust tail")
+      assert(sorted.count(_._5) == 1, s"cust $cust: multiple current versions")
+    }
+  }
+
+  test("chunk packing corpus invariants: offsets in budget, spans ordered, per-source monotone") {
+    val rows = Curation.packChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, n, start, end, off) =>
+      assert(off >= 0 && off < 512, s"doc $id offset $off")
+      assert(start <= end, s"doc $id span $start..$end")
+      // span length matches the token count laid out from the offset
+      assert(end == start + (off + n - 1) / 512, s"doc $id span arithmetic")
+    }
+    // within a source, chunk starts never go backwards in doc_id order
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val starts = ds.sortBy(_._1).map(_._4)
+      assert(starts.zip(starts.tail).forall { case (a, b) => a <= b },
+        s"source $src: chunk_start not monotone")
+    }
+  }
+
   test("salted join is row-identical to the plain join") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"), col("event_type"))
     val uo = Tables.orders(spark, sfDir)
