@@ -110,6 +110,7 @@ object SparkEntry {
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitioned _,
     "bucketed_join"     -> graft.sources.Formats.bucketedJoin _,
+    "compact_files"     -> graft.sources.Formats.compactFiles _,
     "stream_sessionize" -> StreamingJobs.sessionizeStream _,
   )
 
@@ -168,6 +169,7 @@ object SparkEntry {
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,
     "bucketed_join"     -> graft.sources.Formats.bucketedJoinSql,
+    "compact_files"     -> graft.sources.Formats.compactFilesSql,
     // the stateful streaming sessionizer must reproduce the batch
     // sessionization exactly
     "stream_sessionize" -> Relational.sessionizeSql,

@@ -104,4 +104,44 @@ object Formats {
       |  round(sum(l_quantity), 4) AS sum_qty,
       |  round(sum(l_extendedprice), 4) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Small-file compaction — the table-maintenance pass every
+    * streaming-ingested 100 TB table needs: a fragmented layout (64
+    * small files, simulating per-trigger commits) is rewritten to 4
+    * right-sized files. The output carries BOTH the data audit
+    * (per-flag counts against the original table) and the layout
+    * contract (file counts before/after, read from the filesystem) —
+    * the oracle pins the file counts as literals, so a regression in
+    * the write path (empty partitions, AQE re-splitting an explicit
+    * repartition) fails the driver hash, not just a spec.
+    */
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmp("graft_compact_src", dir)
+    val dst = tmp("graft_compact_dst", dir)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .repartition(64) // the fragmented as-ingested layout
+      .write.mode("overwrite").parquet(src)
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet")).toLong
+    val before = nFiles(src)
+    spark.read.parquet(src)
+      .repartition(4) // compacted to target-size files
+      .write.mode("overwrite").parquet(dst)
+    spark.read.parquet(dst)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .withColumn("n_files_before", lit(before))
+      .withColumn("n_files_after", lit(nFiles(dst)))
+      .orderBy("l_returnflag")
+  }
+
+  val compactFilesSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  CAST(64 AS BIGINT) AS n_files_before,
+      |  CAST(4 AS BIGINT) AS n_files_after
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

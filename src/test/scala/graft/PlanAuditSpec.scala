@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
     "stream_enrich", "stream_join",
-    "format_roundtrip", "sink_partitioned", "bucketed_join",
+    "format_roundtrip", "sink_partitioned", "bucketed_join", "compact_files",
     "hmm_train_cli", "hmm_checkpoint_resume",
     // constructing these plans runs eager jobs (k-means cell build /
     // label-propagation fixpoint loop / BPE merge loop)
