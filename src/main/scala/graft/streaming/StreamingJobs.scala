@@ -300,6 +300,37 @@ object StreamingJobs {
        |FROM events e JOIN vocab v USING (event_type)
        |ORDER BY e.event_id""".stripMargin
 
+  /** Watermark-bounded streaming dedup via the first-arrival API
+    * (`dropDuplicatesWithinWatermark`): state per key lives only
+    * until the watermark passes, so unbounded streams run in fixed
+    * memory. NOTE the semantic contrast with [[dedupTransform]]: this
+    * keeps the FIRST-ARRIVED row per key (arrival order), while the
+    * min-aggregate keeps the earliest EVENT TIME — identical only
+    * when arrival tracks event time (true for our ordered chunk
+    * replays; not true under reordering, which is why the oracled
+    * entry uses the deterministic min-aggregate).
+    */
+  def runDedupWithinWatermark(
+      spark: SparkSession, dir: String, glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_dedup_wm_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val query = stream
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Stream-stream interval join: signups matched to the same user's
     * purchases within the following 2 hours — the attribution join.
     * Both sides are watermarked AND the join carries an event-time

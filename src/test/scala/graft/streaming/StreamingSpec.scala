@@ -152,6 +152,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(returned.get.nextSessionId == 5L)
   }
 
+  test("dropDuplicatesWithinWatermark keeps one row per key; equals min-agg under ordered arrival") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1600000000L * 1000000000L
+    val minNs = 60L * 1000000000L
+    // 3 chunks in event-time order; keys repeat across chunks
+    val chunks = (0 until 3).map(c => (0 until 4).map(i =>
+      Row(c * 10L + i, base + (c * 10 + i) * minNs,
+        (i % 2).toLong, if (i < 2) "click" else "view", 1.0, "{}")))
+    val dir = writeChunkDir(chunks, schema)
+    val got = StreamingJobs.runDedupWithinWatermark(spark, dir, "chunk*.parquet")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    // exactly one row per (user, event_type) key
+    assert(got.map(_._1).distinct.length == got.length, "duplicate keys survived")
+    assert(got.map(_._1).toSet ==
+      Set((0L, "click"), (1L, "click"), (0L, "view"), (1L, "view")))
+    // ordered arrival (chunk replay) => first-arrived IS earliest event
+    // time, so the kept timestamps equal the min-aggregate's
+    val expectedTs = Map(
+      (0L, "click") -> 0L, (1L, "click") -> 1L,
+      (0L, "view") -> 2L, (1L, "view") -> 3L
+    ).map { case (k, i) => k -> (base / 1000 + i * 60L * 1000000) }
+    got.foreach { case (k, ts) =>
+      assert(ts == expectedTs(k), s"key $k kept $ts, expected ${expectedTs(k)}")
+    }
+  }
+
   test("stream-stream join: results match batch semantics and join state is evicted") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
