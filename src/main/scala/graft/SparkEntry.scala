@@ -105,6 +105,8 @@ object SparkEntry {
     "scd2_dim"          -> RelationalExtras.scd2Dim _,
     "q10_returned"      -> RelationalExtras.q10ReturnedItems _,
     "attribution"       -> RelationalExtras.attribution _,
+    "key_skew_audit"    -> RelationalExtras.keySkewAudit _,
+    "dq_profile"        -> RelationalExtras.dqProfile _,
     "stream_join"       -> StreamingJobs.streamJoin _,
     // sources/sinks + stateful streaming
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtrip _,
@@ -165,6 +167,8 @@ object SparkEntry {
     "scd2_dim"          -> RelationalExtras.scd2DimSql,
     "q10_returned"      -> RelationalExtras.q10ReturnedItemsSql,
     "attribution"       -> RelationalExtras.attributionSql,
+    "key_skew_audit"    -> RelationalExtras.keySkewAuditSql,
+    "dq_profile"        -> RelationalExtras.dqProfileSql,
     "stream_join"       -> StreamingJobs.streamJoinSql,
     "format_roundtrip"  -> graft.sources.Formats.formatRoundtripSql,
     "sink_partitioned"  -> graft.sources.Formats.sinkPartitionedSql,

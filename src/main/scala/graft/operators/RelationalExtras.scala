@@ -235,6 +235,90 @@ object RelationalExtras {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Join-key skew audit — the diagnostic run BEFORE choosing a skew
+    * strategy (salting, AQE skew-join, broadcast): per candidate join
+    * key, the heavy-hitter share and the max/mean group ratio. One
+    * bounded aggregate per key column; at 100 TB you'd sample the
+    * scan first, but the aggregate shape is already the scalable one
+    * (partial map-side counts, key-space-bounded exchange).
+    */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key).as("key_value"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_key_rows"),
+          round(max(col("cnt")) / (sum(col("cnt")) / count(lit(1))), 4)
+            .as("skew_ratio"))
+        .select(lit(table).as("table_name"), lit(key).as("key_name"),
+          col("n_keys"), col("n_rows"), col("max_key_rows"), col("skew_ratio"))
+    audit(Tables.lineitem(spark, dir), "lineitem", "l_orderkey")
+      .unionAll(audit(Tables.lineitem(spark, dir), "lineitem", "l_partkey"))
+      .unionAll(audit(Tables.orders(spark, dir), "orders", "o_custkey"))
+      .unionAll(audit(Tables.events(spark, dir)
+        .select(col("user_id")), "events", "user_id"))
+      .orderBy("table_name", "key_name")
+  }
+
+  val keySkewAuditSql: String =
+    """WITH a AS (
+      |  SELECT 'lineitem' AS table_name, 'l_orderkey' AS key_name, count(*) AS cnt
+      |  FROM lineitem GROUP BY l_orderkey
+      |), b AS (
+      |  SELECT 'lineitem', 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+      |), c AS (
+      |  SELECT 'orders', 'o_custkey', count(*) FROM orders GROUP BY o_custkey
+      |), d AS (
+      |  SELECT 'events', 'user_id', count(*) FROM events GROUP BY user_id
+      |), u AS (
+      |  SELECT * FROM a UNION ALL SELECT * FROM b
+      |  UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
+      |)
+      |SELECT table_name, key_name,
+      |  count(*) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+      |  round(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio
+      |FROM u GROUP BY table_name, key_name
+      |ORDER BY table_name, key_name""".stripMargin
+
+  /** Data-quality profile of a table: per column, row/non-null/exact-
+    * distinct counts — the ingest health report. Each column is one
+    * aggregate over a pruned single-column scan; the union is K tiny
+    * results, not K scans of the full width (column pruning reaches
+    * the parquet reader).
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(colName: String): DataFrame =
+      Tables.orders(spark, dir).select(col(colName))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col(colName)).as("n_nonnull"),
+          countDistinct(col(colName)).as("n_distinct"))
+        .select(lit(colName).as("col_name"),
+          col("n_rows"), col("n_nonnull"), col("n_distinct"))
+    Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .map(prof).reduce(_ unionAll _)
+      .orderBy("col_name")
+  }
+
+  val dqProfileSql: String =
+    """WITH u AS (
+      |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+      |    count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct
+      |  FROM orders
+      |  UNION ALL SELECT 'o_custkey', count(*), count(o_custkey),
+      |    count(DISTINCT o_custkey) FROM orders
+      |  UNION ALL SELECT 'o_orderdate', count(*), count(o_orderdate),
+      |    count(DISTINCT o_orderdate) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', count(*), count(o_totalprice),
+      |    count(DISTINCT o_totalprice) FROM orders
+      |)
+      |SELECT col_name, n_rows, n_nonnull, n_distinct
+      |FROM u ORDER BY col_name""".stripMargin
+
   /** First-touch attribution: every purchase is credited to the FIRST
     * event type of its session (30-min-gap sessionization, same rule
     * as `sessionize`) — the marketing-analytics rollup of which entry
