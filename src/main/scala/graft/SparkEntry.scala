@@ -32,6 +32,7 @@ object SparkEntry {
     "topn_per_group" -> Relational.topnPerGroup _,
     "sessionize"    -> Relational.sessionize _,
     "asof_join"     -> Relational.asofJoin _,
+    "asof_forward"  -> Relational.asofForward _,
     "event_funnel"  -> Relational.eventFunnel _,
     // §2.2 sequence construction
     "seq_vocab"     -> Sequencer.vocab _,
@@ -124,6 +125,7 @@ object SparkEntry {
     "topn_per_group" -> Relational.topnPerGroupSql,
     "sessionize"    -> Relational.sessionizeSql,
     "asof_join"     -> Relational.asofJoinSql,
+    "asof_forward"  -> Relational.asofForwardSql,
     "event_funnel"  -> Relational.eventFunnelSql,
     "seq_vocab"     -> Sequencer.vocabSql,
     "seq_build"     -> Sequencer.buildSql,

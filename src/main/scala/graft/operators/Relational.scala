@@ -257,6 +257,61 @@ object Relational {
       |) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** Forward as-of join (lead-time): each event picks the EARLIEST
+    * order of the same customer at-or-after the event — the
+    * time-to-next-conversion join. Same union-tag merge as
+    * [[asofJoin]], with the window reversed ([current, unbounded
+    * following]) and events sorting before same-instant orders so an
+    * order at exactly the event time is matched. One shuffle + sort,
+    * no cross product.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+      col("event_id"), col("event_type"))
+      .withColumn("side", lit(0))
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+    val ord = Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"),
+      lit(1).as("side"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"), col("o_orderkey"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.unionByName(ord)
+      .withColumn("next_orderkey", first(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("next_totalprice", first(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k").as("user_id"), col("event_type"),
+        col("next_orderkey").as("o_orderkey"), col("next_totalprice").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofForwardSql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t, event_id, event_type,
+      |    0 AS side, NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+      |  FROM events
+      |), ord AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate), NULL::BIGINT, NULL::VARCHAR,
+      |    1, o_orderkey, o_totalprice
+      |  FROM orders
+      |), u AS (
+      |  SELECT * FROM ev UNION ALL SELECT * FROM ord
+      |), m AS (
+      |  SELECT *,
+      |    first_value(o_orderkey IGNORE NULLS) OVER w AS next_orderkey,
+      |    first_value(o_totalprice IGNORE NULLS) OVER w AS next_totalprice
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY t, side, o_orderkey
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, k AS user_id, event_type,
+      |  next_orderkey AS o_orderkey, next_totalprice AS o_totalprice
+      |FROM m WHERE side = 0 ORDER BY event_id""".stripMargin
+
   /** Funnel: users reaching signup -> view -> purchase in ts order. */
   def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
