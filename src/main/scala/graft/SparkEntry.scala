@@ -58,6 +58,7 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.quality _,
     "text_langid"      -> TextAnalysis.langid _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "lm_perplexity"    -> TextAnalysis.lmPerplexity _,
     // §2.4+ curation: reproducible sampling + corpus n-gram stats
     "sample_hash" -> ((s: SparkSession, d: String) => Curation.sampleHash(s, d)),
     "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.qualitySql,
     "text_langid"      -> TextAnalysis.langidSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "lm_perplexity"    -> TextAnalysis.lmPerplexitySql,
     "media_parse" -> Multimodal.mediaParseSql,
     "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums

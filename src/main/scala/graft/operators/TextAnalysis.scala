@@ -132,6 +132,67 @@ object TextAnalysis {
       |    (x, i) -> i * (ascii(x) * 131 + length(x)))) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM perplexity scoring (the CCNet-style quality signal):
+    * an add-one-smoothed bigram model is fit on the corpus itself and
+    * every document is scored by its perplexity under it — low means
+    * in-distribution text, high means noise/boilerplate/outliers.
+    *
+    * Scale: the model IS two aggregates (bigram and context counts,
+    * both vocabulary-bounded); scoring is an equi-join of the
+    * document's bigram stream against those model relations (both
+    * broadcast — a vocabulary² model is tiny next to the corpus) and
+    * one per-doc average. Nothing driver-side, no UDFs.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityFor(Tables.documents(spark, dir))
+
+  private[graft] def lmPerplexityFor(rawDocs: DataFrame): DataFrame = {
+    val docs = rawDocs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    // every bigram OCCURRENCE (duplicates kept — counts need them)
+    val bg = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
+      .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = bg.groupBy("a", "b").agg(count(lit(1)).cast("double").as("cab"))
+    val ca  = bg.groupBy("a").agg(count(lit(1)).cast("double").as("ca"))
+    val voc = docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("v"))
+    bg.join(broadcast(cab), Seq("a", "b"))
+      .join(broadcast(ca), Seq("a"))
+      .crossJoin(broadcast(voc))
+      .withColumn("lp", log((col("cab") + 1.0) / (col("ca") + col("v"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("lp"))), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+      |  WHERE len(str_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, w[i] AS a, w[i+1] AS b
+      |  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      |), cab AS (
+      |  SELECT a, b, CAST(count(*) AS DOUBLE) AS cab FROM bg GROUP BY a, b
+      |), ca AS (
+      |  SELECT a, CAST(count(*) AS DOUBLE) AS ca FROM bg GROUP BY a
+      |), voc AS (
+      |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      |  FROM t, unnest(w) AS u(tok)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(exp(-avg(ln((cab.cab + 1.0) / (ca.ca + voc.v)))), 4) AS ppl
+      |FROM bg
+      |JOIN cab USING (a, b)
+      |JOIN ca USING (a)
+      |CROSS JOIN voc
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   // PII scrubbing — the redaction pass a corpus runs before training.
   // -------------------------------------------------------------------

@@ -45,6 +45,21 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("LM perplexity flags the out-of-distribution document") {
+    import spark.implicits._
+    // 9 docs share a tight bigram distribution; doc 99 is noise
+    val common = (1 to 9).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val outlier = Seq((99L, "zyx wvu tsr qpo nml kji hgf edc ba"))
+    val docs = (common ++ outlier).toDF("doc_id", "text")
+    val got = TextAnalysis.lmPerplexityFor(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val commonMax = (1 to 9).map(i => got(i.toLong)).max
+    assert(got(99L) > 2 * commonMax,
+      s"outlier ppl ${got(99L)} not above common docs (max $commonMax)")
+    // perplexity is positive and finite everywhere
+    got.values.foreach(p => assert(p > 0 && !p.isInfinite))
+  }
+
   test("int8 quantization audit: codes bounded, reconstruction within half-step") {
     val rows = Similarity.vecQuantize(spark, sfDir).collect()
     assert(rows.nonEmpty)
