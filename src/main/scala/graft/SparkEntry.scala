@@ -101,6 +101,10 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
     "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
     "cust_no_orders"   -> RelationalExtras.custNoOrders _,
+    "q6_forecast"    -> RelationalExtras.q6Forecast _,
+    "q14_promo"      -> RelationalExtras.q14Promo _,
+    "q19_disjunct"   -> RelationalExtras.q19Disjunct _,
+    "merge_upsert"   -> RelationalExtras.mergeUpsert _,
     "events_json"       -> RelationalExtras.eventsJson _,
     "range_join"        -> RelationalExtras.rangeJoin _,
     "group_percentiles" -> RelationalExtras.groupPercentiles _,
@@ -165,6 +169,10 @@ object SparkEntry {
     "skew_join_salted" -> SkewJoin.skewJoinDemoSql,
     "q18_large_orders" -> RelationalExtras.q18LargeOrdersSql,
     "cust_no_orders"   -> RelationalExtras.custNoOrdersSql,
+    "q6_forecast"    -> RelationalExtras.q6ForecastSql,
+    "q14_promo"      -> RelationalExtras.q14PromoSql,
+    "q19_disjunct"   -> RelationalExtras.q19DisjunctSql,
+    "merge_upsert"   -> RelationalExtras.mergeUpsertSql,
     "events_json"       -> RelationalExtras.eventsJsonSql,
     "range_join"        -> RelationalExtras.rangeJoinSql,
     "group_percentiles" -> RelationalExtras.groupPercentilesSql,

@@ -455,4 +455,135 @@ object RelationalExtras {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
+
+  /** TPC-H Q6 shape: forecast-revenue-change — a pure scan-side
+    * filter + two global aggregates, zero joins. The point at 100 TB
+    * is the plan: all three predicates (ship-date range, discount
+    * band, quantity cap) push to the parquet scan (PushedFilters +
+    * row-group min/max skipping), and the aggregate is a map-side
+    * partial into a 1-row exchange.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6ForecastSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month. part is
+    * the small side — broadcast — so lineitem never shuffles; the
+    * date range prunes the scan. The division happens once on the
+    * driver-visible 1-row result (round 6: FP ratio).
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+
+  val q14PromoSql: String =
+    """SELECT round(100.0 *
+      |    sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+      |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_pct,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  /** TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across the
+    * join (brand × size × quantity bands). Catalyst extracts the
+    * common conjuncts (quantity ≤ 30, size ≥ 1) below the join and
+    * CNF-converts enough of the disjunction to push scan-side
+    * filters; part is broadcast so the fact side stays shuffle-free.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val pt = broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size")))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3"  && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctSql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** MERGE INTO (SCD type-1 upsert): a dimension snapshot receives a
+    * change feed — matched keys update in place, unmatched keys
+    * insert. The pre-existing dim is simulated as the customers with
+    * c_custkey % 3 != 0 (a dim missing a third of today's keys), the
+    * change feed is the full current snapshot enriched with order
+    * spend since 2000; output is the post-merge dim with the action
+    * taken per row.
+    *
+    * Scale: the whole merge is ONE equi-join on the dimension key
+    * (change feed left-joined to target) — no per-row lookups, no
+    * driver loop. On a real lakehouse table the same plan becomes a
+    * shuffle-free bucket-local join when the dim is bucketed by key
+    * (see bucketed_join), and only changed partitions rewrite.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("spend"))
+    val source = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+    val target = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("t_custkey"), col("c_acctbal").as("t_acctbal"))
+    source.join(target, col("c_custkey") === col("t_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        round(coalesce(col("t_acctbal"), col("c_acctbal")) + col("spend"), 4).as("acctbal"),
+        col("n_orders"),
+        when(col("t_custkey").isNull, "insert").otherwise("update").as("action"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY o_custkey
+      |), source AS (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |    coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+      |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+      |), target AS (
+      |  SELECT c_custkey AS t_custkey, c_acctbal AS t_acctbal
+      |  FROM customer WHERE c_custkey % 3 != 0
+      |)
+      |SELECT c_custkey, c_name,
+      |  round(coalesce(t_acctbal, c_acctbal) + spend, 4) AS acctbal,
+      |  n_orders,
+      |  CASE WHEN t_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
+      |FROM source LEFT JOIN target ON c_custkey = t_custkey
+      |ORDER BY c_custkey""".stripMargin
 }
