@@ -66,6 +66,9 @@ object SparkEntry {
     "text_repetition"   -> Curation.textRepetition _,
     "pack_chunks"  -> ((s: SparkSession, d: String) => Curation.packChunks(s, d)),
     "contam_ngram" -> ((s: SparkSession, d: String) => Curation.contamNgram(s, d)),
+    "contam_bloom" -> ((s: SparkSession, d: String) => Curation.contamBloom(s, d)),
+    "dedup_span"   -> ((s: SparkSession, d: String) => Curation.dedupSpan(s, d)),
+    "domain_mix"   -> Curation.domainMix _,
     "corpus_filter" -> Curation.corpusFilter _,
     "curate_corpus" -> Curation.curateCorpus _,
     "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
@@ -151,6 +154,9 @@ object SparkEntry {
     "text_repetition"   -> Curation.textRepetitionSql,
     "pack_chunks"  -> Curation.packChunksSql,
     "contam_ngram" -> Curation.contamNgramSql,
+    "contam_bloom" -> Curation.contamNgramSql, // bloom FPs die in the exact join → identical audit
+    "dedup_span"   -> Curation.dedupSpanSql,
+    "domain_mix"   -> Curation.domainMixSql,
     "corpus_filter" -> Curation.corpusFilterSql,
     "curate_corpus" -> Curation.curateCorpusSql,
     "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec

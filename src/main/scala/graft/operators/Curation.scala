@@ -435,4 +435,166 @@ object Curation {
       |FROM g b JOIN g c ON b.gram = c.gram AND NOT c.is_bench
       |WHERE b.is_bench
       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  /** Bloom-prefiltered decontamination: same audit as contam_ngram,
+    * but corpus grams pass through a Bloom filter of the benchmark
+    * grams BEFORE any join — the 100 TB pattern where the corpus
+    * gram stream is too large to even hash-join against a broadcast
+    * relation without first discarding the (vast) non-matching
+    * majority at scan speed.
+    *
+    * The filter is plain column arithmetic, not a UDF: k=3 xxhash64
+    * probes into an m=2^20-bit array carried as an array<long>
+    * literal (16 K words, 128 KB — broadcast-sized). False positives
+    * pass the prefilter and are then eliminated by the exact join, so
+    * the output is bit-identical to contam_ngram (same oracle); the
+    * spec asserts both the equality and the prefilter selectivity.
+    */
+  def contamBloom(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    contamBloomFor(Tables.documents(spark, dir), n,
+      substring(md5(col("text").cast("binary")), 1, 1) === "0")
+
+  private[graft] def contamBloomFor(
+      docs: DataFrame, n: Int, isBench: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.Column
+    val mBits = 1 << 20
+    val k = 3
+    val grams = docs
+      .select(col("doc_id"), isBench.as("is_bench"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("is_bench"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+        .as("gram"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    // Build the filter from the (small) benchmark side: k probe
+    // positions per gram, deduped — bounded by k × |bench grams|,
+    // the same cardinality the broadcast join already assumes.
+    def probes(c: Column): Seq[Column] =
+      (0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(mBits.toLong)).cast("int"))
+    val positions = bench
+      .select(explode(array(probes(col("gram")): _*)).as("pos")).distinct()
+      .collect().map(_.getInt(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p >> 6) |= (1L << (p & 63)))
+    val bits = typedLit(words.toSeq)
+    def mightContain(c: Column): Column =
+      probes(c).map { pos =>
+        call_function("bit_get",
+          element_at(bits, (shiftright(pos, 6) + 1).cast("int")),
+          (pos % 64).cast("int")) === 1
+      }.reduce(_ && _)
+    val corpus = grams.filter(!col("is_bench"))
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+      .filter(mightContain(col("gram"))) // scan-side prune, no shuffle yet
+    corpus.join(broadcast(bench), "gram") // exact verify kills bloom FPs
+      .groupBy("bench_id")
+      .agg(
+        countDistinct(col("corpus_id")).as("n_contaminated_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("bench_id")
+  }
+
+  /** Exact repeated-window (span) dedup audit — the fixed-width
+    * approximation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * per document, how many of its word 10-gram windows also occur
+    * in at least one other document.
+    *
+    * Scale: windows collapse to (doc_id, gram, cnt) with map-side
+    * partial aggregation before the first exchange; document
+    * frequency is a second gram-keyed aggregate over that already-
+    * collapsed relation. At 100 TB both passes key on an 8-byte
+    * xxhash64 of the gram instead of the string (the counts are
+    * identical modulo 2^-64 collisions); the string form is kept
+    * here for oracle bit-parity.
+    */
+  def dedupSpan(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    dedupSpanFor(Tables.documents(spark, dir), n)
+
+  private[graft] def dedupSpanFor(docs: DataFrame, n: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
+    val perDoc = wins.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val dfRel = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
+    perDoc.join(dfRel, "gram")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_windows"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup_windows"),
+        round(sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).cast("double") /
+          sum(col("cnt")), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpanSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w
+      |  FROM documents WHERE len(str_split(text, ' ')) >= 10
+      |), g AS (
+      |  SELECT doc_id, array_to_string(w[i:i+9], ' ') AS gram
+      |  FROM t, unnest(generate_series(1, len(w) - 9)) AS s(i)
+      |), pd AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+      |), f AS (
+      |  SELECT gram, count(*) AS df FROM pd GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(cnt) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  round(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4) AS dup_frac
+      |FROM pd JOIN f USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Domain-mixture reweighting (XLM-R temperature sampling, α=0.5):
+    * per-source token mass → sqrt-tempered target shares and the
+    * per-source sampling weight that realizes them. The knob a
+    * multi-source training mix is tuned with.
+    *
+    * Scale: one bounded groupBy(source) with map-side partial sums;
+    * the share normalization is a window over the |sources| result
+    * rows (20 here, thousands at worst) — never over the corpus.
+    * sqrt (not pow) on both engines: IEEE-correctly-rounded, so the
+    * tempered shares agree bit-for-bit.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("natural_share", col("n_tokens").cast("double") / col("total"))
+      .withColumn("s", sqrt(col("natural_share")))
+      .withColumn("target_share", col("s") / sum(col("s")).over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("natural_share"), 6).as("natural_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") / col("natural_share"), 6).as("sample_weight"),
+        floor(col("target_share") * col("total").cast("double")).cast("long").as("expected_tokens"))
+      .orderBy("source")
+  }
+
+  val domainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+      |    n_tokens::DOUBLE / CAST(sum(n_tokens) OVER () AS BIGINT) AS natural_share,
+      |    sqrt(n_tokens::DOUBLE / CAST(sum(n_tokens) OVER () AS BIGINT)) AS s
+      |  FROM per
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(natural_share, 6) AS natural_share,
+      |  round(s / sum(s) OVER (), 6) AS target_share,
+      |  round((s / sum(s) OVER ()) / natural_share, 6) AS sample_weight,
+      |  CAST(floor(s / sum(s) OVER () * total::DOUBLE) AS BIGINT) AS expected_tokens
+      |FROM t ORDER BY source""".stripMargin
 }
