@@ -448,7 +448,7 @@ object Curation {
     * literal (16 K words, 128 KB — broadcast-sized). False positives
     * pass the prefilter and are then eliminated by the exact join, so
     * the output is bit-identical to contam_ngram (same oracle); the
-    * spec asserts both the equality and the prefilter selectivity.
+    * spec asserts that equality on the real corpus and planted leaks.
     */
   def contamBloom(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     contamBloomFor(Tables.documents(spark, dir), n,
@@ -560,10 +560,13 @@ object Curation {
     * sqrt (not pow) on both engines: IEEE-correctly-rounded, so the
     * tempered shares agree bit-for-bit.
     */
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMixFor(Tables.documents(spark, dir))
+
+  private[graft] def domainMixFor(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))

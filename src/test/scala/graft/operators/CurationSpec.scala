@@ -179,4 +179,63 @@ class CurationSpec extends AnyFunSuite {
       assert(d == r.getString(2).length - s.length)
     }
   }
+
+  test("bloom-prefiltered contamination audit equals the exact one") {
+    import spark.implicits._
+    // planted leaks: bloom must not lose any true match
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x y"),
+      (3L, "q w e r t"),
+      (4L, "b c d e f")
+    ).toDF("doc_id", "text")
+    val isBench = org.apache.spark.sql.functions.col("doc_id") === 1L
+    val exact = Curation.contamNgramFor(docs, n = 3, isBench).collect().toSeq
+    val bloom = Curation.contamBloomFor(docs, n = 3, isBench).collect().toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // and on the real corpus (bench = md5-prefix rule), bit-identical
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val rule = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text").cast("binary")), 1, 1) === "0"
+    val e2 = Curation.contamNgramFor(corpus, 5, rule).collect().toSeq
+    val b2 = Curation.contamBloomFor(corpus, 5, rule).collect().toSeq
+    assert(b2 == e2)
+  }
+
+  test("span dedup audit counts shared 10-gram windows exactly") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // one 10-gram
+    val docs = Seq(
+      (1L, shared + " ta1 ta2"),          // 3 windows, 1 shared with doc 2
+      (2L, "tb1 tb2 " + shared),          // 3 windows, 1 shared with doc 1
+      (3L, shared),                       // exactly the shared window
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique, 3 windows
+      (5L, "short doc")                   // < 10 tokens: excluded
+    ).toDF("doc_id", "text")
+    val rows = Curation.dedupSpanFor(docs, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((3L, 1L, 0.3333)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((3L, 1L, 0.3333)), s"got ${rows(2L)}")
+    assert(rows(3L) == ((1L, 1L, 1.0)), s"got ${rows(3L)}")
+    assert(rows(4L) == ((3L, 0L, 0.0)), s"got ${rows(4L)}")
+    assert(!rows.contains(5L), "sub-window docs must be excluded")
+  }
+
+  test("domain mixture tempers a 4:1 source imbalance toward the sqrt law") {
+    import spark.implicits._
+    // srcA: 4× the token mass of srcB → natural 0.8/0.2,
+    // target ∝ sqrt: 2/3 and 1/3, weights 5/6 and 5/3
+    val docs = Seq(
+      (1L, "a", "t t t t t t t t"),
+      (2L, "a", "t t t t t t t t"),
+      (3L, "b", "t t t t")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.domainMixFor(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got("a") == ((2L, 16L, 0.8, 0.666667, 0.833333, 13L)), s"got ${got("a")}")
+    assert(got("b") == ((1L, 4L, 0.2, 0.333333, 1.666667, 6L)), s"got ${got("b")}")
+  }
 }
