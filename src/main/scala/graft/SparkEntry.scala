@@ -123,6 +123,8 @@ object SparkEntry {
     "bucketed_join"     -> graft.sources.Formats.bucketedJoin _,
     "compact_files"     -> graft.sources.Formats.compactFiles _,
     "stream_sessionize" -> StreamingJobs.sessionizeStream _,
+    "stream_upsert"     -> StreamingJobs.streamUpsert _,
+    "orc_roundtrip"     -> graft.sources.Formats.orcRoundtrip _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -198,5 +200,7 @@ object SparkEntry {
     "stream_dedup"       -> StreamingJobs.streamDedupSql,
     "stream_session_agg" -> StreamingJobs.sessionAggSql,
     "stream_enrich"      -> StreamingJobs.enrichStreamSql,
+    "stream_upsert"      -> StreamingJobs.streamUpsertSql,
+    "orc_roundtrip"      -> graft.sources.Formats.orcRoundtripSql,
   )
 }

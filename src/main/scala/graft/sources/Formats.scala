@@ -144,4 +144,28 @@ object Formats {
       |  CAST(64 AS BIGINT) AS n_files_before,
       |  CAST(4 AS BIGINT) AS n_files_after
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** orders → ORC → read back with a pushed filter → dump. The third
+    * columnar interchange format after parquet (native) and the text
+    * formats: the NTZ order timestamp must survive the ORC round trip
+    * bit-exactly (converted to epoch-µs only AFTER reading back), and
+    * the price predicate reaches the ORC scan as a pushed filter +
+    * stripe-level min/max skip, same as parquet row groups.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("graft_fmt_orc", dir)
+    Tables.orders(spark, dir).write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"))
+      .orderBy("o_orderkey")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  epoch_us(o_orderdate) AS odate_us
+      |FROM orders WHERE o_totalprice > 250000.0
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -398,4 +398,67 @@ object StreamingJobs {
       |FROM s JOIN p ON s.user_id = p.user_id
       |  AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 2 HOUR
       |ORDER BY s.user_id, s_event_id, p_event_id""".stripMargin
+
+  /** Streaming MERGE (foreachBatch upsert): each microbatch folds its
+    * keep-latest-per-user rows into a versioned parquet target — the
+    * foreachBatch pattern for maintaining a mutable serving table
+    * from an append-only stream when the sink has no native MERGE.
+    * The final target holds exactly one row per user: the latest
+    * event by (event-time µs, event_id).
+    *
+    * Scale: both the batch and the current target reduce to one row
+    * per key BEFORE the union, so every merge write is bounded by
+    * |keys|, not by stream volume; the window shuffle keys on
+    * user_id (high-cardinality, balanced). On a lakehouse table the
+    * same foreachBatch body becomes MERGE INTO (the join form of the
+    * same plan is RelationalExtras.mergeUpsert).
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame =
+    streamUpsertGlob(spark, dir, "events.parquet")
+
+  private[graft] def streamUpsertGlob(
+      spark: SparkSession, dir: String, glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      f"graft_stream_upsert_${((dir + glob).hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    def keepLatest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    var version = 0
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      // µs BEFORE any ordering so ns-tie-breaking can't diverge from
+      // the µs-resolution oracle; event_id is the deterministic tie
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+    val query = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = keepLatest(batch)
+        val merged =
+          if (version == 0) latest
+          else keepLatest(spark.read.parquet(s"$base/v$version").unionByName(latest))
+        merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
+        version += 1
+        ()
+      }.start()
+    try query.processAllAvailable() finally query.stop()
+    require(version > 0, "stream produced no microbatches")
+    spark.read.parquet(s"$base/v$version")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts_us").as("last_ts_us"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val streamUpsertSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, event_type AS last_type, ts_us AS last_ts_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 }

@@ -222,4 +222,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(states.max < 30, s"join state grew unbounded: $states")
     assert(states.last <= 15, s"final state not evicted: $states")
   }
+
+  test("foreachBatch upsert over 3 microbatches keeps the global latest, not the last write") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val base = 1600000000L * 1000000000L
+    val minNs = 60L * 1000000000L
+    // user 1: monotone updates across all 3 batches (latest = batch 3)
+    // user 2: batch 3 delivers a LATE event older than batch 1's —
+    //         a blind last-write-wins overwrite would get this wrong
+    // user 3: appears only in batch 2
+    val chunks = Seq(
+      Seq(Row(10L, base + 10 * minNs, 1L, "view", 1.0, "{}"),
+          Row(11L, base + 50 * minNs, 2L, "purchase", 2.0, "{}")),
+      Seq(Row(20L, base + 20 * minNs, 1L, "click", 3.0, "{}"),
+          Row(21L, base + 30 * minNs, 3L, "signup", 4.0, "{}")),
+      Seq(Row(30L, base + 40 * minNs, 1L, "purchase", 5.0, "{}"),
+          Row(31L, base + 5 * minNs, 2L, "view", 6.0, "{}")) // late
+    )
+    val dir = writeChunkDir(chunks, schema)
+    val got = StreamingJobs.streamUpsertGlob(spark, dir, "chunk*.parquet")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val usBase = base / 1000
+    assert(got(1L) == (("purchase", usBase + 40 * minNs / 1000, 5.0)), s"got ${got(1L)}")
+    assert(got(2L) == (("purchase", usBase + 50 * minNs / 1000, 2.0)),
+      s"late arrival must not win: ${got(2L)}")
+    assert(got(3L) == (("signup", usBase + 30 * minNs / 1000, 4.0)), s"got ${got(3L)}")
+    assert(got.size == 3)
+  }
 }
