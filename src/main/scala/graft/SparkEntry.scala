@@ -52,6 +52,7 @@ object SparkEntry {
     "hmm_predict"   -> HmmQueries.predict _,
     "hmm_decode_events" -> HmmQueries.decodeEvents _,
     "hmm_train_cli" -> HmmQueries.trainCli _,
+    "hmm_stationary" -> HmmQueries.stationary _,
     "hmm_checkpoint_resume" -> HmmQueries.checkpointResume _,
     // §2.6 text analysis
     "text_tokens"      -> TextAnalysis.tokens _,
@@ -86,6 +87,7 @@ object SparkEntry {
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
+    "pq_quantize"  -> ((s: SparkSession, d: String) => Similarity.pqQuantize(s, d)),
     "label_centroids" -> Similarity.labelCentroids _,
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,

@@ -313,6 +313,48 @@ object HmmQueries {
   def randomModel(spark: SparkSession, dir: String): DataFrame =
     namedModelDump(spark, HmmModel.random(4, 5, seed = 42L))
 
+  /** Stationary distribution π∞ of the trained transition matrix
+    * (the long-run state occupancy the chain converges to, vs the
+    * data-derived initial π) — the model-diagnostics summary a
+    * sequence model ships with.
+    *
+    * Scale: the power iteration runs on the driver over the K×K
+    * matrix the treeAggregate already reduced to — O(K²) per step
+    * with K ≲ 100s; no cluster work at all beyond the (memoized)
+    * supervised training.
+    */
+  def stationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val pinf = stationaryOf(model.a)
+    pinf.zipWithIndex.map { case (p, i) => (i.toLong, p, model.pi(i)) }
+      .toSeq.toDF("state", "stationary_prob", "pi0_prob")
+      .select(col("state"),
+        round(col("stationary_prob"), 6).as("stationary_prob"),
+        round(col("pi0_prob"), 6).as("pi0_prob"))
+      .orderBy("state")
+  }
+
+  /** Power iteration x ← xA to the fixed point (row-stochastic A;
+    * the supervised model is Laplace-smoothed, so A is strictly
+    * positive → the chain is ergodic and the limit unique).
+    */
+  private[graft] def stationaryOf(a: Array[Array[Double]]): Array[Double] = {
+    val k = a.length
+    var x = Array.fill(k)(1.0 / k)
+    var delta = 1.0
+    var it = 0
+    while (delta > 1e-13 && it < 10000) {
+      val nx = Array.tabulate(k)(j => (0 until k).map(i => x(i) * a(i)(j)).sum)
+      val s = nx.sum
+      val nn = nx.map(_ / s)
+      delta = (0 until k).map(i => math.abs(nn(i) - x(i))).max
+      x = nn
+      it += 1
+    }
+    x
+  }
+
   /** Model from explicit distributions (Rabiner's classic two-state
     * weather example), validated then dumped.
     */

@@ -247,6 +247,94 @@ object Similarity {
       |FROM d2 JOIN norms ON d2.label = norms.label
       |GROUP BY d2.label ORDER BY d2.label""".stripMargin
 
+  /** Product quantization (PQ): the embedding splits into m=4
+    * subvectors, each assigned to its nearest of 16 per-subspace
+    * codebook centroids — 64 floats compress to 4 code ids (4×4
+    * bits), the layout an ADC (asymmetric-distance) ANN scan reads.
+    * Output per vector: the positional base-17 encoding of the code
+    * tuple (exactly invertible) and the reconstruction SSE.
+    *
+    * Scale shape: codebooks train per subspace via the shared
+    * broadcast-centroid Lloyd (driver state = m × 16 × 16 doubles);
+    * assignment is ONE broadcast join keyed on the subspace id whose
+    * 16-fold blowup collapses map-side through the partial
+    * min(struct) argmin — the corpus never shuffles by vector. At
+    * query time the codebook becomes a per-query 4×16 lookup table
+    * and scoring is pure scan-side arithmetic (measured in the spec
+    * as ADC recall against the exact search).
+    */
+  def pqQuantize(spark: SparkSession, dir: String,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val (e, _, assigned) = pqParts(spark, dir, m, ksub, iters)
+    assigned.groupBy("vec_id")
+      .agg(
+        sum(col("code").cast("long") *
+          pow(lit((ksub + 1).toDouble), col("sub")).cast("long")).as("pq_code"),
+        round(sum(col("sq")), 8).as("sse8"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("pq_code"), col("sse8"))
+      .orderBy("vec_id")
+  }
+
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Seq[Double]]]]()
+
+  /** The PQ internals — (embeddings, codebook (sub, cluster, cent,
+    * cnorm2), assignment (vec_id, sub, code, sq)) — exposed for the
+    * ADC-recall spec.
+    */
+  private[graft] def pqParts(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
+    pqPartsFor(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding")),
+      m, ksub, iters, memoKey = Some(dir))
+
+  private[graft] def pqPartsFor(spark: SparkSession, e: DataFrame,
+      m: Int, ksub: Int, iters: Int,
+      memoKey: Option[String]): (DataFrame, DataFrame, DataFrame) = {
+    val subs = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> slice(embedding, mm * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+        .as(Seq("sub", "sv")))
+      .withColumn("snrm", arrayNorm(col("sv")))
+      // cache() dedupes by analyzed plan, so repeated calls on the
+      // same dir share ONE cache entry (m × n tiny subvector rows)
+      .cache()
+    // Codebooks train on a deterministic 25% content-hash sample —
+    // standard PQ practice (codebooks need ~1e5-1e6 points, not the
+    // corpus), and it keeps the m × iters Lloyd jobs off corpus-width
+    // partitioning: the sample is coalesced to its own size, so each
+    // tiny iteration job doesn't pay full-scan task scheduling.
+    // Only the single assignment pass below touches every vector.
+    val sample = subs
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .coalesce(4).cache()
+    // Codebook centroids are pure data — memoized per (dir, params)
+    // like the supervised HMM model: train once per process, not once
+    // per query invocation.
+    def train(): Array[Array[Seq[Double]]] =
+      (0 until m).map { mm =>
+        val se = sample.filter(col("sub") === mm)
+          .select(col("vec_id"), col("sv").as("embedding"), col("snrm").as("nrm"))
+        KMeans.lloyd(spark, se, KMeans.hashSeeds(se, ksub), iters)
+      }.toArray
+    val cents = memoKey match {
+      case Some(key) => pqBookCache.computeIfAbsent(s"$key|$m|$ksub|$iters", _ => train())
+      case None      => train()
+    }
+    val codebook = (0 until m).map { mm =>
+      KMeans.centDf(spark, cents(mm)).withColumn("sub", lit(mm))
+    }.reduce(_ unionByName _)
+    val assigned = subs.join(broadcast(codebook), "sub")
+      .withColumn("d", col("snrm") * col("snrm") -
+        lit(2.0) * arrayDot(col("sv"), col("cent")) + col("cnorm2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cluster").as("code"),
+        greatest(col("best.d"), lit(0.0)).as("sq"))
+    (e, codebook, assigned)
+  }
+
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,

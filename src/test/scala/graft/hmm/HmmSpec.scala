@@ -2,6 +2,8 @@ package graft.hmm
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.LocalSpark.{sfDir, spark}
+
 /** Golden-value and invariant tests for the HMM core.
   *
   * The golden case is the classic Rabiner/Wikipedia two-state model;
@@ -133,5 +135,25 @@ class HmmSpec extends AnyFunSuite {
       out
     }
     assert(idx == Seq(0, 1, 1, 2, 2))
+  }
+
+  test("stationary distribution: closed form on a 2-state chain, fixed point on the trained model") {
+    // A = [[0.9, 0.1], [0.5, 0.5]] -> pi = (5/6, 1/6)
+    val pi2 = HmmQueries.stationaryOf(Array(Array(0.9, 0.1), Array(0.5, 0.5)))
+    assert(math.abs(pi2(0) - 5.0 / 6) < 1e-10 && math.abs(pi2(1) - 1.0 / 6) < 1e-10,
+      s"got ${pi2.toSeq}")
+    // the trained model's stationary vector is a fixed point of A
+    val model = HmmQueries.trainSupervisedModel(spark, sfDir)
+    val x = HmmQueries.stationaryOf(model.a)
+    assert(math.abs(x.sum - 1.0) < 1e-9)
+    val xa = Array.tabulate(model.numStates)(j =>
+      (0 until model.numStates).map(i => x(i) * model.a(i)(j)).sum)
+    (0 until model.numStates).foreach(j =>
+      assert(math.abs(xa(j) - x(j)) < 1e-9, s"not a fixed point at $j"))
+    // and the query dump is row-consistent with it
+    val rows = HmmQueries.stationary(spark, sfDir).collect()
+    assert(rows.length == model.numStates)
+    rows.foreach(r => assert(math.abs(
+      r.getDouble(1) - x(r.getLong(0).toInt)) < 1e-6))
   }
 }

@@ -274,4 +274,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // canonical ids are fixpoints: every canonical maps to itself
     got.values.foreach(c => assert(got(c) == c, s"canonical $c not a fixpoint"))
   }
+
+  test("PQ codes are deterministic, in range, and lossy-but-nontrivial") {
+    val (e, codebook, assigned) = Similarity.pqParts(spark, sfDir, m = 4, ksub = 16, iters = 3)
+    val codes = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    val n = e.count()
+    assert(codes.size == n * 4, s"expected ${n * 4} (vec, sub) codes, got ${codes.size}")
+    assert(codes.values.forall { case (c, _) => c >= 0 && c < 16 }, "code out of range")
+    // deterministic across invocations (memoized books + argmin ties by id)
+    val again = Similarity.pqParts(spark, sfDir, m = 4, ksub = 16, iters = 3)._3
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(again == codes)
+    // lossy but non-trivial: reconstruction SSE strictly between 0 and
+    // the zero-vector baseline (= total corpus energy)
+    val sse = codes.values.map(_._2).sum
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](2).map(_.toDouble).toArray).toMap
+    val energy = vecs.values.map(v => v.map(x => x * x).sum).sum
+    assert(sse > 0.0 && sse < 0.9 * energy, s"sse=$sse energy=$energy")
+    info(f"real-corpus sse/energy = ${sse / energy}%.3f")
+    // NOTE: on THIS corpus (isotropic 64-d) ADC recall is chance —
+    // quantization error (~0.8 of energy) swamps the tiny neighbor
+    // gaps, the same phenomenon SURVEY §9 documents for cosine
+    // banding. ADC quality is asserted below on data that HAS
+    // neighbor structure.
+  }
+
+  test("ADC search over PQ codes recovers planted cluster neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val nClusters = 20
+    val perCluster = 10
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      ((c * perCluster + i).toLong, s"c$c", v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val (_, codebook, assigned) =
+      Similarity.pqPartsFor(spark, e, m = 4, ksub = 16, iters = 3, memoKey = None)
+    val codes = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val book = codebook.collect().map { r =>
+      (r.getInt(3), r.getInt(0)) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    val vecs = rows.map(r => r._1 -> r._3.map(_.toDouble).toArray).toMap
+    val sd = dim / 4
+    val queries = (0 until nClusters).map(c => (c * perCluster).toLong)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      def exactD(x: Array[Double]) =
+        qv.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
+      val lut = (0 until 4).map { mm =>
+        (0 until 16).map { c =>
+          val cent = book((mm, c))
+          (0 until sd).map(i => { val d = qv(mm * sd + i) - cent(i); d * d }).sum
+        }.toArray
+      }
+      def adcD(id: Long) = (0 until 4).map(mm => lut(mm)(codes((id, mm)))).sum
+      val others = vecs.keys.filter(_ != q).toSeq
+      val k = perCluster - 1 // the true neighbors: the cluster peers
+      val exactTop = others.sortBy(id => (exactD(vecs(id)), id)).take(k).toSet
+      val adcTop = others.sortBy(id => (adcD(id), id)).take(k).toSet
+      (exactTop & adcTop).size.toDouble / k
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"planted-cluster ADC mean recall@${perCluster - 1} = $meanRecall%.3f")
+    // chance is ~9/199 ≈ 0.045; clustered data must recover most peers
+    assert(meanRecall > 0.5, f"ADC recall $meanRecall%.3f too low on clustered data")
+  }
 }
