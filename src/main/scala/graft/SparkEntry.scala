@@ -100,6 +100,9 @@ object SparkEntry {
     // engine breadth beyond §2 (grouping sets, windows, pivot,
     // sketches, skew handling)
     "agg_rollup"     -> RelationalExtras.aggRollup _,
+    "agg_cube"       -> RelationalExtras.aggCube _,
+    "q4_priority"    -> RelationalExtras.q4Priority _,
+    "window_range_frame" -> RelationalExtras.windowRangeFrame _,
     "window_running" -> RelationalExtras.windowRunning _,
     "pivot_events"   -> RelationalExtras.pivotEvents _,
     "approx_stats"   -> RelationalExtras.approxStats _,
@@ -174,6 +177,9 @@ object SparkEntry {
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
     "agg_rollup"     -> RelationalExtras.aggRollupSql,
+    "agg_cube"       -> RelationalExtras.aggCubeSql,
+    "q4_priority"    -> RelationalExtras.q4PrioritySql,
+    "window_range_frame" -> RelationalExtras.windowRangeFrameSql,
     "window_running" -> RelationalExtras.windowRunningSql,
     "pivot_events"   -> RelationalExtras.pivotEventsSql,
     "skew_join_salted" -> SkewJoin.skewJoinDemoSql,

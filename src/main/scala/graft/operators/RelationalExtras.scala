@@ -35,6 +35,80 @@ object RelationalExtras {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in
+    * one pass — same single-shuffle grouping-sets machinery as the
+    * ROLLUP, with the extra (NULL, linestatus) marginal.
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** TPC-H Q4 shape (EXISTS semi-join): order-priority counts over
+    * orders with at least one returned lineitem. The lineitem side
+    * reduces to distinct orderkeys BEFORE the join (semi-join build
+    * side carries one narrow column), and the returnflag predicate
+    * is pushed to its scan.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Trailing-30-day customer spend: an event-time RANGE frame (not
+    * ROWS) per order — the sliding-interval aggregation pattern.
+    * The frame bound is integer µs on BOTH engines, so peer handling
+    * and the window arithmetic agree exactly.
+    *
+    * Scale: one shuffle by customer key; the frame is evaluated
+    * inside each partition with a sliding two-pointer pass, never a
+    * self-join.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts_us"))
+      .rangeBetween(-30L * dayUs, 0L)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      .withColumn("trailing_spend", round(sum(col("o_totalprice")).over(w), 4))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .orderBy("o_custkey", "ts_us", "o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  epoch_us(o_orderdate) AS ts_us,
+      |  round(sum(o_totalprice) OVER w, 4) AS trailing_spend,
+      |  count(*) OVER w AS n_trailing
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, ts_us, o_orderkey""".stripMargin
+
   /** Per-customer running order totals: cumulative sum + row index
     * over an event-time window — one shuffle by customer.
     */
