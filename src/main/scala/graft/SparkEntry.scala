@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -73,7 +73,9 @@ object SparkEntry {
     "corpus_filter" -> Curation.corpusFilter _,
     "curate_corpus" -> Curation.curateCorpus _,
     "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
+    "bpe_apply"     -> ((s: SparkSession, d: String) => Bpe.bpeApply(s, d)),
     "pii_scrub"    -> TextAnalysis.piiScrub _,
+    "quality_lr"   -> Classifier.qualityLr _,
     "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,

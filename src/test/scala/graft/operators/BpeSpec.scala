@@ -53,6 +53,38 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1)._2 == "es" && got(1)._3 == "t" && got(1)._4 == 9L)
   }
 
+  test("BPE encode applies the merge sequence exactly (reference token counts)") {
+    import spark.implicits._
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val docs = words.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = referenceBpe(words.map { case (w, f) => w -> f.toLong }.toMap, 6)
+      .map(m => (m._2, m._3))
+    // reference encode: replay merges per word
+    def encode(w: String): Int = {
+      var toks = w.split("").toVector
+      merges.foreach { case (l, r) =>
+        toks = toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+          else acc :+ t
+        }
+      }
+      toks.size
+    }
+    val got = Bpe.bpeApplyFor(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    words.zipWithIndex.foreach { case ((w, f), i) =>
+      val perWord = encode(w)
+      val (nWords, nTok, ratio) = got(i.toLong)
+      assert(nWords == f.toLong, s"doc $i word count")
+      assert(nTok == f.toLong * perWord, s"doc $i: expected ${f * perWord} tokens, got $nTok")
+      assert(math.abs(ratio - w.length.toDouble / perWord) < 1e-3, s"doc $i ratio $ratio")
+    }
+    // after 6 merges 'newest' and 'widest' encode shorter than chars
+    assert(encode("newest") < "newest".length)
+  }
+
   test("BPE on the corpus is deterministic and merges have monotone utility") {
     val a = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
     val b = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
