@@ -60,6 +60,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langid _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "lm_perplexity"    -> TextAnalysis.lmPerplexity _,
+    "token_len_hist"   -> TextAnalysis.tokenLenHist _,
     // §2.4+ curation: reproducible sampling + corpus n-gram stats
     "sample_hash" -> ((s: SparkSession, d: String) => Curation.sampleHash(s, d)),
     "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
+    "semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
@@ -154,6 +156,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langidSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "lm_perplexity"    -> TextAnalysis.lmPerplexitySql,
+    "token_len_hist"   -> TextAnalysis.tokenLenHistSql,
     "media_parse" -> Multimodal.mediaParseSql,
     "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums

@@ -529,4 +529,69 @@ object Dedup {
       |SELECT a_id, b_id, round(cos, 6) AS cos_sim
       |FROM pairs WHERE cos >= 0.45
       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023): semantic dedup WITHIN k-means
+  // clusters — pairwise cosine only inside a cell, duplicate groups
+  // via connected components, keep the member farthest from the
+  // centroid (the paper's diversity-preserving choice).
+  // -------------------------------------------------------------------
+
+  /** Per-vector SemDeDup verdict: (vec_id, cluster, group_id, keep).
+    * Singleton (non-duplicate) vectors keep themselves.
+    *
+    * Scale shape: pairwise work is confined to within-cluster joins
+    * keyed on the cluster id (never a corpus cross product — cluster
+    * count grows with the corpus so cell population stays bounded; a
+    * planted mega-cluster would take the blockPlan sub-split, see
+    * embeddingCandidatesFor); group resolution reuses the
+    * dedup_groups connected-components machinery; the keep choice is
+    * one row_number window over (group, centroid-cosine).
+    */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    semanticDedupFor(spark,
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+      threshold)
+
+  private[graft] def semanticDedupFor(
+      spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val e = raw.persist()
+    val n = e.count()
+    // same cell-count rule as blockPlan; production k tracks n so
+    // cell population stays ~constant as the corpus grows
+    val k = math.max(1, math.min(256, (n / 8).toInt))
+    val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters = 3)
+    val assigned = KMeans.assign(e, KMeans.centDf(spark, cents)).persist()
+    e.unpersist()
+    val unitDf = cents.zipWithIndex.map { case (v, i) =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      (i, (if (nn > 0) v.map(_ / nn) else v).map(_.toFloat).toSeq)
+    }.toSeq.toDF("cluster", "cvec")
+    val withCc = assigned.join(broadcast(unitDf), "cluster")
+      .withColumn("ccos", arrayDot(col("embedding"), col("cvec")) / col("nrm"))
+    val a = withCc.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCc.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "cluster").filter(col("a_id") < col("b_id"))
+      .withColumn("cos", arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+    val (labels, _) = connectedComponentsFor(pairs)
+    val grouped = withCc
+      .select(col("vec_id"), col("cluster"), round(col("ccos"), 6).as("ccos6"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("canonical_id").as("group_id")),
+        Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+    // centroid-cosine rounded BEFORE ranking so the keep choice is
+    // FP-order stable; ties break by id
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("ccos6").asc, col("vec_id").asc)
+    grouped.withColumn("rk", row_number().over(wg))
+      .select(col("vec_id"), col("cluster"), col("group_id"),
+        (col("rk") === 1).as("keep"))
+      .orderBy("vec_id")
+  }
 }

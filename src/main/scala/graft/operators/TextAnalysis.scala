@@ -269,4 +269,44 @@ object TextAnalysis {
       |  CAST(sum(n_longnums) AS BIGINT) AS n_longnums,
       |  CAST(sum(len_delta) AS BIGINT) AS len_delta
       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Log₂-bucketed token-length histogram — the corpus-shape report
+    * (length distribution) every ingest run emits. Bucketing uses the
+    * binary-string length, NOT floor(log2(x)): libm log2 is not
+    * correctly rounded at exact powers of two, so the FP form can
+    * put 64 in bucket 5 on one engine and 6 on the other; len(bin(n))
+    * − 1 is exact integer arithmetic on both.
+    *
+    * Scale: per-row arithmetic + a groupBy over ≤64 buckets —
+    * map-side partials collapse to a handful of rows.
+    */
+  def tokenLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .withColumn("bucket_lo", pow(lit(2.0), col("bucket")).cast("long"))
+      .select("bucket", "bucket_lo", "n_docs", "total_tokens", "min_tokens", "max_tokens")
+      .orderBy("bucket")
+
+  val tokenLenHistSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE len(str_split(text, ' ')) > 0
+      |), b AS (
+      |  SELECT n_tok, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket FROM t
+      |)
+      |SELECT bucket,
+      |  CAST(power(2, bucket) AS BIGINT) AS bucket_lo,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 }

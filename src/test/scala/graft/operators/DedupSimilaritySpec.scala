@@ -301,6 +301,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // neighbor structure.
   }
 
+  test("SemDeDup keeps exactly one representative per planted duplicate set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    // 10 duplicate sets of 5 near-identical vectors + 30 unique
+    val dupSets = (0 until 10).map { s =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { i =>
+        ((s * 5 + i).toLong, base.map(x => (x + 0.001 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    }
+    val uniques = (50 until 80).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val raw = (dupSets.flatten ++ uniques).toDF("vec_id", "embedding")
+      .withColumn("nrm", graft.functions.arrayNorm(org.apache.spark.sql.functions.col("embedding")))
+    val got = Dedup.semanticDedupFor(spark, raw, threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 80)
+    // each planted set resolves to one group with exactly one keeper
+    dupSets.foreach { set =>
+      val ids = set.map(_._1)
+      val groups = ids.map(id => got(id)._1).distinct
+      assert(groups.size == 1, s"set ${ids.head / 5} split into $groups")
+      assert(ids.count(id => got(id)._2) == 1, s"set ${ids.head / 5} keeper count != 1")
+    }
+    // uniques are their own group and kept
+    uniques.foreach { case (id, _) =>
+      assert(got(id) == ((id, true)), s"unique $id: ${got(id)}")
+    }
+  }
+
+  test("SemDeDup on the real corpus is a consistent partition of the vectors") {
+    val rows = Dedup.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n, "every vector gets a verdict")
+    // exactly one keeper per group; canonical ids are group members
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.count(_._3) == 1, s"group $g has ${members.count(_._3)} keepers")
+      assert(members.exists(_._1 == g), s"group id $g is not a member")
+    }
+  }
+
   test("ADC search over PQ codes recovers planted cluster neighbors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
