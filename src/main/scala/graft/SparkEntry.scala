@@ -47,6 +47,7 @@ object SparkEntry {
     "hmm_backward"  -> HmmQueries.backward _,
     "hmm_likelihood" -> HmmQueries.likelihood _,
     "hmm_viterbi"   -> HmmQueries.viterbi _,
+    "hmm_nbest"     -> ((s: SparkSession, d: String) => HmmQueries.nbest(s, d)),
     "hmm_posterior" -> HmmQueries.posterior _,
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_predict"   -> HmmQueries.predict _,
@@ -89,6 +90,7 @@ object SparkEntry {
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
+    "knn_pq"    -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
     "pq_quantize"  -> ((s: SparkSession, d: String) => Similarity.pqQuantize(s, d)),

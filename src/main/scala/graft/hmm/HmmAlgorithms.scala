@@ -146,6 +146,48 @@ object HmmAlgorithms {
     path
   }
 
+  /** N-best (list) Viterbi: the `n` highest-probability state paths
+    * with their log-probabilities, best first. Per (t, state) the DP
+    * keeps the top-n (score, prevState, prevRank) entries instead of
+    * one — O(T · K² · n log n) per sequence, still embarrassingly
+    * parallel across sequences. Ties break deterministically
+    * (score desc, predecessor state asc, predecessor rank asc).
+    */
+  def nbestViterbi(m: HmmModel, obs: Array[Int], n: Int): Seq[(Double, Array[Int])] = {
+    val k = m.numStates
+    val timeLen = obs.length
+    def ln(x: Double) = if (x <= 0) Double.NegativeInfinity else math.log(x)
+    // entries(t)(j) = top-n List of (score, prevState, prevRank)
+    val entries = Array.ofDim[Array[(Double, Int, Int)]](timeLen, k)
+    for (j <- 0 until k)
+      entries(0)(j) = Array((ln(m.pi(j)) + ln(m.b(j)(obs(0))), -1, -1))
+    for (t <- 1 until timeLen; j <- 0 until k) {
+      val cand = for {
+        q <- 0 until k
+        r <- entries(t - 1)(q).indices
+      } yield (entries(t - 1)(q)(r)._1 + ln(m.a(q)(j)) + ln(m.b(j)(obs(t))), q, r)
+      entries(t)(j) = cand.sortBy { case (s, q, r) => (-s, q, r) }.take(n).toArray
+    }
+    // final candidates across states
+    val finals = (for {
+      j <- 0 until k
+      r <- entries(timeLen - 1)(j).indices
+    } yield (entries(timeLen - 1)(j)(r)._1, j, r))
+      .sortBy { case (s, j, r) => (-s, j, r) }.take(n)
+    finals.map { case (score, lastState, lastRank) =>
+      val path = new Array[Int](timeLen)
+      var (j, r) = (lastState, lastRank)
+      var t = timeLen - 1
+      while (t >= 0) {
+        path(t) = j
+        val (_, pq, pr) = entries(t)(j)(r)
+        j = pq; r = pr
+        t -= 1
+      }
+      (score, path)
+    }
+  }
+
   /** E-step for one sequence, accumulated in place into `stats`
     * (the Spark-side analogue of the mapper's three stripes,
     * BaumWelchMapper.java:156-241, with proper 1/P(O) weighting).

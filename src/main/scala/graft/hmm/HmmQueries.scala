@@ -241,6 +241,30 @@ object HmmQueries {
       .orderBy("user_id", "pos")
   }
 
+  /** N-best decode: the top-3 state paths per user with their
+    * log-probabilities and the gap to the best — the list-decoding
+    * view a downstream consumer uses to judge decode confidence.
+    * Same distribution shape as Viterbi: broadcast model, one narrow
+    * map per sequence, zero extra shuffle; paths serialize as
+    * hyphen-joined state strings (bounded by sequence length).
+    */
+  def nbest(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val model = trainSupervisedModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(model)
+    Sequencer.sequenceDs(spark, dir)
+      .flatMap { case (uid, syms) =>
+        val paths = HmmAlgorithms.nbestViterbi(bc.value, syms.toArray, n)
+        val best = paths.head._1
+        paths.zipWithIndex.map { case ((score, path), r) =>
+          (uid, r + 1, math.rint(score * 1e6) / 1e6,
+            math.rint((best - score) * 1e6) / 1e6, path.mkString("-"))
+        }
+      }
+      .toDF("user_id", "rank", "log_prob", "gap_to_best", "path")
+      .orderBy("user_id", "rank")
+  }
+
   /** End-to-end decode: events → sequences → Viterbi → per-user
     * path summary.
     */

@@ -335,6 +335,48 @@ object Similarity {
     (e, codebook, assigned)
   }
 
+  /** PQ/ADC k-nearest-neighbor search: the query set scores the
+    * WHOLE corpus from 4-byte codes alone. Per query the codebook
+    * collapses to a (sub, code) → partial-distance lookup table
+    * (|queries| × 64 rows — broadcast); the corpus side joins it on
+    * its codes, so the scan carries code ids, never vectors, and the
+    * shuffle carries only (query, candidate, partial) triples that
+    * collapse map-side. This is the memory-bound regime IVF/brute
+    * can't reach: at 100 TB of vectors the ADC scan reads 4 bytes
+    * per vector instead of 256.
+    *
+    * Approximate by construction (measured against exact search in
+    * the spec); rank ties break by candidate id.
+    */
+  def knnPq(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (e, codebook, assigned) = pqParts(spark, dir, m = 4, ksub = 16, iters = 3)
+    knnPqFrom(e, codebook, assigned, m = 4, k = k)
+  }
+
+  private[graft] def knnPqFrom(e: DataFrame, codebook: DataFrame,
+      assigned: DataFrame, m: Int, k: Int): DataFrame = {
+    // per-query subvectors (queries are the small side, as in knnBrute)
+    val qsubs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> slice(embedding, mm * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+        .as(Seq("sub", "qv")))
+    // LUT: ||q_sub − cent||² per (q_id, sub, code)
+    val lut = qsubs.join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("cluster").as("code"),
+        (arrayNorm(col("qv")) * arrayNorm(col("qv")) -
+          lit(2.0) * arrayDot(col("qv"), col("cent")) + col("cnorm2")).as("pd"))
+    val scored = assigned.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_d"))
+    val w = Window.partitionBy(col("q_id")).orderBy(round(col("adc_d"), 6).asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("adc_d"), 6).as("adc_d"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,

@@ -137,6 +137,30 @@ class HmmSpec extends AnyFunSuite {
     assert(idx == Seq(0, 1, 1, 2, 2))
   }
 
+  test("n-best Viterbi matches exhaustive path enumeration, best first") {
+    val obs = Array(0, 1, 2, 0) // walk shop clean walk
+    def ln(x: Double) = math.log(x)
+    // enumerate all 2^4 = 16 paths exactly
+    val all = (for {
+      s0 <- 0 to 1; s1 <- 0 to 1; s2 <- 0 to 1; s3 <- 0 to 1
+    } yield {
+      val p = Array(s0, s1, s2, s3)
+      val lp = ln(m.pi(s0)) + ln(m.b(s0)(obs(0))) +
+        (1 until 4).map(t => ln(m.a(p(t - 1))(p(t))) + ln(m.b(p(t))(obs(t)))).sum
+      (lp, p.toSeq)
+    }).sortBy(-_._1)
+    val got = HmmAlgorithms.nbestViterbi(m, obs, n = 5)
+    assert(got.length == 5)
+    got.zip(all.take(5)).zipWithIndex.foreach { case (((gs, gp), (es, ep)), r) =>
+      assert(math.abs(gs - es) < 1e-12, s"rank $r: score $gs vs $es")
+      assert(gp.toSeq == ep, s"rank $r: path ${gp.toSeq} vs $ep")
+    }
+    // rank 1 must agree with plain Viterbi
+    assert(got.head._2.toSeq == HmmAlgorithms.viterbi(m, obs).toSeq)
+    // scores are non-increasing
+    got.map(_._1).sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+  }
+
   test("stationary distribution: closed form on a 2-state chain, fixed point on the trained model") {
     // A = [[0.9, 0.1], [0.5, 0.5]] -> pi = (5/6, 1/6)
     val pi2 = HmmQueries.stationaryOf(Array(Array(0.9, 0.1), Array(0.5, 0.5)))

@@ -387,5 +387,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"planted-cluster ADC mean recall@${perCluster - 1} = $meanRecall%.3f")
     // chance is ~9/199 ≈ 0.045; clustered data must recover most peers
     assert(meanRecall > 0.5, f"ADC recall $meanRecall%.3f too low on clustered data")
+
+    // the DISTRIBUTED ADC operator must agree: queries are ids < 10
+    // (cluster 0), whose true top-9 are the other cluster-0 members
+    val (_, codebook2, assigned2) =
+      Similarity.pqPartsFor(spark, e, m = 4, ksub = 16, iters = 3, memoKey = None)
+    val op = Similarity.knnPqFrom(e, codebook2, assigned2, m = 4, k = perCluster - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val cluster0 = (0 until perCluster).map(_.toLong).toSet
+    (0 until perCluster).map(_.toLong).foreach { q =>
+      val neigh = op(q).map(_._2).toSet
+      assert(neigh == (cluster0 - q), s"query $q: got $neigh")
+    }
   }
 }
