@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
     "semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "contam_minhash"      -> ((s: SparkSession, d: String) => Dedup.contamMinhash(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
@@ -181,6 +182,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_groups"        -> Dedup.dedupGroupsSql,
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
+    "contam_minhash"      -> Dedup.contamMinhashSql,
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
     "agg_rollup"     -> RelationalExtras.aggRollupSql,

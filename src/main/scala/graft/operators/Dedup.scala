@@ -305,6 +305,68 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Doc-level cross-corpus decontamination: benchmark docs that are
+    * NEAR-duplicates of corpus docs (Jaccard ≥ τ), found through the
+    * MinHash-LSH candidate machinery and exact-verified — the
+    * document-granularity complement of the 5-gram contam audit
+    * (paraphrased/near-identical leaks that exact n-gram matching
+    * understates).
+    *
+    * Oracle note: LSH has a theoretical false-negative rate of
+    * (1−j⁴)³² ≤ 5e-8 at j = τ = 0.8 — and the hash family is
+    * deterministic, so oracle equality is a fixed property of the
+    * corpus, verified at every SF, not a per-run coin flip.
+    */
+  def contamMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val bench = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (substring(md5(col("text").cast("binary")), 1, 1) === "0").as("is_bench"))
+    minhashLsh(spark, dir, threshold)
+      .join(bench.select(col("doc_id").as("a_id"), col("is_bench").as("ab")), "a_id")
+      .join(bench.select(col("doc_id").as("b_id"), col("is_bench").as("bb")), "b_id")
+      .filter(col("ab") =!= col("bb"))
+      .select(
+        when(col("ab"), col("a_id")).otherwise(col("b_id")).as("bench_id"),
+        when(col("ab"), col("b_id")).otherwise(col("a_id")).as("corpus_id"),
+        col("jaccard"))
+      .groupBy("bench_id")
+      .agg(
+        countDistinct(col("corpus_id")).as("n_near_dup_docs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("bench_id")
+  }
+
+  val contamMinhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substring(md5(text), 1, 1) = '0' AS is_bench,
+      |    str_split(text, ' ') AS w
+      |  FROM documents WHERE len(str_split(text, ' ')) >= 3
+      |), idx AS (
+      |  SELECT doc_id, is_bench, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.is_bench AS a_bench,
+      |    count(*) AS inter
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id AND a.is_bench <> b.is_bench
+      |  GROUP BY 1, 2, 3
+      |), j AS (
+      |  SELECT CASE WHEN a_bench THEN a_id ELSE b_id END AS bench_id,
+      |    CASE WHEN a_bench THEN b_id ELSE a_id END AS corpus_id,
+      |    round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON sa.doc_id = a_id
+      |  JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE inter / (sa.n + sb.n - inter) >= 0.8
+      |)
+      |SELECT bench_id,
+      |  CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_near_dup_docs,
+      |  max(jaccard) AS max_jaccard
+      |FROM j GROUP BY bench_id ORDER BY bench_id""".stripMargin
+
   // -------------------------------------------------------------------
   // SimHash(64) + Hamming ≤ 3 via the 4-block pigeonhole: distance ≤ 3
   // means at least one 16-bit block is identical, so an equi-join on
