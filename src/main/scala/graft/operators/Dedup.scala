@@ -610,11 +610,18 @@ object Dedup {
     * dedup_groups connected-components machinery; the keep choice is
     * one row_number window over (group, centroid-cosine).
     */
+  // The verdict relation is deterministic per (dir, τ) — memoized and
+  // persisted per session like the candidate/cell caches, so repeated
+  // queries pay the k-means + connected-components build once.
+  private val semCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    semanticDedupFor(spark,
-      Tables.embeddings(spark, dir).select(
-        col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
-      threshold)
+    semCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$threshold", _ =>
+      semanticDedupFor(spark,
+        Tables.embeddings(spark, dir).select(
+          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+        threshold).persist())
 
   private[graft] def semanticDedupFor(
       spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
