@@ -92,6 +92,7 @@ object SparkEntry {
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "knn_pq"    -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
+    "knn_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
     "pq_quantize"  -> ((s: SparkSession, d: String) => Similarity.pqQuantize(s, d)),

@@ -377,6 +377,78 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF-PQ (the FAISS-style trillion-scale ANN composition): coarse
+    * k-means cells bound the search to nprobe cells per query, and
+    * within them candidates are scored by ADC over RESIDUAL PQ codes
+    * (vector − its coarse centroid, quantized — residuals are what
+    * make 4-bit-per-subspace codes usable, since the coarse cell
+    * already explains most of the vector).
+    *
+    * Scale shape: coarse centroids and the residual codebook are
+    * broadcast relations; the per-query LUT is |queries| × nprobe ×
+    * 64 rows (broadcast); the corpus side touches only its probed
+    * cells and joins on (cell, sub, code) — the scan side carries
+    * cell id + 4 code bytes per vector, never the vectors.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String,
+      kCoarse: Int = 8, nprobe: Int = 2, k: Int = 5): DataFrame =
+    knnIvfPqFor(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+      kCoarse, nprobe, k, memoKey = Some(dir))
+
+  private[graft] def knnIvfPqFor(spark: SparkSession, e: DataFrame,
+      kCoarse: Int, nprobe: Int, k: Int, memoKey: Option[String]): DataFrame = {
+    def trainCoarse() = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, kCoarse), iters = 3)
+    val cents = memoKey match {
+      case Some(key) => ivfPqCoarseCache.computeIfAbsent(s"$key|$kCoarse", _ => trainCoarse())
+      case None      => trainCoarse()
+    }
+    val centDf = KMeans.centDf(spark, cents)
+    val assigned = KMeans.assign(e, centDf)
+    // residual relation: vector minus its coarse centroid
+    val resid = assigned.join(broadcast(centDf), "cluster")
+      .select(col("vec_id"), col("cluster").as("cell"),
+        zip_with(col("embedding"), col("cent"), (a, b) => (a - b).cast("float")).as("embedding"))
+    val (_, codebook, codes) = pqPartsFor(spark,
+      resid.select(col("vec_id"), col("embedding")),
+      m = 4, ksub = 16, iters = 3, memoKey = memoKey.map(key => s"$key|ivfres$kCoarse"))
+    // query side: nprobe nearest cells, then per-(query, cell) residual LUT
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cluster"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("d",
+        col("qn") * col("qn") - lit(2.0) * arrayDot(col("qe"), col("cent")) + col("cnorm2"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("q_id"), col("cluster").as("cell"),
+        zip_with(col("qe"), col("cent"), (a, b) => (a - b).cast("float")).as("qres"))
+    val qsubs = probes.select(col("q_id"), col("cell"), posexplode(expr(
+        "transform(sequence(0, 3), mm -> slice(qres, mm * (size(qres) div 4) + 1, size(qres) div 4))"))
+        .as(Seq("sub", "qv")))
+    val lut = qsubs.join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("cell"), col("sub"), col("cluster").as("code"),
+        (arrayNorm(col("qv")) * arrayNorm(col("qv")) -
+          lit(2.0) * arrayDot(col("qv"), col("cent")) + col("cnorm2")).as("pd"))
+    // corpus side: codes + cell id, scored only inside probed cells
+    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    val scored = codesWithCell.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_d"), count(lit(1)).as("nsub"))
+      .filter(col("nsub") === 4) // all four subspaces matched in a probed cell
+    val w = Window.partitionBy(col("q_id")).orderBy(round(col("adc_d"), 6).asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("adc_d"), 6).as("adc_d"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private val ivfPqCoarseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
+
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,

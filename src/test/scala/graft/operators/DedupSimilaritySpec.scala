@@ -399,5 +399,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val neigh = op(q).map(_._2).toSet
       assert(neigh == (cluster0 - q), s"query $q: got $neigh")
     }
+
+    // IVF-PQ (residual codes, probed cells) recovers the same peers:
+    // queries and their planted duplicates always share the coarse
+    // cell, so even nprobe=1 must find every cluster-0 member
+    val raw = e.withColumn("nrm", graft.functions.arrayNorm(
+      org.apache.spark.sql.functions.col("embedding")))
+    val ivfpq = Similarity.knnIvfPqFor(spark, raw,
+      kCoarse = 8, nprobe = 1, k = perCluster - 1, memoKey = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    (0 until perCluster).map(_.toLong).foreach { q =>
+      val neigh = ivfpq(q).map(_._2).toSet
+      assert(neigh == (cluster0 - q), s"ivf-pq query $q: got $neigh")
+    }
   }
 }
