@@ -23,14 +23,17 @@ object RelationalExtras {
       .agg(
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        // 2dp: the grand-total row sums to ~3e10 at sf0.1, where
+        // engine accumulation orders differ by ~1e-4 (see Formats
+        // bucketedJoin note); 4dp is flip-prone at that magnitude
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n_rows,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_price
+      |  round(sum(l_extendedprice), 2) AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin

@@ -52,7 +52,8 @@ object Formats {
       .agg(
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        // 2dp at ~1e10 magnitude (see bucketedJoin note)
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy("l_returnflag")
   }
 
@@ -88,21 +89,24 @@ object Formats {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        // 2dp, not 4: these sums reach ~6e9 at sf0.1, where the two
+        // engines' accumulation orders differ by ~1e-4 — 4dp rounding
+        // flips the last digit (observed), 2dp has 50x headroom
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   val sinkPartitionedSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_price
+      |  round(sum(l_extendedprice), 2) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Small-file compaction — the table-maintenance pass every
