@@ -137,6 +137,7 @@ object SparkEntry {
     "compact_files"     -> graft.sources.Formats.compactFiles _,
     "stream_sessionize" -> StreamingJobs.sessionizeStream _,
     "stream_upsert"     -> StreamingJobs.streamUpsert _,
+    "stream_topk"       -> ((s: SparkSession, d: String) => StreamingJobs.streamTopk(s, d)),
     "orc_roundtrip"     -> graft.sources.Formats.orcRoundtrip _,
   )
 
@@ -219,6 +220,7 @@ object SparkEntry {
     "stream_session_agg" -> StreamingJobs.sessionAggSql,
     "stream_enrich"      -> StreamingJobs.enrichStreamSql,
     "stream_upsert"      -> StreamingJobs.streamUpsertSql,
+    "stream_topk"        -> StreamingJobs.streamTopkSql,
     "orc_roundtrip"      -> graft.sources.Formats.orcRoundtripSql,
   )
 }

@@ -452,6 +452,52 @@ object StreamingJobs {
       .orderBy("user_id")
   }
 
+  /** Streaming trending-items: per 1-hour event-time window, the
+    * top-3 event types by count — the live leaderboard shape. The
+    * rank runs OVER the streaming aggregate's sink (ranking inside a
+    * streaming query is unsupported for good reason: a rank is only
+    * final when its window closes), which is exactly how production
+    * serves it: state-bounded windowed counts stream out, the cheap
+    * rank runs where the result is read.
+    */
+  def streamTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_topk_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val query = windowAgg(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_us")
+      .orderBy(col("n_events").desc, col("event_type"))
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("window_start_us", "rnk")
+  }
+
+  val streamTopkSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS window_start_us,
+      |    event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT window_start_us, event_type, n_events,
+      |    row_number() OVER (PARTITION BY window_start_us
+      |      ORDER BY n_events DESC, event_type) AS rnk
+      |  FROM c
+      |)
+      |SELECT window_start_us, event_type, n_events, rnk
+      |FROM r WHERE rnk <= 3
+      |ORDER BY window_start_us, rnk""".stripMargin
+
   val streamUpsertSql: String =
     """WITH r AS (
       |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, value,
