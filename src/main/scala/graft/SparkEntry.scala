@@ -62,6 +62,9 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "lm_perplexity"    -> TextAnalysis.lmPerplexity _,
     "token_len_hist"   -> TextAnalysis.tokenLenHist _,
+    "text_zipf"        -> ((s: SparkSession, d: String) => TextAnalysis.textZipf(s, d)),
+    "events_retention" -> RelationalExtras.eventsRetention _,
+    "rfm_segment"      -> RelationalExtras.rfmSegment _,
     // §2.4+ curation: reproducible sampling + corpus n-gram stats
     "sample_hash" -> ((s: SparkSession, d: String) => Curation.sampleHash(s, d)),
     "ngram_top"   -> ((s: SparkSession, d: String) => Curation.ngramTop(s, d)),
@@ -162,6 +165,9 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "lm_perplexity"    -> TextAnalysis.lmPerplexitySql,
     "token_len_hist"   -> TextAnalysis.tokenLenHistSql,
+    "text_zipf"        -> TextAnalysis.textZipfSql,
+    "events_retention" -> RelationalExtras.eventsRetentionSql,
+    "rfm_segment"      -> RelationalExtras.rfmSegmentSql,
     "media_parse" -> Multimodal.mediaParseSql,
     "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums

@@ -112,6 +112,100 @@ object RelationalExtras {
       |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, ts_us, o_orderkey""".stripMargin
 
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted per subsequent activity week — the
+    * (cohort, week-offset) → distinct-user grid every growth
+    * dashboard renders. Week truncation and the day/7 offset are
+    * exact integer arithmetic on both engines (both date_trunc to
+    * Monday), so no calendar drift.
+    *
+    * Scale: one user-keyed aggregate for cohort assignment, one
+    * broadcast-join back (first-activity relation ≪ events), one
+    * bounded groupBy over (weeks × offsets) cells.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    ev.join(broadcast(first), "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"),
+        date_trunc("week", col("first_ts")).as("cw"))
+      .withColumn("week_offset", expr("datediff(wk, cw) div 7"))
+      .groupBy("cw", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("cw")).as("cohort_week_us"),
+        col("week_offset").cast("long").as("week_offset"), col("n_users"))
+      .orderBy("cohort_week_us", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cw
+      |  FROM events GROUP BY user_id
+      |), j AS (
+      |  SELECT e.user_id, date_trunc('week', e.ts::TIMESTAMP) AS wk, f.cw
+      |  FROM events e JOIN f USING (user_id)
+      |)
+      |SELECT epoch_us(cw) AS cohort_week_us,
+      |  CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM j GROUP BY cw, week_offset
+      |ORDER BY cohort_week_us, week_offset""".stripMargin
+
+  /** RFM customer segmentation: recency/frequency/monetary quintile
+    * scores (ntile(5), fully tie-broken by customer key so both
+    * engines cut identically) + the concatenated segment label.
+    *
+    * Scale note: ntile is a GLOBAL sort — fine for a dimension-sized
+    * relation (customers); at 10⁹+ customers the quintile cuts come
+    * from approx_percentile instead and the scores become a per-row
+    * CASE, no global sort.
+    */
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 4).as("monetary"))
+    val rW = Window.orderBy(col("last_order").desc, col("o_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    per
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .select(col("o_custkey"),
+        unix_micros(col("last_order").cast("timestamp")).as("last_order_us"),
+        col("frequency"), col("monetary"),
+        col("r_score").cast("long").as("r_score"),
+        col("f_score").cast("long").as("f_score"),
+        col("m_score").cast("long").as("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  val rfmSegmentSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS frequency, round(sum(o_totalprice), 4) AS monetary
+      |  FROM orders GROUP BY o_custkey
+      |), s AS (
+      |  SELECT o_custkey, last_order, frequency, monetary,
+      |    ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      |  FROM per
+      |)
+      |SELECT o_custkey, epoch_us(last_order) AS last_order_us,
+      |  CAST(frequency AS BIGINT) AS frequency, monetary,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  r_score || f_score || m_score AS segment
+      |FROM s ORDER BY o_custkey""".stripMargin
+
   /** Per-customer running order totals: cumulative sum + row index
     * over an event-time window — one shuffle by customer.
     */

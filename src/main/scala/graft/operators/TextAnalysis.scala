@@ -309,4 +309,58 @@ object TextAnalysis {
       |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
       |  CAST(max(n_tok) AS BIGINT) AS max_tokens
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Zipf-law fit of the corpus vocabulary: least-squares slope of
+    * ln(frequency) against ln(rank) over the top-1000 words — the
+    * corpus-health scalar (natural language sits near slope −1;
+    * boilerplate and generated text drift off it).
+    *
+    * Scale: the word-count aggregate is the only corpus-sized step;
+    * the rank window and the regression sums run over a CAPPED
+    * top-k relation (one TakeOrdered), so the global sort never sees
+    * the full vocabulary. Ranks are fully tie-broken (count desc,
+    * word) so both engines number identically; the regression sums
+    * are over 1000 O(1)-magnitude terms — last-ulp libm drift
+    * vanishes at the 6 dp rounding.
+    */
+  def textZipf(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(topK)
+    val ranked = counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      round((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 6)
+        .as("zipf_slope"),
+      round((sum(col("y")) - ((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))) * sum(col("x"))) /
+        count(lit(1)), 6).as("zipf_intercept"))
+  }
+
+  val textZipfSql: String =
+    """WITH c AS (
+      |  SELECT word, count(*) AS freq
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0
+      |  GROUP BY word ORDER BY freq DESC, word LIMIT 1000
+      |), r AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS x,
+      |    ln(CAST(freq AS DOUBLE)) AS y
+      |  FROM c
+      |)
+      |SELECT count(*) AS n_vocab,
+      |  round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+      |    (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+      |  round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y)) /
+      |    (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x)) / count(*), 6)
+      |    AS zipf_intercept
+      |FROM r""".stripMargin
 }
