@@ -104,6 +104,7 @@ object SparkEntry {
     "media_meta"        -> Multimodal.mediaMeta _,
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "media_parse"       -> Multimodal.mediaParse _,
+    "media_audio_stats" -> Multimodal.mediaAudioStats _,
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
@@ -169,6 +170,7 @@ object SparkEntry {
     "events_retention" -> RelationalExtras.eventsRetentionSql,
     "rfm_segment"      -> RelationalExtras.rfmSegmentSql,
     "media_parse" -> Multimodal.mediaParseSql,
+    "media_audio_stats" -> Multimodal.mediaAudioStatsSql,
     "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums
     "sample_hash" -> Curation.sampleHashSql,

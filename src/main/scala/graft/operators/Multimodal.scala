@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -276,6 +278,64 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** REAL audio feature extraction: decode the 16-bit LE PCM samples
+    * out of every WAV payload and report the signal stats
+    * (n_samples, peak, RMS, mean) — the "decode + featurize" step of
+    * a multimodal pipeline, running on actual bytes through the same
+    * batched partition-local path as the parsers.
+    *
+    * All stats derive from EXACT integer sample sums (sumsq < 2^53),
+    * and sqrt is IEEE-correctly-rounded on both engines, so the
+    * closed-form oracle (the synthesized PCM pattern is
+    * byte_i = i & 0x7F) matches to the last bit before rounding.
+    */
+  def mediaAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBinaryTable(spark, dir)
+      .filter(_.media_type == "wav")
+      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.map { r =>
+        val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
+        val dataLen = b.getInt(40)
+        val n = dataLen / 2
+        var i = 0
+        var sum = 0L
+        var sumSq = 0L
+        var peak = Long.MinValue
+        while (i < n) {
+          val v = b.getShort(44 + 2 * i).toLong // signed 16-bit sample
+          sum += v
+          sumSq += v * v
+          if (v > peak) peak = v
+          i += 1
+        }
+        (r.doc_id, n.toLong, peak,
+          math.sqrt(sumSq.toDouble / n), sum.toDouble / n)
+      }))
+      .toDF("doc_id", "n_samples", "peak", "rms", "mean_sample")
+      .select(col("doc_id"), col("n_samples"), col("peak"),
+        round(col("rms"), 6).as("rms"),
+        round(col("mean_sample"), 6).as("mean_sample"))
+      .orderBy("doc_id")
+  }
+
+  val mediaAudioStatsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    (100 + (doc_id % 20) * 10) *
+      |      ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2 // 1000) AS data_len
+      |  FROM documents WHERE doc_id % 2 = 1
+      |), s AS (
+      |  SELECT doc_id,
+      |    ((2 * j) % 128) + (((2 * j + 1) % 128) * 256) AS v
+      |  FROM w, unnest(generate_series(0, data_len // 2 - 1)) AS t(j)
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(max(v) AS BIGINT) AS peak,
+      |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)), 6) AS rms,
+      |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_sample
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Oracle: every parsed field in closed form from doc_id — BMP file
     * size = 54 + height·rowSize with 4-byte row padding; WAV size =
