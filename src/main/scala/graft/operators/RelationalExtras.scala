@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,22 +152,95 @@ object RelationalExtras {
       |FROM j GROUP BY cw, week_offset
       |ORDER BY cohort_week_us, week_offset""".stripMargin
 
-  /** RFM customer segmentation: recency/frequency/monetary quintile
-    * scores (ntile(5), fully tie-broken by customer key so both
-    * engines cut identically) + the concatenated segment label.
+  /** Exact global ntile(k) without a single-task sort. Range-shuffle
+    * on the order keys, rank within each range partition in parallel,
+    * add per-partition row-count offsets (a numPartitions-sized piece
+    * of driver state), then apply ntile's split formula to the global
+    * rank. Because the order keys form a total order (callers append
+    * a unique tiebreak key), the result is bit-identical to
+    * `ntile(k).over(Window.orderBy(keys))` INCLUDING tie handling —
+    * which an approx_percentile-cuts + CASE plan cannot reproduce
+    * (tied values straddling a quintile boundary get split by rank,
+    * not value). Every stage is shuffle-parallel: this is the 10⁹-row
+    * plan, and it's exact, so there is no small/large path switch.
     *
-    * Scale note: ntile is a GLOBAL sort — fine for a dimension-sized
-    * relation (customers); at 10⁹+ customers the quintile cuts come
-    * from approx_percentile instead and the scores become a per-row
-    * CASE, no global sort.
+    * The range-partitioned relation is persisted so the partition-id
+    * assignment seen by the count pass and the rank pass is the same
+    * physical layout (range boundaries come from a sample).
+    */
+  private[operators] def distributedNtile(
+      df: DataFrame, orderCols: Seq[Column], k: Int, scoreName: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val q = n / k
+    val rem = n % k
+    val qSafe = math.max(q, 1L) // else-branch divisor; unreachable rows when q=0
+    val localW = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    ranged
+      .withColumn("__rank", row_number().over(localW).cast("long"))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rank", col("__rank") + col("__off"))
+      .withColumn(scoreName,
+        when(col("__rank") <= lit(rem * (q + 1)),
+          expr(s"(__rank - 1) DIV ${q + 1} + 1"))
+          .otherwise(expr(s"$rem + (__rank - 1 - ${rem * (q + 1)}) DIV $qSafe + 1")))
+      .drop("__pid", "__rank", "__off")
+  }
+
+  /** RFM customer segmentation: recency/frequency/monetary quintile
+    * scores (fully tie-broken by customer key so both engines cut
+    * identically) + the concatenated segment label.
+    *
+    * Scale plan: each score is an exact [[distributedNtile]] — a
+    * range shuffle of a 2-column projection plus a per-partition
+    * rank, no global single-task Window sort — then three customer-
+    * keyed joins reassemble the scores. Bit-identical to the ntile
+    * window formulation (parity spec in ExtrasSpec), so the DuckDB
+    * ntile oracle verifies this plan directly.
     */
   def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(spark, dir)
+    val per = rfmPerCustomer(spark, dir)
+    def score(metric: String, name: String): DataFrame =
+      distributedNtile(
+        per.select(col("o_custkey"), col(metric)),
+        Seq(col(metric).desc, col("o_custkey")), 5, name)
+        .select(col("o_custkey"), col(name))
+    per
+      .join(score("last_order", "r_score"), Seq("o_custkey"))
+      .join(score("frequency", "f_score"), Seq("o_custkey"))
+      .join(score("monetary", "m_score"), Seq("o_custkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("last_order").cast("timestamp")).as("last_order_us"),
+        col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  private def rfmPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 4).as("monetary"))
+
+  /** The single-task ntile-window formulation rfmSegment must match
+    * bit-for-bit — kept as the parity reference for ExtrasSpec, not
+    * used by any query entry (it is the scale-killer plan).
+    */
+  private[operators] def rfmSegmentWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val per = rfmPerCustomer(spark, dir)
     val rW = Window.orderBy(col("last_order").desc, col("o_custkey"))
     val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
     val mW = Window.orderBy(col("monetary").desc, col("o_custkey"))

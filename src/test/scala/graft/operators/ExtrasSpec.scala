@@ -46,6 +46,30 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("distributedNtile is bit-identical to the ntile window, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // heavy ties straddling every bucket boundary: 40 rows, 7 distinct values
+    val tied = (1 to 40).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    for (k <- Seq(3, 5, 8, 50)) { // 50 > n exercises the q=0 branch
+      val dist = RelationalExtras.distributedNtile(
+          tied, Seq(col("v").desc, col("id")), k, "s")
+        .select($"id", $"s".cast("long")).as[(Long, Long)].collect().toMap
+      val win = tied.withColumn("s", ntile(k).over(W.orderBy(col("v").desc, col("id"))))
+        .select($"id", $"s".cast("long")).as[(Long, Long)].collect().toMap
+      assert(dist == win, s"k=$k")
+    }
+  }
+
+  test("rfm_segment (distributed) matches the ntile-window formulation exactly") {
+    val dist = RelationalExtras.rfmSegment(spark, sfDir).collect().toSeq
+    val win = RelationalExtras.rfmSegmentWindowed(spark, sfDir).collect().toSeq
+    assert(dist == win)
+    // the corpus genuinely exercises ties: some frequency value repeats
+    val freqs = dist.map(_.getLong(2))
+    assert(freqs.distinct.length < freqs.length, "corpus has no frequency ties")
+  }
+
   test("salted join is row-identical to the plain join") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"), col("event_type"))
     val uo = Tables.orders(spark, sfDir)
