@@ -171,7 +171,7 @@ object SparkEntry {
     "rfm_segment"      -> RelationalExtras.rfmSegmentSql,
     "media_parse" -> Multimodal.mediaParseSql,
     "media_audio_stats" -> Multimodal.mediaAudioStatsSql,
-    "media_meta"  -> Multimodal.mediaMetaSql, // stub DECODE, real plumbing: fields are closed-form over payload bytes
+    "media_meta"  -> Multimodal.mediaMetaSql, // real BMP/WAV header decode + corrupt-payload branch, closed-form
     "media_framesample" -> Multimodal.frameSampleSql, // real BMP row sampling, closed-form pixel sums
     "sample_hash" -> Curation.sampleHashSql,
     "ngram_top"   -> Curation.ngramTopSql,

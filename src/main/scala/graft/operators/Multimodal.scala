@@ -13,21 +13,15 @@ import graft.sources.Tables
   * decode/feature-extract pipeline uses (vectorized codec calls over
   * row batches, partition-local, no shuffle).
   *
-  * ── STUB BOUNDARY ──────────────────────────────────────────────
-  * This container ships no image/audio codecs, so `FakeCodec` below
-  * is a clearly-marked deterministic stand-in: it "parses" header
-  * fields from the payload bytes. Swap `FakeCodec` for a real
-  * decoder (libjpeg/ffmpeg via JNI, or a Pandas-UDF sidecar in
-  * PySpark) and every schema, batch shape, and partition contract
-  * here stays the same.
-  *
-  * `RiffCodec` below the boundary is NOT a stub: BMP and PCM-WAV are
-  * uncompressed containers whose headers are plain little-endian
-  * arithmetic — it synthesizes spec-conformant files and parses them
-  * back by magic bytes, driver-oracled end to end (media_parse).
-  * `frameSample` is likewise real: it samples actual pixel rows out
-  * of those BMPs by stride arithmetic (media_framesample oracle).
-  * ───────────────────────────────────────────────────────────────
+  * Nothing here is a stub. This container ships no compressed-format
+  * codecs (libjpeg/ffmpeg), but BMP and PCM-WAV are uncompressed
+  * containers whose headers are plain little-endian arithmetic:
+  * `RiffCodec` synthesizes spec-conformant files and parses them
+  * back by MAGIC BYTES (not a kind column), driver-oracled end to
+  * end. Every operator (`mediaMeta`, `mediaParse`, `frameSample`,
+  * `mediaAudioStats`) runs on those real bytes; a compressed format
+  * slots in as one more magic-byte branch in `RiffCodec.parse` with
+  * every schema, batch shape, and partition contract unchanged.
   */
 object Multimodal {
 
@@ -47,72 +41,58 @@ object Multimodal {
     */
   val CodecBatchSize = 64
 
-  /** STUB: deterministic fake codec. Header fields are derived from
-    * payload bytes so results are stable and testable; a real codec
-    * would read actual container headers here.
+  /** Header-derived metadata from the REAL BMP/WAV binaries, via the
+    * batched partition-local decode a production pipeline uses. Each
+    * payload is parsed by magic bytes ([[RiffCodec.parse]]) and
+    * mapped to the user-facing media_type; to exercise the failure
+    * path on actual corrupt bytes, every 13th payload is truncated
+    * to under 7 bytes before decode and must come back
+    * `valid = false` with zeroed fields — the oracle recomputes both
+    * branches in closed form from doc_id.
     */
-  private object FakeCodec {
-    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaMeta] = rows.map { r =>
-      val b = r.payload
-      if (b.length < 4) MediaMeta(r.doc_id, r.media_type, b.length, 0, 0, 0L, valid = false)
-      else {
-        val w = 160 + (b(0) & 0x7F)
-        val h = 90 + (b(1) & 0x7F)
-        val dur = r.media_type match {
-          case "image" => 0L
-          case "audio" => 1000L + (b(2) & 0xFF) * 250L
-          case _       => 5000L + (b(3) & 0xFF) * 1000L
-        }
-        MediaMeta(r.doc_id, r.media_type, b.length, w, h, dur, valid = true)
-      }
-    }
-
-  }
-
-  /** Media table derived from documents: payload = utf-8 bytes of the
-    * text (the container has no real media), media_type cycled
-    * deterministically. In production this is a parquet/iceberg table
-    * with a real binary column; everything downstream is unchanged.
-    */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
-  }
-
-  /** Header-derived metadata via batched partition-local decode. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .mapPartitions(_.grouped(CodecBatchSize).flatMap(b => FakeCodec.decodeBatch(b)))
+    mediaBinaryTable(spark, dir)
+      .map(r =>
+        if (r.doc_id % 13 == 0)
+          MediaRow(r.doc_id, r.media_type, r.payload.take((r.doc_id % 7).toInt))
+        else r)
+      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.map { r =>
+        val p = RiffCodec.parse(r.doc_id, r.payload)
+        val mediaType = p.kind match {
+          case "bmp" => "image"
+          case "wav" => "audio"
+          case other => other
+        }
+        MediaMeta(r.doc_id, mediaType, p.n_bytes, p.width, p.height,
+          p.duration_ms, valid = p.kind != "unknown")
+      }))
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Oracle for media_meta: FakeCodec's fields are closed-form over
-    * the payload bytes, and payload = utf-8 of `text` (pure ASCII in
-    * this corpus, so byte k = ascii(char k)) — the stub DECODE stays a
-    * stub, but the whole Spark path around it (derivation, batched
-    * mapPartitions, schema, types) is driver-verified.
+  /** Oracle for media_meta: every field in closed form from doc_id —
+    * the same BMP/WAV size arithmetic as [[mediaParseSql]], plus the
+    * truncated-payload branch (doc_id % 13 = 0 ⇒ n_bytes = doc_id % 7,
+    * everything else zeroed, valid = false).
     */
   val mediaMetaSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
-      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
-      |    ELSE 160 + ascii(substr(text, 1, 1)) % 128 END AS INTEGER) AS width,
-      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
-      |    ELSE 90 + ascii(substr(text, 2, 1)) % 128 END AS INTEGER) AS height,
-      |  CAST(CASE WHEN strlen(text) < 4 THEN 0
-      |    WHEN doc_id % 3 = 0 THEN 0
-      |    WHEN doc_id % 3 = 1 THEN 1000 + ascii(substr(text, 3, 1)) * 250
-      |    ELSE 5000 + ascii(substr(text, 4, 1)) * 1000 END AS BIGINT) AS duration_ms,
-      |  strlen(text) >= 4 AS valid
+      |  CASE WHEN doc_id % 13 = 0 THEN 'unknown'
+      |       WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN doc_id % 7
+      |    WHEN doc_id % 2 = 0
+      |    THEN 54 + (9 + doc_id % 16) * (((3 * (16 + doc_id % 32) + 3) // 4) * 4)
+      |    ELSE 44 + (100 + (doc_id % 20) * 10) *
+      |         ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2 // 1000)
+      |  END AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 1 THEN 0
+      |    ELSE 16 + doc_id % 32 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 1 THEN 0
+      |    ELSE 9 + doc_id % 16 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN 0
+      |    ELSE 100 + (doc_id % 20) * 10 END AS BIGINT) AS duration_ms,
+      |  doc_id % 13 <> 0 AS valid
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame/row sampling over the REAL BMP binaries (not the stub):

@@ -6,22 +6,33 @@ import graft.LocalSpark.{sfDir, spark}
 
 class MultimodalSpec extends AnyFunSuite {
 
-  test("media metadata is deterministic, typed, and covers every doc") {
+  test("media metadata decodes real headers, covers every doc, flags corrupt payloads") {
     val rows = Multimodal.mediaMeta(spark, sfDir).collect()
     assert(rows.length == 500)
-    assert(rows.forall(_.getBoolean(6))) // all payloads "decode"
-    val types = rows.map(_.getString(1)).toSet
-    assert(types == Set("image", "audio", "video"))
-    // header-derived dims in the stub's documented ranges
     rows.foreach { r =>
-      assert(r.getInt(3) >= 160 && r.getInt(3) < 288)
-      assert(r.getInt(4) >= 90 && r.getInt(4) < 218)
+      val d = r.getLong(0)
+      if (d % 13 == 0) {
+        // truncated payloads are rejected, not misparsed
+        assert(!r.getBoolean(6) && r.getString(1) == "unknown")
+        assert(r.getInt(2) == (d % 7).toInt)
+        assert(r.getInt(3) == 0 && r.getInt(4) == 0 && r.getLong(5) == 0L)
+      } else if (d % 2 == 0) {
+        // BMP: width/height come from the actual BITMAPINFOHEADER
+        assert(r.getBoolean(6) && r.getString(1) == "image")
+        assert(r.getInt(3) == 16 + (d % 32).toInt)
+        assert(r.getInt(4) == 9 + (d % 16).toInt)
+        assert(r.getLong(5) == 0L)
+      } else {
+        // WAV: duration reconstructs from byteRate and data length
+        assert(r.getBoolean(6) && r.getString(1) == "audio")
+        assert(r.getInt(3) == 0 && r.getInt(4) == 0)
+        assert(r.getLong(5) == 100L + (d % 20) * 10L)
+      }
     }
-    // images have no duration; audio/video do
-    rows.foreach { r =>
-      if (r.getString(1) == "image") assert(r.getLong(5) == 0L)
-      else assert(r.getLong(5) > 0L)
-    }
+    // both failure and both success branches actually occur
+    assert(rows.count(!_.getBoolean(6)) > 0)
+    assert(rows.count(_.getString(1) == "image") > 0)
+    assert(rows.count(_.getString(1) == "audio") > 0)
   }
 
   test("RiffCodec synthesizes spec-conformant BMP/WAV and parses them back exactly") {
