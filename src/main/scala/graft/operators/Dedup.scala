@@ -269,18 +269,26 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = shingleArrays(spark, dir)
     // 128 permutations from ONE xxhash64 per shingle: sig_i =
-    // min(A_i·h + B_i) with odd multiplier A_i — codegen'd min
+    // min((A_i·h + B_i) mod p), p = 2^31 − 1 — codegen'd min
     // aggregates with map-side partial agg, instead of 128
-    // interpreted array passes per document.
-    // 31-bit hash × 31-bit constants keeps products < 2^62: no ANSI
-    // overflow, and a (a·h+b) family over 31 bits is ample for
-    // minhashing shingle sets ≪ 2^31.
-    val permA: Array[Long] = Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) | 1L)
-    val permB: Array[Long] = Array.tabulate(NumPerm)(i => mixConst(2 * i + 1) & 0x7FFFFFFFL)
+    // interpreted array passes per document. The mod p is LOAD-
+    // BEARING: without it a·h + b is monotone in h, so every
+    // "permutation" ranks shingles identically and the whole
+    // signature collapses to a function of min(h) — one effective
+    // permutation, detect probability j instead of 1−(1−j⁴)³²
+    // (caught by the exact-Jaccard oracle: pairs at j = 0.96 were
+    // missed at ~4% rates). With the Mersenne-prime reduction this
+    // is the standard 2-universal (a·x+b mod p) family.
+    // 31-bit hash × <2^31 constants keeps products < 2^62: no ANSI
+    // overflow, and the family over 31 bits is ample for minhashing
+    // shingle sets ≪ 2^31.
+    val P = 2147483647L // 2^31 − 1
+    val permA: Array[Long] = Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) % (P - 1) + 1L)
+    val permB: Array[Long] = Array.tabulate(NumPerm)(i => mixConst(2 * i + 1) % P & 0x7FFFFFFFL)
     val h = shingled(spark, dir)
       .withColumn("h", xxhash64(col("shingle")) bitwiseAND lit(0x7FFFFFFFL))
     val sigAggs = (0 until NumPerm).map(i =>
-      min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"m$i"))
+      min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(P))).as(s"m$i"))
     val sig = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // band key = hash of the band's 4 signature rows
     val bandCols: Seq[Column] = (0 until Bands).map { b =>
@@ -304,6 +312,38 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Exact-Jaccard oracle for [[minhashLsh]]: the LSH family is
+    * deterministic (one xxhash64 per shingle + fixed splitmix
+    * permutation constants), so whether banding surfaces every pair
+    * with J ≥ τ is a FIXED property of a given corpus, not a per-run
+    * coin flip — and the per-pair false-negative probability at
+    * τ = 0.8 is (1−j⁴)³² ≤ 5e-8 (the [[contamMinhash]] argument).
+    * Equality against the all-pairs inverted-index Jaccard is
+    * therefore a legitimate driver oracle, verified at every SF.
+    */
+  val minhashLshSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS w
+      |  FROM documents WHERE len(str_split(text, ' ')) >= 3
+      |), idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** Doc-level cross-corpus decontamination: benchmark docs that are
     * NEAR-duplicates of corpus docs (Jaccard ≥ τ), found through the
@@ -374,21 +414,38 @@ object Dedup {
   // native (xxhash64 / shiftright / bit_count) inside codegen.
   // -------------------------------------------------------------------
 
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // one xxhash64 per token row, then 64 codegen'd conditional-sum
+  /** SimHash near-dup audit with a pluggable token-hash family:
+    * `oracleHash = false` (production default) is one xxhash64 per
+    * token over 64 bits — the cheapest family, spec-verified;
+    * `oracleHash = true` derives a 60-bit hash from the md5 hex
+    * prefix, which DuckDB recomputes EXACTLY (md5 is the hash both
+    * engines share), making the whole operator driver-oracled end to
+    * end. Same majority vote, same pigeonhole blocking, same output:
+    * 60 vs 64 bits changes nothing structural (4 blocks of 15 bits;
+    * Hamming ≤ 3 still forces ≥ 1 equal block).
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      oracleHash: Boolean = false): DataFrame = {
+    val nBits = if (oracleHash) 60 else 64
+    val blockBits = nBits / 4
+    val mask = (1L << blockBits) - 1L
+    // one hash per token row, then nBits codegen'd conditional-sum
     // aggregates (map-side partial agg); the bit-majority vote and
     // word assembly are a single narrow projection afterwards.
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitAggs = (0 until 64).map(k =>
+      .withColumn("h",
+        if (oracleHash)
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+        else xxhash64(col("t")))
+    val bitAggs = (0 until nBits).map(k =>
       sum((shiftright(col("h"), k) bitwiseAND lit(1L)) * lit(2L) - lit(1L)).as(s"s$k"))
     val docs = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(k => when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+        (0 until nBits).map(k => when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
     val blockCols = (0 until 4).map { j =>
-      struct(lit(j).as("blk"), (shiftright(col("simhash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
+      struct(lit(j).as("blk"), (shiftright(col("simhash"), j * blockBits) bitwiseAND lit(mask)).as("bval"))
     }
     val blocked = docs.select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.blk"), col("bb.bval"))
@@ -400,6 +457,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("a_id", "b_id")
   }
+
+  /** Oracle for [[simhash]] with `oracleHash = true`: DuckDB
+    * recomputes the md5-prefix 60-bit token hashes, the per-bit
+    * majority vote, the 15-bit pigeonhole blocks, and the Hamming
+    * filter — every step is deterministic integer arithmetic, so
+    * this is a full bit-for-bit recomputation, not an invariant.
+    */
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+      |), h AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+      |  FROM tok
+      |), bits AS (
+      |  SELECT doc_id, k, sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, unnest(generate_series(0, 59)) AS r(k)
+      |  GROUP BY doc_id, k
+      |), sim AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0::BIGINT END) AS sh
+      |  FROM bits GROUP BY doc_id
+      |), blk AS (
+      |  SELECT doc_id, sh, j, (sh >> (15 * CAST(j AS INTEGER))) & 32767 AS bval
+      |  FROM sim, unnest(generate_series(0, 3)) AS q(j)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |  FROM blk a JOIN blk b ON a.j = b.j AND a.bval = b.bval
+      |  WHERE a.doc_id < b.doc_id
+      |)
+      |SELECT a_id, b_id, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Embedding near-dup: EXACT cosine ≥ τ self-join, cluster-blocked.

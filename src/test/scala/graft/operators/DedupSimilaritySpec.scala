@@ -33,6 +33,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // near-identical documents should collide under simhash too
     assert((pairs & exact).size >= exact.size / 2,
       s"simhash found ${(pairs & exact).size} of ${exact.size} jaccard dups")
+    // the driver-oracled md5-60 family satisfies the same contracts:
+    // hamming bound, distinct pairs, and jaccard-dup overlap
+    val oRows = Dedup.simhash(spark, sfDir, oracleHash = true).collect()
+    assert(oRows.forall(_.getInt(2) <= 3))
+    val oPairs = oRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oPairs.size == oRows.length)
+    assert((oPairs & exact).size >= exact.size / 2,
+      s"md5-60 simhash found ${(oPairs & exact).size} of ${exact.size} jaccard dups")
   }
 
   test("IVF kNN attains reasonable recall vs brute force") {
