@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -20,6 +20,43 @@ import graft.sources.Tables
   * deterministic on any cluster layout.
   */
 object Bpe {
+
+  /** Dict partitions are sized to the DICT, not the corpus: one
+    * partition per ~64k words, capped at the session's parallelism —
+    * tiny dicts run single-task iterations (no scheduling overhead),
+    * a 10M-row production dict gets ~150.
+    */
+  private def dictParts(spark: SparkSession, dictRows: Long): Int =
+    math.max(1L, math.min(dictRows / 65536L + 1L,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+
+  /** Materialize AND lineage-cut the encode fold every this many
+    * merges: each merge adds one nested `aggregate` lambda to the
+    * projection, so an unbounded fold grows the logical plan linearly
+    * — and since every withColumn re-analyzes the whole tree, total
+    * analysis cost goes O(merges²). persist() alone does NOT fix this
+    * (caching truncates execution, not the analyzed plan), so chunk
+    * boundaries use eager localCheckpoint(), a genuine lineage cut;
+    * superseded checkpoint RDDs are freed by the ContextCleaner when
+    * unreferenced. Plan depth is then O(chunk) regardless of
+    * vocabulary size. (On a real cluster you'd use reliable
+    * checkpoint() against the cluster FS for executor-loss safety.)
+    */
+  private[operators] val EncodeChunk = 25
+
+  /** One BPE merge step over a token-array column: merge adjacent
+    * (l, r) left-to-right in a single fold — no UDF, and no SQL-parser
+    * round trip (corpus-derived strings enter as typed literals, so
+    * backslashes/quotes in tokens can't alter the expression).
+    */
+  private def mergeStep(tokens: Column, l: String, r: String): Column =
+    aggregate(tokens, typedLit(Seq.empty[String]), (acc, t) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(t))))
+
+  private def charTokens(word: Column): Column =
+    filter(split(word, ""), t => t =!= "")
 
   /** The learned merge table: one row per merge step. */
   def bpeTrain(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
@@ -49,20 +86,22 @@ object Bpe {
   private[graft] def learnMerges(
       docs: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    // corpus -> word-frequency dict (the only corpus-sized shuffle)
-    // the corpus-sized shuffle runs wide; the RESULT is dict-sized, so
-    // coalesce before the merge loop — iteration jobs then run on a
-    // partition count matched to the dict, not to the corpus (at 10M
-    // dict rows you'd coalesce to a few hundred, same reasoning)
-    var dict = docs
+    // corpus -> word-frequency dict (the only corpus-sized shuffle);
+    // the shuffle runs wide, the RESULT is dict-sized, so re-lay it
+    // out on a dict-derived partition count before the merge loop —
+    // iteration jobs then pay dict-proportional scheduling, not
+    // corpus-width (13s -> 3s lesson from the CC loop).
+    val raw = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(expr("filter(split(word, ''), t -> t <> '')").as("tokens"), col("freq"))
-      .coalesce(1)
+      .select(charTokens(col("word")).as("tokens"), col("freq"))
       .persist()
-    dict.count() // materialize before the loop
+    val dictRows = raw.count()
+    // eager lineage cut: iteration plans start from a LogicalRDD, so
+    // the per-step analysis cost is O(1) in the step number
+    var dict = raw.coalesce(dictParts(spark, dictRows)).localCheckpoint()
+    raw.unpersist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     var exhausted = false
@@ -82,23 +121,12 @@ object Bpe {
       else {
         val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         learned += ((step, l, r, cnt))
-        def q(s: String) = s.replace("'", "\\'")
-        // rewrite every word's token array, merging adjacent (l, r)
-        // left-to-right — a single fold, no UDF
-        val next = dict.select(expr(
-          s"""aggregate(tokens, CAST(array() AS ARRAY<STRING>), (acc, t) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' AND t = '${q(r)}'
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array('${q(l)}${q(r)}'))
-             |       ELSE concat(acc, array(t)) END)""".stripMargin).as("tokens"),
-          col("freq"))
-          .persist()
-        next.count()
-        dict.unpersist()
-        dict = next
+        dict = dict
+          .select(mergeStep(col("tokens"), l, r).as("tokens"), col("freq"))
+          .localCheckpoint() // eager; old checkpoint GC'd by ContextCleaner
         step += 1
       }
     }
-    dict.unpersist()
     learned.toSeq
   }
 
@@ -107,9 +135,11 @@ object Bpe {
     * single array fold, no UDF), and documents join the encoded dict
     * by word — so the per-merge work is dict-sized no matter how big
     * the corpus, and the only corpus-sized operations are the word
-    * explode and one (doc_id, word)-keyed aggregate. Output per doc:
-    * word count, BPE token count, and the chars-per-token
-    * compression ratio the tokenizer report tracks.
+    * explode and one (doc_id, word)-keyed aggregate. The fold is
+    * materialized every [[EncodeChunk]] merges so plan depth stays
+    * bounded at production vocabulary sizes. Output per doc: word
+    * count, BPE token count, and the chars-per-token compression
+    * ratio the tokenizer report tracks.
     */
   def bpeApply(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
     bpeApplyFor(Tables.documents(spark, dir),
@@ -117,21 +147,24 @@ object Bpe {
 
   private[graft] def bpeApplyFor(
       docs: DataFrame, mergeSeq: Seq[(String, String)]): DataFrame = {
-    def q(s: String) = s.replace("'", "\\'")
+    val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-      .coalesce(1) // dict-sized relation; see the training-loop note
-    val encoded = mergeSeq.foldLeft(
-      words.withColumn("tokens", expr("filter(split(word, ''), t -> t <> '')"))) {
-      case (df, (l, r)) =>
-        df.withColumn("tokens", expr(
-          s"""aggregate(tokens, CAST(array() AS ARRAY<STRING>), (acc, t) ->
-             |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' AND t = '${q(r)}'
-             |       THEN concat(slice(acc, 1, size(acc) - 1), array('${q(l)}${q(r)}'))
-             |       ELSE concat(acc, array(t)) END)""".stripMargin))
-    }.select(col("word"), size(col("tokens")).cast("long").as("n_tok"),
+      .persist()
+    val dictRows = words.count()
+    var cur = words.coalesce(dictParts(spark, dictRows))
+      .withColumn("tokens", charTokens(col("word")))
+    // chunked eager lineage cuts: bounded plan depth, bounded codegen
+    mergeSeq.grouped(EncodeChunk).foreach { chunk =>
+      cur = chunk.foldLeft(cur) { case (df, (l, r)) =>
+        df.withColumn("tokens", mergeStep(col("tokens"), l, r))
+      }.localCheckpoint()
+    }
+    words.unpersist()
+    val encoded = cur.select(col("word"),
+      size(col("tokens")).cast("long").as("n_tok"),
       length(col("word")).cast("long").as("n_chars"))
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

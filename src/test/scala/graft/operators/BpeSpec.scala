@@ -85,6 +85,39 @@ class BpeSpec extends AnyFunSuite {
     assert(encode("newest") < "newest".length)
   }
 
+  test("BPE at 120 merges: bounded plan growth, parser-hostile tokens, reference parity") {
+    import spark.implicits._
+    // enough pair vocabulary for 120+ merges, and characters that
+    // would break a string-interpolated SQL literal (backslash,
+    // quote) — the merge lambdas must treat tokens as data
+    val alphabet = Vector("a", "b", "c", "\\", "'", "d")
+    def word(i: Int): String =
+      (0 until 14).map { j =>
+        var z = i.toLong * 2654435769L + j.toLong * 40503L + 97L
+        z = (z ^ (z >>> 13)) * 0x9E3779B97F4A7C15L
+        alphabet(((z >>> 17) % alphabet.size).toInt.abs)
+      }.mkString
+    val words = (0 until 200).map(word).distinct.zipWithIndex
+      .map { case (w, i) => w -> (i % 9 + 1).toLong }
+    val docs = words.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Bpe.bpeTrainFor(docs, merges = 120).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = referenceBpe(words.toMap, 120).take(got.size)
+    assert(got == expected, s"first mismatch: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.size >= 100, s"corpus only supported ${got.size} merges")
+    // apply the full merge sequence through the chunked encode path
+    val enc = Bpe.bpeApplyFor(docs, got.map(m => (m._2, m._3))).collect()
+    assert(enc.length == words.size)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // linear-in-merges materialized loop: far under the quadratic
+    // analysis blowup an unchunked fold would show (generous bound —
+    // host noise up to 5x per CLAUDE.md)
+    assert(wallSec < 300, s"120-merge train+encode took ${wallSec}s")
+  }
+
   test("BPE on the corpus is deterministic and merges have monotone utility") {
     val a = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
     val b = Bpe.bpeTrain(spark, sfDir, merges = 4).collect().map(_.toSeq).toSeq
