@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -419,8 +421,11 @@ object StreamingJobs {
   private[graft] def streamUpsertGlob(
       spark: SparkSession, dir: String, glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // per-invocation nonce: concurrent runs in one JVM never share a
+    // version path; superseded version dirs are deleted as the merge
+    // advances (only the final version survives the run)
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      f"graft_stream_upsert_${((dir + glob).hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
+      f"graft_stream_upsert_p${ProcessHandle.current().pid()}_${System.nanoTime()}%x").toString
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     def keepLatest(df: DataFrame): DataFrame =
@@ -442,6 +447,12 @@ object StreamingJobs {
           else keepLatest(spark.read.parquet(s"$base/v$version").unionByName(latest))
         merged.write.mode("overwrite").parquet(s"$base/v${version + 1}")
         version += 1
+        if (version >= 2) { // v{n-1} fully merged into v{n}: delete it
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"$base/v${version - 1}"))
+        }
         ()
       }.start()
     try query.processAllAvailable() finally query.stop()
@@ -460,13 +471,14 @@ object StreamingJobs {
     * serves it: state-bounded windowed counts stream out, the cheap
     * rank runs where the result is read.
     */
-  def streamTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def streamTopk(spark: SparkSession, dir: String, k: Int = 3,
+      glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_topk_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
     val query = windowAgg(stream)
       .writeStream.outputMode("complete").format("memory").queryName(sink).start()
@@ -480,6 +492,60 @@ object StreamingJobs {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy("window_start_us", "rnk")
+  }
+
+  /** UPDATE-mode run of the trending-items leaderboard: the windowed
+    * aggregate streams in update mode (watermark EVICTS closed-window
+    * state — the unbounded-source production configuration) into a
+    * foreachBatch upsert keyed by (window, event_type) — the
+    * KV-store/Delta-MERGE serving pattern — and the top-k rank runs
+    * over the upserted store. Returns the leaderboard plus the
+    * per-microbatch state row counts so the spec can assert the
+    * state is genuinely bounded AND the result converges to the
+    * complete-mode [[streamTopk]] answer.
+    */
+  private[graft] def streamTopkUpdate(
+      spark: SparkSession, dir: String, k: Int = 3,
+      glob: String = "events.parquet"): (DataFrame, Seq[Long]) = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val store = new java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Double)]()
+    val query = windowAgg(stream)
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // update mode emits only keys CHANGED this microbatch; the
+        // upsert makes the store hold the latest value per key. The
+        // collect is bounded by the leaderboard key space (windows ×
+        // event types), not the event volume — production swaps the
+        // map for a distributed KV write with the same keying.
+        batch.collect().foreach { r =>
+          store.put((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }.start()
+    val states = try {
+      query.processAllAvailable()
+      query.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+    } finally query.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_us")
+      .orderBy(col("n_events").desc, col("event_type"))
+    val result = store.entrySet().iterator().asScala
+      .map(e => (e.getKey._1, e.getKey._2, e.getValue._1)).toSeq
+      .toDF("window_start_us", "event_type", "n_events")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("window_start_us", "rnk")
+    (result, states)
   }
 
   val streamTopkSql: String =

@@ -64,6 +64,63 @@ class StreamingSpec extends AnyFunSuite {
       s"state not bounded near the watermark horizon: $states")
   }
 
+  test("update-mode top-k leaderboard: upsert converges to complete mode, state bounded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val baseSec = 1599998400L // exactly hour-aligned (444444 * 3600)
+    val hourNs = 3600L * 1000000000L
+    val minNs = 60L * 1000000000L
+    val base = baseSec * 1000000000L
+    val nHours = 12
+    def ev(id: Long, tsNs: Long, tpe: String) = Row(id, tsNs, 1L, tpe, 1.0, "{}")
+    // chunk k holds hours 2k and 2k+1 (3 clicks + 2 views each) plus,
+    // for k >= 1, two straggler views for hour 2k-1 at minute 50 —
+    // still ahead of the 30-minute watermark when chunk k processes,
+    // so a CLOSED-LOOKING window's count is updated in a later
+    // microbatch and the odd hours' leaderboard flips from
+    // click-first to view-first only after the straggler batch: the
+    // upsert sink must keep the latest emission per key.
+    val chunks = (0 until nHours / 2).map { k =>
+      val main = Seq(2 * k, 2 * k + 1).flatMap { h =>
+        (0 until 3).map(i => ev(h * 100L + i, base + h * hourNs + i * 5 * minNs, "click")) ++
+          (0 until 2).map(i => ev(h * 100L + 10 + i, base + h * hourNs + (10 + i) * minNs, "view"))
+      }
+      val stragglers =
+        if (k == 0) Seq.empty
+        else {
+          val h = 2 * k - 1
+          (0 until 2).map(i => ev(h * 100L + 20 + i, base + h * hourNs + (50 + i) * minNs, "view"))
+        }
+      (main ++ stragglers): Seq[Row]
+    }
+    val dir = writeChunkDir(chunks, schema)
+    val (board, states) =
+      StreamingJobs.streamTopkUpdate(spark, dir, k = 3, glob = "chunk*.parquet")
+    val rows = board.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    (0 until nHours).foreach { h =>
+      val ws = (baseSec + h * 3600L) * 1000000L
+      val forH = rows.filter(_._1 == ws).sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+      val expect =
+        if (h % 2 == 1 && h < 11) Seq(("view", 4L, 1), ("click", 3L, 2))
+        else Seq(("click", 3L, 1), ("view", 2L, 2))
+      assert(forH == expect, s"hour $h: $forH")
+    }
+    // the update-mode upsert converges to the complete-mode answer
+    val complete = StreamingJobs.streamTopk(spark, dir, k = 3, glob = "chunk*.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows.toSet == complete)
+    // state stays near the watermark horizon, not leaderboard-sized
+    // (complete mode would retain all nHours x 2 key rows)
+    assert(states.nonEmpty, "no state-operator progress recorded")
+    assert(states.max < nHours * 2, s"state never evicted: $states")
+    assert(states.max <= 8, s"state not bounded near the horizon: $states")
+  }
+
   test("streaming windowed agg equals the batch result over the same data") {
     val streamed = StreamingJobs.sessionAggStream(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
