@@ -180,10 +180,17 @@ object Similarity {
     * bit-identical and survive any rounding.
     */
   def vecQuantize(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    vecQuantizeFor(Tables.embeddings(spark, dir))
+
+  private[graft] def vecQuantizeFor(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      // greatest(·, 1e-300): an all-zero embedding would make scale 0
+      // and the division NaN (and the ANSI BIGINT cast throw); the
+      // floor maps it to code 0 / sse 0, mirrored in the oracle, and
+      // is a no-op for any nonzero vector
       .withColumn("scale",
-        expr("array_max(transform(e, x -> abs(CAST(x AS DOUBLE)))) / 127"))
+        expr("greatest(array_max(transform(e, x -> abs(CAST(x AS DOUBLE)))) / 127, 1e-300)"))
       .select(
         col("vec_id"), col("label"),
         round(col("scale"), 8).as("scale8"),
@@ -452,8 +459,8 @@ object Similarity {
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,
-      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
-      |      AS scale
+      |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127,
+      |      1e-300) AS scale
       |  FROM embeddings
       |)
       |SELECT vec_id, label,

@@ -352,6 +352,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ recall@5 is non-decreasing in nprobe and saturates at nprobe = kCoarse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // kCoarse (32) EXCEEDS the planted cluster count (20), so the
+    // coarse quantizer splits clusters across cells and a query's
+    // true neighbors straddle cell boundaries — nprobe genuinely
+    // matters. (With kCoarse <= clusters the curve is flat from
+    // nprobe = 1: every neighbor shares the query's cell.)
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val nClusters = 20
+    val perCluster = 10
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = centers(c).map(x => (x + 0.3 * rnd.nextGaussian()).toFloat)
+      ((c * perCluster + i).toLong, s"c$c", v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val raw = e.withColumn("nrm", graft.functions.arrayNorm(col("embedding")))
+    val vecs = rows.map(r => r._1 -> r._3.map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (d2(vecs(q), vecs(id)), id)).take(5).toSet
+    }.toMap
+    def run(np: Int): Seq[(Long, Long)] =
+      Similarity.knnIvfPqFor(spark, raw, kCoarse = 32, nprobe = np, k = 5, memoKey = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val curve = Seq(1, 2, 4, 8, 32).map { np =>
+      val got = run(np).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rec = brute.keys.toSeq
+        .map(q => (brute(q) & got.getOrElse(q, Set.empty)).size).sum
+        .toDouble / (brute.size * 5)
+      np -> rec
+    }
+    info("IVF-PQ recall@5 curve: " +
+      curve.map { case (np, r) => f"nprobe=$np%d:$r%.3f" }.mkString(", "))
+    curve.sliding(2).foreach {
+      case Seq((npLo, lo), (npHi, hi)) =>
+        assert(hi >= lo - 1e-9, f"recall dropped $lo%.3f@$npLo -> $hi%.3f@$npHi")
+      case _ =>
+    }
+    // probing every cell must recover most true neighbors on
+    // clustered data (chance is ~5/199)
+    assert(curve.last._2 > 0.5, f"full-probe recall ${curve.last._2}%.3f too low")
+    // nprobe = kCoarse probes EVERY cell: the ranking is the full
+    // residual-ADC scan, and more probes cannot change the answer
+    assert(run(32).sorted == run(100).sorted,
+      "nprobe = kCoarse must equal the exhaustive probe")
+  }
+
+  test("vecQuantize handles an all-zero embedding (no NaN, no ANSI throw)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "z", Seq.fill(8)(0.0f)),
+      (2L, "a", Seq(1.0f, -2.0f, 0.5f, 0.0f, 3.0f, -1.0f, 0.25f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.vecQuantizeFor(e).collect()
+    val zero = rows.find(_.getLong(0) == 1L).get
+    assert(zero.getDouble(2) == 0.0 && zero.getLong(3) == 0L && zero.getDouble(4) == 0.0)
+    val nz = rows.find(_.getLong(0) == 2L).get
+    assert(nz.getLong(3) != 0L, "nonzero vector must quantize to nonzero codes")
+  }
+
   test("ADC search over PQ codes recovers planted cluster neighbors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
