@@ -224,20 +224,26 @@ object Curation {
     * training on scraped data.
     *
     * Scale: candidate generation is an inverted-index equi-join on
-    * the 5-gram — never a doc×doc product — and the benchmark side
-    * (eval sets are ≪ corpus) is broadcast, so the corpus-side gram
-    * stream never shuffles: map-side hash join + one bounded
-    * groupBy(bench_id).
+    * the 5-gram — never a doc×doc product. When the benchmark side is
+    * a genuine eval set (≪ corpus, fits an executor), pass
+    * `broadcastBench = true`: map-side hash join, the corpus-side
+    * gram stream never shuffles. The md5-slice ENTRY rule selects
+    * ~1/16 of the whole corpus — that side GROWS with the corpus, so
+    * forcing a broadcast there would eventually OOM the build side;
+    * the entry leaves the strategy to AQE (broadcast while it fits,
+    * shuffle join beyond).
     */
   def contamNgram(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
     contamNgramFor(Tables.documents(spark, dir), n,
-      substring(md5(col("text").cast("binary")), 1, 1) === "0")
+      substring(md5(col("text").cast("binary")), 1, 1) === "0",
+      broadcastBench = false)
 
   /** Same with the benchmark membership injected — spec corpora plant
     * known leaks with an explicit flag instead of the md5 rule.
     */
   private[graft] def contamNgramFor(
-      docs: DataFrame, n: Int, isBench: org.apache.spark.sql.Column): DataFrame = {
+      docs: DataFrame, n: Int, isBench: org.apache.spark.sql.Column,
+      broadcastBench: Boolean = true): DataFrame = {
     val grams = docs
       .select(col("doc_id"), isBench.as("is_bench"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -248,7 +254,7 @@ object Curation {
       .select(col("doc_id").as("bench_id"), col("gram"))
     val corpus = grams.filter(!col("is_bench"))
       .select(col("doc_id").as("corpus_id"), col("gram"))
-    corpus.join(broadcast(bench), "gram")
+    corpus.join(if (broadcastBench) broadcast(bench) else bench, "gram")
       .groupBy("bench_id")
       .agg(
         countDistinct(col("corpus_id")).as("n_contaminated_docs"),

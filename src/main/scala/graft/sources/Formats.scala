@@ -14,9 +14,14 @@ object Formats {
     * over different datasets (sf0.001 fast loop alongside sf0.01
     * verify) must not interleave overwrite-and-read on one path.
     */
-  private def tmp(name: String, dir: String): String =
+  private def tmp(name: String, dir: String): String = {
+    // md5-keyed like the catalog tables below: distinct dirs must
+    // never map to the same scratch path
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      f"${name}_${(dir.hashCode & 0x7fffffff)}%x_p${ProcessHandle.current().pid()}").toString
+      s"${name}_${tag}_p${ProcessHandle.current().pid()}").toString
+  }
 
   /** customer → CSV → (schema-checked read) → JSON → read → dump.
     * Hash-equality with the original table proves both text formats
@@ -68,7 +73,11 @@ object Formats {
     * checks the result equals the plain join.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tag = f"${(dir.hashCode & 0x7fffffff)}%x"
+    // collision-resistant tag: two dataset dirs in one session must
+    // never silently share a catalog table (String.hashCode would
+    // collide at ~2^16 dirs by birthday bound; md5 won't)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     if (!spark.catalog.tableExists(ot)) {
       Tables.orders(spark, dir)
