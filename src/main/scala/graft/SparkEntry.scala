@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Classifier, Curation, Dedup, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -143,6 +143,14 @@ object SparkEntry {
     "stream_upsert"     -> StreamingJobs.streamUpsert _,
     "stream_topk"       -> ((s: SparkSession, d: String) => StreamingJobs.streamTopk(s, d)),
     "orc_roundtrip"     -> graft.sources.Formats.orcRoundtrip _,
+    // insight/graph/fuzzy breadth (round 6)
+    "cooccur_lift"    -> Insights.cooccurLift _,
+    "tfidf_keywords"  -> ((s: SparkSession, d: String) => Insights.tfidfKeywords(s, d)),
+    "equi_depth_hist" -> Insights.equiDepthHist _,
+    "ewma_user"       -> Insights.ewmaUser _,
+    "pagerank"        -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
+    "triangle_count"  -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
+    "fuzzy_join"      -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -232,5 +240,13 @@ object SparkEntry {
     "stream_upsert"      -> StreamingJobs.streamUpsertSql,
     "stream_topk"        -> StreamingJobs.streamTopkSql,
     "orc_roundtrip"      -> graft.sources.Formats.orcRoundtripSql,
+    // insight/graph/fuzzy breadth (round 6)
+    "cooccur_lift"    -> Insights.cooccurLiftSql,
+    "tfidf_keywords"  -> Insights.tfidfKeywordsSql, // linear idf: rank stat is a rational of ints (bit-identical cross-engine)
+    "equi_depth_hist" -> Insights.equiDepthHistSql,
+    "ewma_user"       -> Insights.ewmaUserSql,      // both engines fold left-to-right: identical arithmetic sequence
+    "pagerank"        -> Graph.pagerankSql,          // same 10 iterations unrolled as CTEs
+    "triangle_count"  -> Graph.triangleCountSql,
+    "fuzzy_join"      -> Dedup.editDistanceJoinSql,  // symmetric-delete neighborhood is exact for dist<=1
   )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relations the warehouse already has: the
+  * customer–supplier co-trade graph (orders ⋈ lineitem) and the
+  * document near-dup similarity graph. Iterative algorithms follow
+  * the repo's loop discipline: node-sized relations, one keyed
+  * shuffle per iteration, eager localCheckpoint lineage cuts so the
+  * per-iteration plan stays O(1) (the BPE/CC lesson), bounded driver
+  * state.
+  */
+object Graph {
+
+  /** Undirected customer↔supplier edges from order lines; node ids
+    * disambiguate the two key spaces (customer 2k, supplier 2k+1).
+    * One corpus-sized distinct — everything after is edge-sized.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val od = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(cs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** PageRank (damping 0.85, 10 fixed iterations) on the undirected
+    * customer–supplier trade graph. Per iteration: contributions =
+    * ranks ⋈ edges keyed on src (ONE shuffle, edge-partitioned),
+    * summed per dst; no dangling mass (undirected ⇒ every node has
+    * out-degree). Rank relation is node-sized and lineage-cut per
+    * iteration, so iteration N's plan does not contain iterations
+    * 1..N-1. Output rank is scaled ×n (mean 1): rank mass per node
+    * is Θ(1/n), and a fixed 6dp rounding on raw ranks would lose all
+    * signal at production node counts — scaling keeps the rounding
+    * magnitude-appropriate (CLAUDE.md).
+    *
+    * Determinism: contribution sums are FP-order-dependent, but
+    * per-node degrees here are ≤ ~10³ and ranks Θ(1/n): relative
+    * drift ≤ ~1e-13 over 10 iterations, far inside the 6dp-at-Θ(1)
+    * rounding. The DuckDB oracle unrolls the same 10 iterations.
+    */
+  def pagerank(spark: SparkSession, dir: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val edges = tradeEdges(spark, dir).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val withDeg = edges.join(deg, "src").persist()
+    val n = deg.count() // every node appears as a src (undirected)
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("out_deg")).as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
+        .localCheckpoint() // plan stays O(1) per iteration
+    }
+    edges.unpersist()
+    withDeg.unpersist()
+    ranks
+      .select(
+        col("node"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        round(col("rank") * n, 6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Oracle: the same 10 iterations unrolled as chained CTEs. */
+  val pagerankSql: String = {
+    val base =
+      """edges AS (
+        |  SELECT c, s FROM (
+        |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  )
+        |), e AS (
+        |  SELECT c AS src, s AS dst FROM edges
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM edges
+        |), deg AS (
+        |  SELECT src, count(*) AS out_deg FROM e GROUP BY src
+        |), nn AS (
+        |  SELECT count(*) AS n FROM deg
+        |), r0 AS (
+        |  -- CAST: a bare 1.0 literal is DECIMAL in DuckDB and decimal
+        |  -- division would diverge from Spark's double arithmetic
+        |  SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        |  FROM deg CROSS JOIN nn
+        |)""".stripMargin
+    val iter = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * sum(r${i - 1}.rank / deg.out_deg) AS rank
+         |  FROM e
+         |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$iter
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS entity_key,
+       |  round(rank * nn.n, 6) AS rank_scaled
+       |FROM r10 CROSS JOIN nn
+       |ORDER BY rank_scaled DESC, node
+       |LIMIT 50""".stripMargin
+  }
+
+  /** Triangle census of the document near-dup graph (word-3-gram
+    * Jaccard ≥ 0.8 pairs): node/edge/triangle counts and the global
+    * clustering coefficient — the graph-shape audit run on any
+    * similarity graph before using it for clustering.
+    *
+    * Scale: the classic a<b<c ordered two-step join — every edge
+    * participates as (lo, hi) only, so each triangle is counted
+    * exactly once and the join keys are node ids (no cross
+    * product). Counts are exact integers; the coefficient is one
+    * rational division.
+    */
+  def triangleCount(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val e = Dedup.ngramJaccard(spark, dir, threshold)
+      .select(col("a_id"), col("b_id")).persist()
+    val nodes = e.select(col("a_id").as("v"))
+      .unionByName(e.select(col("b_id").as("v"))).distinct()
+    val nNodes = nodes.count()
+    val nEdges = e.count()
+    // wedges centered at each node: deg-choose-2 over the undirected degree
+    val deg = e.select(col("a_id").as("v")).unionByName(e.select(col("b_id").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nWedges = deg.select(sum(col("d") * (col("d") - 1) / 2).cast("long"))
+      .collect()(0).getLong(0)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .join(e.as("e3"),
+        col("e1.a_id") === col("e3.a_id") && col("e2.b_id") === col("e3.b_id"))
+      .count()
+    e.unpersist()
+    import spark.implicits._
+    Seq((nNodes, nEdges, tri, nWedges,
+      if (nWedges > 0) BigDecimal(3.0 * tri / nWedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0))
+      .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges", "clustering")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), nodes AS (
+       |  SELECT a_id AS v FROM pairs UNION SELECT b_id FROM pairs
+       |), deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs
+       |  ) GROUP BY v
+       |), tri AS (
+       |  SELECT count(*) AS t
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e1.b_id = e2.a_id
+       |  JOIN pairs e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id
+       |), w AS (
+       |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS nw FROM deg
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM nodes) AS n_nodes,
+       |  (SELECT count(*) FROM pairs) AS n_edges,
+       |  CAST(tri.t AS BIGINT) AS n_triangles,
+       |  w.nw AS n_wedges,
+       |  CASE WHEN w.nw > 0 THEN round(3.0 * tri.t / w.nw, 6) ELSE 0.0 END
+       |    AS clustering
+       |FROM tri CROSS JOIN w""".stripMargin
+}
