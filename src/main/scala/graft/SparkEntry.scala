@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis, Warehouse}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -151,6 +151,10 @@ object SparkEntry {
     "pagerank"        -> ((s: SparkSession, d: String) => Graph.pagerank(s, d)),
     "triangle_count"  -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "fuzzy_join"      -> ((s: SparkSession, d: String) => Dedup.editDistanceJoin(s, d)),
+    "incr_agg_merge"  -> Warehouse.incrAggMerge _,
+    "ts_gapfill"      -> Warehouse.timeseriesGapfill _,
+    "mad_outliers"    -> Warehouse.madOutliers _,
+    "zorder_layout"   -> Warehouse.zorderLayout _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -248,5 +252,9 @@ object SparkEntry {
     "pagerank"        -> Graph.pagerankSql,          // same 10 iterations unrolled as CTEs
     "triangle_count"  -> Graph.triangleCountSql,
     "fuzzy_join"      -> Dedup.editDistanceJoinSql,  // symmetric-delete neighborhood is exact for dist<=1
+    "incr_agg_merge"  -> Warehouse.incrAggMergeSql,  // oracle is the FULL recompute the merge must equal
+    "ts_gapfill"      -> Warehouse.timeseriesGapfillSql,
+    "mad_outliers"    -> Warehouse.madOutliersSql,   // percentile == quantile_cont (group_percentiles precedent)
+    "zorder_layout"   -> Warehouse.zorderLayoutSql,
   )
 }

@@ -127,6 +127,73 @@ class InsightsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental aggregate merge equals the full recompute exactly") {
+    val merged = Warehouse.incrAggMerge(spark, sfDir).collect().map(_.toSeq).toSeq
+    val full = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .withColumn("avg_price", round(col("sum_price") / col("n_orders"), 6))
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(merged == full)
+  }
+
+  test("gap-filled series is a dense grid with zero rows at the gaps") {
+    val rows = Warehouse.timeseriesGapfill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hours = rows.map(_._1).distinct.sorted
+    val types = rows.map(_._2).distinct
+    // dense: every (hour, type) cell exists exactly once
+    assert(rows.length == hours.length * types.length)
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L * 1000000 },
+      "hour grid has holes")
+    // zero-filling actually fired and non-zero cells sum to the corpus
+    assert(rows.exists(_._3 == 0L), "no gap was filled — grid vacuous")
+    assert(rows.map(_._3).sum == Tables.events(spark, sfDir).count())
+  }
+
+  test("MAD outlier audit: robust stats sane, outliers beyond threshold") {
+    val rows = Warehouse.madOutliers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, med, mad, out) =>
+      assert(n > 0 && mad >= 0, s"type $t")
+      assert(out <= n / 2, s"type $t: MAD flagged $out of $n — not robust")
+      // recompute one group's count from raw data
+      val vs = Tables.events(spark, sfDir).filter(col("event_type") === t)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      def q50(a: Array[Double]): Double = {
+        val h = (a.length - 1) * 0.5
+        val i = h.toInt
+        if (i + 1 < a.length) a(i) + (h - i) * (a(i + 1) - a(i)) else a(i)
+      }
+      val m = q50(vs)
+      val adev = vs.map(v => math.abs(v - m)).sorted
+      val expect = vs.count(v => math.abs(v - m) > 4.4478 * q50(adev))
+      assert(out == expect.toLong, s"type $t: $out vs $expect")
+    }
+  }
+
+  test("z-order buckets are locality-tight on both dimensions") {
+    val rows = Warehouse.zorderLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1L to 16L))
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total)
+    // the whole point of Z-ORDER: each equi-depth bucket spans a small
+    // rectangle of (part x supplier) space. A random layout would span
+    // ~255 on both axes in every bucket; interleaved bits cap the
+    // average span near a quarter of the range.
+    val pSpan = rows.map(r => r._4 - r._3).sum.toDouble / rows.length
+    val sSpan = rows.map(r => r._6 - r._5).sum.toDouble / rows.length
+    info(f"mean part-span $pSpan%.1f, mean supp-span $sSpan%.1f of 255")
+    assert(pSpan <= 160, f"part spans too wide ($pSpan%.1f) — no locality")
+    assert(sSpan <= 160, f"supplier spans too wide ($sSpan%.1f) — no locality")
+  }
+
   test("triangle census matches a driver-side count on the similarity graph") {
     val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
