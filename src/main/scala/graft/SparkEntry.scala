@@ -31,6 +31,7 @@ object SparkEntry {
     "q5_multi_join" -> Relational.q5MultiJoin _,
     "topn_per_group" -> Relational.topnPerGroup _,
     "sessionize"    -> Relational.sessionize _,
+    "window_session_native" -> Relational.sessionWindowNative _,
     "asof_join"     -> Relational.asofJoin _,
     "asof_forward"  -> Relational.asofForward _,
     "event_funnel"  -> Relational.eventFunnel _,
@@ -252,6 +253,7 @@ object SparkEntry {
     "pagerank"        -> Graph.pagerankSql,          // same 10 iterations unrolled as CTEs
     "triangle_count"  -> Graph.triangleCountSql,
     "fuzzy_join"      -> Dedup.editDistanceJoinSql,  // symmetric-delete neighborhood is exact for dist<=1
+    "window_session_native" -> Relational.sessionWindowNativeSql, // native session_window vs the lag/sum construction
     "incr_agg_merge"  -> Warehouse.incrAggMergeSql,  // oracle is the FULL recompute the merge must equal
     "ts_gapfill"      -> Warehouse.timeseriesGapfillSql,
     "mad_outliers"    -> Warehouse.madOutliersSql,   // percentile == quantile_cont (group_percentiles precedent)

@@ -205,6 +205,51 @@ object Relational {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Sessionization through Spark's NATIVE session_window: ONE
+    * shuffle + one aggregate — no window-function passes at all. The
+    * engine merges events into [first, last + gap) sessions inside
+    * the aggregation operator (the same machinery streaming session
+    * windows use), which beats the lag/sum formulation's two sorted
+    * window passes at scale. A new session starts when the gap is
+    * STRICTLY greater than 30 minutes — same boundary rule as
+    * [[sessionize]] — so the oracle reuses the lag-based session
+    * construction keyed by the session's first event time.
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_us")
+
+  val sessionWindowNativeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  min(ts_us) AS start_us,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** As-of join: each event picks the latest order of the same
     * customer with o_orderdate <= event ts.
     *

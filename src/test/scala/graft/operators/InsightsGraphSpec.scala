@@ -127,6 +127,15 @@ class InsightsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window sessions equal the lag/sum sessionize construction") {
+    val native = Relational.sessionWindowNative(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // project the lag-based sessionize onto the same shape
+    val lag = Relational.sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getDouble(5))).toSet
+    assert(native == lag, s"native ${native.size} vs lag ${lag.size} sessions")
+  }
+
   test("incremental aggregate merge equals the full recompute exactly") {
     val merged = Warehouse.incrAggMerge(spark, sfDir).collect().map(_.toSeq).toSeq
     val full = Tables.orders(spark, sfDir)
