@@ -32,6 +32,11 @@ object SparkEntry {
     "topn_per_group" -> Relational.topnPerGroup _,
     "sessionize"    -> Relational.sessionize _,
     "window_session_native" -> Relational.sessionWindowNative _,
+    "q13_order_dist"  -> RelationalExtras.q13OrderDist _,
+    "q15_top_supplier" -> RelationalExtras.q15TopSupplier _,
+    "q17_small_qty"   -> RelationalExtras.q17SmallQty _,
+    "q2_min_cost"     -> ((s: SparkSession, d: String) => RelationalExtras.q2MinCost(s, d)),
+    "q22_lapsed"      -> RelationalExtras.q22Lapsed _,
     "asof_join"     -> Relational.asofJoin _,
     "asof_forward"  -> Relational.asofForward _,
     "event_funnel"  -> Relational.eventFunnel _,
@@ -254,6 +259,11 @@ object SparkEntry {
     "triangle_count"  -> Graph.triangleCountSql,
     "fuzzy_join"      -> Dedup.editDistanceJoinSql,  // symmetric-delete neighborhood is exact for dist<=1
     "window_session_native" -> Relational.sessionWindowNativeSql, // native session_window vs the lag/sum construction
+    "q13_order_dist"   -> RelationalExtras.q13OrderDistSql,
+    "q15_top_supplier" -> RelationalExtras.q15TopSupplierSql,
+    "q17_small_qty"    -> RelationalExtras.q17SmallQtySql,
+    "q2_min_cost"      -> RelationalExtras.q2MinCostSql,  // unit costs rounded 4dp BEFORE the argmin on both engines
+    "q22_lapsed"       -> RelationalExtras.q22LapsedSql,
     "incr_agg_merge"  -> Warehouse.incrAggMergeSql,  // oracle is the FULL recompute the merge must equal
     "ts_gapfill"      -> Warehouse.timeseriesGapfillSql,
     "mad_outliers"    -> Warehouse.madOutliersSql,   // percentile == quantile_cont (group_percentiles precedent)

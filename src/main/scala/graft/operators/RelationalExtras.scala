@@ -830,4 +830,197 @@ object RelationalExtras {
       |  CASE WHEN t_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
       |FROM source LEFT JOIN target ON c_custkey = t_custkey
       |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Remaining classic TPC-H plan shapes, adapted to this dataset's
+  // reduced schema (no partsupp / c_phone): Q13 left-join-with-zeros
+  // distribution, Q15 view + scalar-subquery argmax, Q17 correlated
+  // per-group average, Q2-style correlated min-cost supplier, Q22
+  // scalar subquery + anti join.
+  // -------------------------------------------------------------------
+
+  /** Q13: distribution of customers by order count, INCLUDING the
+    * zero-order customers a plain inner join would drop — the
+    * left-outer + double-aggregation shape. One shuffle per
+    * aggregate; the left join keys on custkey.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count")) // count(col) skips the nulls
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+  }
+
+  val q13OrderDistSql: String =
+    """WITH per AS (
+      |  SELECT c_custkey, count(o_custkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |SELECT c_count, count(*) AS n_customers
+      |FROM per GROUP BY c_count
+      |ORDER BY n_customers DESC, c_count DESC""".stripMargin
+
+  /** Q15: top supplier(s) by revenue in a shipdate quarter — the
+    * revenue "view" + scalar-subquery max shape. The max is a 1-row
+    * aggregate broadcast into the filter; ties surface every
+    * argmax supplier exactly as Q15 requires.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17: small-quantity-order revenue — lines with quantity under
+    * 20% of their part's average. The correlated per-part average
+    * becomes one aggregate + an equi-join back (never a per-row
+    * subquery). Quantities are small exact integers in doubles, so
+    * sum/count per part is bit-identical across engines and the
+    * 0.2·avg comparison cannot straddle engines.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH a AS (
+      |  SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT count(*) AS n_lines,
+      |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN a USING (l_partkey)
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Q2-style min-cost supplier per part (no partsupp table in this
+    * dataset, so the observed per-(part, supplier) mean unit price
+    * from lineitem stands in for ps_supplycost): the correlated-min
+    * shape — cost aggregate, per-part min join-back, supplier/nation
+    * dimension joins, deterministic (cost, suppkey) tie-break. Unit
+    * prices are rounded 4dp BEFORE the argmin on both engines
+    * (round-before-rank discipline).
+    */
+  def q2MinCost(spark: SparkSession, dir: String, topn: Int = 100): DataFrame = {
+    // floor-based 4dp rounding, NOT round(): a 2-decimal price over a
+    // small integer quantity lands on exact .xxxx5 halves, where Spark
+    // rounds the shortest-decimal string (BigDecimal.valueOf) but
+    // DuckDB rounds the binary double - they disagree at the boundary
+    // (bit us: 22057.26/16 = 1378.57875). floor(x*1e4 + 0.5)/1e4 is
+    // the same IEEE op sequence on both engines.
+    val cost = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((floor((sum(col("l_extendedprice") / col("l_quantity")) / count(lit(1)))
+        * 10000.0 + 0.5) / 10000.0).as("unit_cost"))
+    val minCost = cost.groupBy("l_partkey").agg(min(col("unit_cost")).as("mc"))
+    cost.join(minCost, "l_partkey")
+      .filter(col("unit_cost") === col("mc"))
+      .groupBy("l_partkey")
+      .agg(min(col("l_suppkey")).as("s_key"), first(col("mc")).as("mc")) // tie-break
+      .join(Tables.supplier(spark, dir), col("s_key") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("mc").as("unit_cost"))
+      .orderBy("p_partkey")
+      .limit(topn)
+  }
+
+  val q2MinCostSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    floor(sum(l_extendedprice / l_quantity) / count(*) * 10000 + 0.5) / 10000
+      |      AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), mc AS (
+      |  SELECT l_partkey, min(unit_cost) AS mc FROM cost GROUP BY l_partkey
+      |), pick AS (
+      |  SELECT cost.l_partkey, min(l_suppkey) AS s_key, min(cost.mc) AS mc
+      |  FROM (SELECT cost.*, mc.mc FROM cost JOIN mc USING (l_partkey)
+      |        WHERE unit_cost = mc) cost
+      |  GROUP BY cost.l_partkey
+      |)
+      |SELECT p_partkey, p_brand, s_name, n_name, mc AS unit_cost
+      |FROM pick
+      |JOIN supplier ON s_key = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |ORDER BY p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Q22-style lapsed high-value customers: acctbal above the
+    * positive-balance average (scalar subquery → broadcast 1-row)
+    * AND no orders in the dataset's last two years (anti join),
+    * grouped by nation. The average's FP drift (~1e-10 relative) is
+    * far below the cent-granular gaps between acctbals, so the
+    * comparison cannot straddle engines.
+    */
+  def q22Lapsed(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  val q22LapsedSql: String =
+    """WITH ab AS (
+      |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+      |), recent AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1999-08-01'
+      |)
+      |SELECT n_name,
+      |  count(*) AS n_custs,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |CROSS JOIN ab
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > ab
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }
