@@ -35,15 +35,16 @@ object Insights {
       .filter(col("a.event_type") < col("b.event_type"))
       .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val out = pairs
+    // ut stays cached for the caller's action (an eager unpersist here
+    // would force the distinct to recompute); it is tiny (users ×
+    // |type vocabulary|) and LRU-evicted
+    pairs
       .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
       .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
         round(col("n_ab").cast("double") * lit(nUsers) / (col("n_a") * col("n_b")), 6)
           .as("lift"))
       .orderBy("type_a", "type_b")
-    ut.unpersist()
-    out
   }
 
   val cooccurLiftSql: String =

@@ -46,6 +46,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed join still shuffles its inputs:\n$plan")
   }
 
+  test("distributed-ntile queries plan no single-partition exchange (no global window sort)") {
+    // the r6 scale fix: rank-based bucketing must never funnel the
+    // relation through one task. A global Window.orderBy plans
+    // `Exchange SinglePartition` + Window — assert it's gone from
+    // every distributedNtile consumer.
+    for (name <- Seq("rfm_segment", "equi_depth_hist", "zorder_layout")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name still plans a single-partition exchange:\n$plan")
+    }
+  }
+
   test("headline scans push filters and prune columns") {
     val q1 = graft.operators.Relational.q1Agg(spark, sfDir)
       .queryExecution.executedPlan.toString
