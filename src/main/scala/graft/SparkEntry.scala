@@ -161,6 +161,8 @@ object SparkEntry {
     "ts_gapfill"      -> Warehouse.timeseriesGapfill _,
     "mad_outliers"    -> Warehouse.madOutliers _,
     "zorder_layout"   -> Warehouse.zorderLayout _,
+    "csv_badrecords"  -> graft.sources.Formats.csvBadRecords _,
+    "schema_evolution" -> graft.sources.Formats.schemaEvolution _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -268,5 +270,7 @@ object SparkEntry {
     "ts_gapfill"      -> Warehouse.timeseriesGapfillSql,
     "mad_outliers"    -> Warehouse.madOutliersSql,   // percentile == quantile_cont (group_percentiles precedent)
     "zorder_layout"   -> Warehouse.zorderLayoutSql,
+    "csv_badrecords"   -> graft.sources.Formats.csvBadRecordsSql,  // planted type-corruption every 11th row, closed-form
+    "schema_evolution" -> graft.sources.Formats.schemaEvolutionSql,
   )
 }

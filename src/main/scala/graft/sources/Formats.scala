@@ -181,4 +181,81 @@ object Formats {
       |  epoch_us(o_orderdate) AS odate_us
       |FROM orders WHERE o_totalprice > 250000.0
       |ORDER BY o_orderkey""".stripMargin
+
+  /** PERMISSIVE CSV ingestion audit: customer rows serialized to raw
+    * CSV text with every 11th row's acctbal deliberately corrupted to
+    * a non-numeric token, read back under an explicit schema with a
+    * _corrupt_record column — the malformed row lands there instead
+    * of killing the job (the real-world scraped-feed ingestion
+    * contract). Output: clean/corrupt counts plus the clean-row
+    * balance sum, all closed-form from the source table.
+    */
+  def csvBadRecords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = tmp("graft_fmt_badcsv", dir)
+    Tables.customer(spark, dir)
+      .select(concat_ws(",",
+        col("c_custkey"),
+        col("c_name"),
+        when(col("c_custkey") % 11 === 0, lit("not-a-number"))
+          .otherwise(col("c_acctbal").cast("string"))).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        round(sum(when(col("_corrupt_record").isNull, col("c_acctbal"))), 2)
+          .as("clean_balance"))
+  }
+
+  val csvBadRecordsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  round(sum(CASE WHEN c_custkey % 11 <> 0 THEN c_acctbal END), 2)
+      |    AS clean_balance
+      |FROM customer""".stripMargin
+
+  /** Parquet schema evolution: an old writer's slice (2 columns) and
+    * a new writer's slice (3 columns, added priority) land in one
+    * dataset dir; a mergeSchema read unions the schemas and the
+    * pre-evolution rows surface NULL for the added column — the audit
+    * every long-lived table needs when its producers upgrade. Split
+    * rule o_orderkey % 3 = 0 → "new writer", closed-form for the
+    * oracle.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("graft_fmt_evo", dir)
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/old")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/new")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/old", s"$path/new")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("priority")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+      |       ELSE '(pre-evolution)' END AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY priority ORDER BY priority""".stripMargin
 }

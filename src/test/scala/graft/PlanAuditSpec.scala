@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "stream_session_agg", "stream_dedup", "stream_sessionize",
     "stream_enrich", "stream_join",
     "format_roundtrip", "sink_partitioned", "bucketed_join", "compact_files",
+    "csv_badrecords", "schema_evolution",
     "hmm_train_cli", "hmm_checkpoint_resume",
     // constructing these plans runs eager jobs (k-means cell build /
     // label-propagation fixpoint loop / BPE merge loop)
