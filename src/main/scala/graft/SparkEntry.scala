@@ -163,6 +163,8 @@ object SparkEntry {
     "zorder_layout"   -> Warehouse.zorderLayout _,
     "csv_badrecords"  -> graft.sources.Formats.csvBadRecords _,
     "schema_evolution" -> graft.sources.Formats.schemaEvolution _,
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
+    "holdout_splits"  -> Curation.holdoutSplits _,
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
@@ -272,5 +274,7 @@ object SparkEntry {
     "zorder_layout"   -> Warehouse.zorderLayoutSql,
     "csv_badrecords"   -> graft.sources.Formats.csvBadRecordsSql,  // planted type-corruption every 11th row, closed-form
     "schema_evolution" -> graft.sources.Formats.schemaEvolutionSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql, // delta-vs-history; LSH leg oracle-able per the minhashLsh argument
+    "holdout_splits"   -> Curation.holdoutSplitsSql,  // content-hash split: reproducible across runs/engines/layouts
   )
 }

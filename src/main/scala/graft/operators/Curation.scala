@@ -606,4 +606,43 @@ object Curation {
       |  round((s / sum(s) OVER ()) / natural_share, 6) AS sample_weight,
       |  CAST(floor(s / sum(s) OVER () * total::DOUBLE) AS BIGINT) AS expected_tokens
       |FROM t ORDER BY source""".stripMargin
+
+  /** Deterministic train/val/test holdout assignment: the split is a
+    * pure function of the content hash (md5 first two hex chars mod
+    * 100 → 80/10/10), so it is reproducible across runs, engines,
+    * cluster layouts — and immune to upstream reordering, which a
+    * row_number-based split is not. Per split: doc/token counts and
+    * mean doc length. The md5-prefix integer is the same
+    * DuckDB-computable trick the simhash oracle uses.
+    */
+  def holdoutSplits(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 2), 16, 10)
+          .cast("long") % 100).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("mean_chars"))
+      .orderBy("split")
+
+  val holdoutSplitsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    strlen(text) AS n_chars,
+      |    CAST(concat('0x', substring(md5(text), 1, 2)) AS BIGINT) % 100 AS b
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars
+      |FROM d GROUP BY split ORDER BY split""".stripMargin
 }

@@ -407,6 +407,110 @@ object Dedup {
       |  max(jaccard) AS max_jaccard
       |FROM j GROUP BY bench_id ORDER BY bench_id""".stripMargin
 
+  /** Incremental (delta-vs-history) dedup — the continuous-crawl
+    * shape: the corpus is split content-addressed into HISTORY
+    * (md5 prefix 0–b, ~75%) and DELTA (c–f, ~25%), and each delta
+    * doc is audited against history only: exact dup (hash join on
+    * md5) and near-dup (the MinHash-LSH candidate machinery filtered
+    * to cross-split pairs). Per flagged delta doc: the exact flag,
+    * the number of near-duplicate history docs, and the max Jaccard.
+    *
+    * Scale: history hashes are one (md5, id) relation — the delta
+    * side probes it with an equi-join (at 100 TB the history hash
+    * set lives partitioned on disk and the probe is a shuffle-join
+    * or a bloom-prefiltered one, per contam_bloom); the near-dup leg
+    * rides the shared banding pipeline unchanged. The driver corpus
+    * has no exact dups (dedup_exact precedent), so the exact leg is
+    * exercised by a planted spec.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = deltaSplit(Tables.documents(spark, dir))
+    val exactDup = incrementalExactFor(docs)
+    val near = minhashLsh(spark, dir, threshold)
+      .join(docs.select(col("doc_id").as("a_id"), col("is_delta").as("ad")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("is_delta").as("bd")), "b_id")
+      .filter(col("ad") =!= col("bd"))
+      .select(
+        when(col("ad"), col("a_id")).otherwise(col("b_id")).as("doc_id"),
+        col("jaccard"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_history"), max(col("jaccard")).as("max_jaccard"))
+    near.join(exactDup, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near_history"), lit(0L)).as("n_near_history"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** DELTA = every 4th doc_id — an arrival-order stand-in. The split
+    * must NOT be content-addressed: identical texts hash to the same
+    * side under an md5 split, which would make cross-split exact
+    * duplication structurally impossible (a real crawl splits by
+    * ingest time, and re-crawled pages land in the delta).
+    */
+  private def deltaSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("is_delta", col("doc_id") % 4 === 0)
+
+  /** Exact leg, injectable for the planted-dup spec (the driver
+    * corpus is exact-dup-free, dedup_exact precedent).
+    */
+  private[graft] def incrementalExactFor(split: DataFrame): DataFrame =
+    split.filter(col("is_delta")).as("d")
+      .join(split.filter(!col("is_delta")).as("hh"),
+        col("d.h") === col("hh.h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+
+  private[graft] def incrementalExactForDocs(docs: DataFrame): DataFrame =
+    incrementalExactFor(deltaSplit(docs))
+
+  /** Oracle: the same split rule + exact hash join + the exact
+    * all-pairs Jaccard (the [[minhashLshSql]] argument makes the LSH
+    * leg oracle-able: deterministic family, FN-freeness a fixed
+    * corpus property).
+    */
+  val dedupIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    doc_id % 4 = 0 AS is_delta,
+      |    str_split(text, ' ') AS w
+      |  FROM documents
+      |), exact AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM d a JOIN d b ON a.h = b.h AND a.is_delta AND NOT b.is_delta
+      |), t AS (
+      |  SELECT doc_id, is_delta, w FROM d WHERE len(w) >= 3
+      |), idx AS (
+      |  SELECT doc_id, is_delta, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, is_delta, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.is_delta AS ad, count(*) AS inter
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id AND a.is_delta <> b.is_delta
+      |  GROUP BY 1, 2, 3
+      |), near AS (
+      |  SELECT CASE WHEN ad THEN a_id ELSE b_id END AS doc_id,
+      |    round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON sa.doc_id = a_id
+      |  JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE inter / (sa.n + sb.n - inter) >= 0.8
+      |), nearagg AS (
+      |  SELECT doc_id, count(*) AS n_near_history, max(jaccard) AS max_jaccard
+      |  FROM near GROUP BY doc_id
+      |)
+      |SELECT coalesce(n.doc_id, e.doc_id) AS doc_id,
+      |  e.doc_id IS NOT NULL AS exact_dup,
+      |  CAST(coalesce(n.n_near_history, 0) AS BIGINT) AS n_near_history,
+      |  coalesce(n.max_jaccard, 0.0) AS max_jaccard
+      |FROM nearagg n FULL OUTER JOIN exact e ON n.doc_id = e.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   // Fuzzy vocabulary join: edit distance ≤ 1 via the symmetric-delete
   // (FastSS/SymSpell) neighborhood — candidates come from an

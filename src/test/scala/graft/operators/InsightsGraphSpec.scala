@@ -29,6 +29,24 @@ class InsightsGraphSpec extends AnyFunSuite {
     assert(Dedup.editDistanceJoin(spark, sfDir).count() == 0)
   }
 
+  test("incremental dedup exact leg flags delta docs whose text exists in history") {
+    import spark.implicits._
+    // delta = doc_id % 4 == 0; docs 4 and 8 re-crawl history texts,
+    // doc 12 is fresh, doc 3 duplicates history but is itself history
+    val docs = Seq(
+      (1L, "history page one"), (2L, "history page two"), (3L, "history page one"),
+      (4L, "history page one"), (8L, "history page two"), (12L, "fresh delta page"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.incrementalExactForDocs(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(4L, 8L), s"got $flagged")
+    // the full operator's exact column is all-false on the dup-free
+    // driver corpus; its near-dup leg is driver-oracled
+    val full = Dedup.dedupIncremental(spark, sfDir).collect()
+    assert(full.forall(!_.getBoolean(1)))
+    assert(full.nonEmpty && full.forall(_.getDouble(3) >= 0.8))
+  }
+
   test("co-occurrence lift satisfies marginal bounds") {
     val rows = Insights.cooccurLift(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
