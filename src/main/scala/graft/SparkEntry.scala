@@ -165,6 +165,7 @@ object SparkEntry {
     "schema_evolution" -> graft.sources.Formats.schemaEvolution _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "holdout_splits"  -> Curation.holdoutSplits _,
+    "kmeans_clusters" -> ((s: SparkSession, d: String) => Similarity.kmeansClusters(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */

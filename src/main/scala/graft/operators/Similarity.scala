@@ -456,6 +456,31 @@ object Similarity {
   private val ivfPqCoarseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
 
+  /** User-facing k-means clustering report: per-cluster size and
+    * inertia from the shared deterministic Lloyd machinery (hash
+    * seeds, broadcast-relation assignment). Rows-only: DuckDB cannot
+    * recompute the xxhash64 seed selection; the spec instead checks
+    * the distributed result against a driver-side reference Lloyd
+    * run from the same seeds (sizes exact, inertia to 1e-6 — the
+    * treeAggregate FP-order rule from CLAUDE.md).
+    */
+  def kmeansClusters(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+    val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters)
+    KMeans.assign(e, KMeans.centDf(spark, cents))
+      .join(broadcast(KMeans.centDf(spark, cents)), "cluster")
+      .withColumn("d",
+        col("nrm") * col("nrm") - lit(2.0) * arrayDot(col("embedding"), col("cent"))
+          + col("cnorm2"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("d")), 4).as("inertia"))
+      .orderBy("cluster")
+  }
+
   val vecQuantizeSql: String =
     """WITH s AS (
       |  SELECT vec_id, label, embedding AS e,

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "hmm_train_cli", "hmm_checkpoint_resume",
     // constructing these plans runs eager jobs (k-means cell build /
     // label-propagation fixpoint loop / BPE merge loop)
-    "dedup_embedding", "dedup_groups", "bpe_train", "curate_corpus")
+    "dedup_embedding", "dedup_groups", "bpe_train", "curate_corpus",
+    "kmeans_clusters")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.collect {

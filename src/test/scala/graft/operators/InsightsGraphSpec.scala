@@ -47,6 +47,42 @@ class InsightsGraphSpec extends AnyFunSuite {
     assert(full.nonEmpty && full.forall(_.getDouble(3) >= 0.8))
   }
 
+  test("kmeans cluster report matches a driver-side reference Lloyd from the same seeds") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val eDf = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.arrayNorm(col("embedding")).as("nrm"))
+    var cents = KMeans.hashSeeds(eDf, 8).map(_.toArray)
+    def assign(v: Array[Double]): Int =
+      cents.indices.minBy { c =>
+        (v.zip(cents(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }
+    for (_ <- 0 until 3) {
+      val byC = e.groupBy { case (_, v) => assign(v) }
+      cents = cents.indices.map { c =>
+        byC.get(c) match {
+          case Some(vs) =>
+            val dim = vs.head._2.length
+            Array.tabulate(dim)(p => vs.map(_._2(p)).sum / vs.length)
+          case None => cents(c)
+        }
+      }.toArray
+    }
+    val refSizes = e.groupBy { case (_, v) => assign(v) }.view.mapValues(_.length.toLong).toMap
+    val refInertia = e.map { case (_, v) =>
+      val c = cents(assign(v)); v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    val got = Similarity.kmeansClusters(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.view.mapValues(_._1).toMap == refSizes,
+      s"sizes ${got.view.mapValues(_._1).toMap} vs $refSizes")
+    val gotInertia = got.values.map(_._2).sum
+    assert(math.abs(gotInertia - refInertia) < 1e-3 * (1 + refInertia),
+      s"inertia $gotInertia vs $refInertia")
+  }
+
   test("co-occurrence lift satisfies marginal bounds") {
     val rows = Insights.cooccurLift(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
