@@ -166,6 +166,9 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "holdout_splits"  -> Curation.holdoutSplits _,
     "kmeans_clusters" -> ((s: SparkSession, d: String) => Similarity.kmeansClusters(s, d)),
+    // rows-only: append mode withholds the watermark-open tail by
+    // design; StreamingSpec proves emitted == batch ∩ closed exactly
+    "stream_session_window" -> ((s: SparkSession, d: String) => StreamingJobs.sessionWindowStream(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */

@@ -548,6 +548,43 @@ object StreamingJobs {
     (result, states)
   }
 
+  /** Streaming SESSION-window aggregation in APPEND mode: sessions
+    * merge dynamically in the state store (the gap extends each
+    * window as events arrive) and a session row is emitted exactly
+    * once — when the watermark passes its end + gap, i.e. when no
+    * future event can extend it. That is the production contract for
+    * session analytics over an unbounded source: complete/update
+    * modes cannot give append's exactly-once-per-closed-session
+    * output. Over a finite corpus the TAIL sessions (those the final
+    * watermark never closes) are deliberately withheld — the spec
+    * proves the emitted set is exactly the batch result restricted
+    * to watermark-closed sessions, which is the honest statement of
+    * append-mode semantics (CLAUDE.md: append-mode aggregations
+    * withhold the tail).
+    */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sink = s"stream_session_window_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+    val query = stream
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink).orderBy("user_id", "start_us")
+  }
+
   val streamTopkSql: String =
     """WITH c AS (
       |  SELECT

@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // time — none belong in a static audit.
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
-    "stream_enrich", "stream_join",
+    "stream_enrich", "stream_join", "stream_session_window",
     "format_roundtrip", "sink_partitioned", "bucketed_join", "compact_files",
     "csv_badrecords", "schema_evolution",
     "hmm_train_cli", "hmm_checkpoint_resume",

@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(states.max <= 8, s"state not bounded near the horizon: $states")
   }
 
+  test("append-mode session windows emit exactly the watermark-closed batch sessions") {
+    import graft.operators.Relational
+    val emitted = StreamingJobs.sessionWindowStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch truth with session END times (sessionize: user, sid, n,
+    // start, end, value); closure rule: the final watermark is
+    // maxTs - 30min and a session closes when watermark passes
+    // end + 30min gap => emitted iff end < maxTs - 60min
+    val batch = Relational.sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2), r.getDouble(5), r.getLong(4)))
+    val maxTs = batch.map(_._5).max
+    val horizon = maxTs - 60L * 60 * 1000000
+    val closed = batch.filter(_._5 < horizon).map(t => (t._1, t._2, t._3, t._4)).toSet
+    val open = batch.filter(_._5 >= horizon).map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(emitted == closed,
+      s"emitted ${emitted.size} vs closed ${closed.size}; " +
+        s"missing=${(closed -- emitted).take(3)} extra=${(emitted -- closed).take(3)}")
+    // the tail is genuinely withheld (append semantics, not a bug)
+    assert(open.nonEmpty && (emitted & open).isEmpty)
+  }
+
   test("streaming windowed agg equals the batch result over the same data") {
     val streamed = StreamingJobs.sessionAggStream(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
