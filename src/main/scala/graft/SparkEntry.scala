@@ -56,6 +56,7 @@ object SparkEntry {
     "hmm_nbest"     -> ((s: SparkSession, d: String) => HmmQueries.nbest(s, d)),
     "hmm_posterior" -> HmmQueries.posterior _,
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
+    "hmm_viterbi_train" -> HmmQueries.viterbiTrain _,
     "hmm_predict"   -> HmmQueries.predict _,
     "hmm_decode_events" -> HmmQueries.decodeEvents _,
     "hmm_train_cli" -> HmmQueries.trainCli _,
@@ -163,6 +164,9 @@ object SparkEntry {
     "zorder_layout"   -> Warehouse.zorderLayout _,
     "csv_badrecords"  -> graft.sources.Formats.csvBadRecords _,
     "schema_evolution" -> graft.sources.Formats.schemaEvolution _,
+    // the reference's own on-disk input format (SequenceFiles of
+    // <LongWritable, Mahout IntArrayWritable>), write + read back
+    "seqfile_roundtrip" -> graft.sources.SequenceFiles.roundtrip _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "holdout_splits"  -> Curation.holdoutSplits _,
     "kmeans_clusters" -> ((s: SparkSession, d: String) => Similarity.kmeansClusters(s, d)),
@@ -280,5 +284,6 @@ object SparkEntry {
     "schema_evolution" -> graft.sources.Formats.schemaEvolutionSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql, // delta-vs-history; LSH leg oracle-able per the minhashLsh argument
     "holdout_splits"   -> Curation.holdoutSplitsSql,  // content-hash split: reproducible across runs/engines/layouts
+    "seqfile_roundtrip" -> graft.sources.SequenceFiles.roundtripSql, // order-sensitive checksum straight off events
   )
 }

@@ -153,14 +153,63 @@ object BaumWelch {
       fit(sequences, HmmModel.random(numStates, numSymbols, seed + r), maxIterations, epsilon)
     }.maxBy(_.logLikPerIter.last)
 
-  /** Row-normalize summed stripes (BaumWelchReducer.java:133-150).
-    * A row with zero mass (state never visited) keeps the previous
-    * model's row rather than dividing by zero.
+  /** Viterbi training (hard EM) — Mahout `HmmTrainer.trainViterbi`,
+    * the public companion of the reference's soft-EM trainer
+    * (BaumWelchDriver.java:53-69 exposes the trainer family).
+    *
+    * Per iteration: broadcast(model) → per-sequence Viterbi decode +
+    * HARD transition/emission counts ([[HmmAlgorithms.accumulateViterbi]])
+    * → the same treeAggregate as soft EM → M-step with `pseudoCount`
+    * Laplace smoothing on every π/A/B cell (Mahout's pseudo-count
+    * guard against states starved by the hard assignment) →
+    * reference convergence test (||ΔA||_F + ||ΔB||_F < ε).
+    *
+    * Scale: identical dataflow to [[fit]] — zero shuffle of sequence
+    * data, one sub-MB broadcast + one O(K²+KM) aggregate per
+    * iteration. Hard counts are integers, so the trained model is
+    * FP-deterministic across partitionings (asserted in the spec) —
+    * no rounding-for-stability needed downstream, unlike soft EM.
     */
-  private def mStep(stats: HmmSuffStats, prev: HmmModel): HmmModel = {
+  def fitViterbi(
+      sequences: RDD[Array[Int]],
+      init: HmmModel,
+      maxIterations: Int = 20,
+      epsilon: Double = 1e-4,
+      pseudoCount: Double = 0.0): FitResult = {
+    val sc = sequences.sparkContext
+    var model = init
+    val logLiks = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val bc = sc.broadcast(model)
+      val k = model.numStates
+      val m = model.numSymbols
+      val stats = sequences.treeAggregate(new HmmSuffStats(k, m))(
+        seqOp = (acc, seq) => { HmmAlgorithms.accumulateViterbi(bc.value, seq, acc); acc },
+        combOp = (x, y) => x.merge(y),
+        depth = 2)
+      bc.destroy()
+      logLiks += stats.logLik
+      val next = mStep(stats, model, pseudoCount)
+      converged = model.frobeniusDistance(next) < epsilon
+      model = next
+      iter += 1
+    }
+    FitResult(model, logLiks.toArray, iter, converged)
+  }
+
+  /** Row-normalize summed stripes (BaumWelchReducer.java:133-150),
+    * optionally adding `pseudoCount` to every cell first (Viterbi
+    * training's Laplace smoothing; soft EM passes 0). A row with
+    * zero mass (state never visited) keeps the previous model's row
+    * rather than dividing by zero.
+    */
+  private def mStep(stats: HmmSuffStats, prev: HmmModel, pseudoCount: Double = 0.0): HmmModel = {
     def normRow(row: Array[Double], fallback: Array[Double]): Array[Double] = {
-      val s = row.sum
-      if (s > 0) row.map(_ / s) else fallback.clone()
+      val smoothed = row.map(_ + pseudoCount)
+      val s = smoothed.sum
+      if (s > 0) smoothed.map(_ / s) else fallback.clone()
     }
     HmmModel(
       prev.numStates, prev.numSymbols,

@@ -229,4 +229,35 @@ object HmmAlgorithms {
     while (t < timeLen) { stats.logLik += math.log(scale(t)); t += 1 }
     stats.nSeq += 1
   }
+
+  /** Hard-EM (Viterbi-training) E-step for one sequence: decode the
+    * single best path under the current model and add HARD counts
+    * (exactly 1.0 per event) into `stats`; `logLik` accumulates the
+    * joint log-probability log P(O, path* | λ) — the objective
+    * Viterbi training ascends. Counterpart of Mahout's
+    * `HmmTrainer.trainViterbi` count collection (the public
+    * companion surface of the reference trainer family,
+    * BaumWelchDriver.java:53-69).
+    *
+    * Because the counts are integers, the summed statistics — and
+    * hence the M-step model — are exact and FP-order-independent:
+    * unlike soft EM, a Viterbi-trained model is bitwise reproducible
+    * across partitionings and treeAggregate combine orders.
+    */
+  def accumulateViterbi(m: HmmModel, obs: Array[Int], stats: HmmSuffStats): Unit = {
+    if (obs.isEmpty) return
+    val path = viterbi(m, obs)
+    def ln(x: Double) = if (x <= 0) Double.NegativeInfinity else math.log(x)
+    stats.pi(path(0)) += 1.0
+    stats.b(path(0))(obs(0)) += 1.0
+    stats.logLik += ln(m.pi(path(0))) + ln(m.b(path(0))(obs(0)))
+    var t = 1
+    while (t < obs.length) {
+      stats.a(path(t - 1))(path(t)) += 1.0
+      stats.b(path(t))(obs(t)) += 1.0
+      stats.logLik += ln(m.a(path(t - 1))(path(t))) + ln(m.b(path(t))(obs(t)))
+      t += 1
+    }
+    stats.nSeq += 1
+  }
 }

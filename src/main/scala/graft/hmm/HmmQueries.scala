@@ -330,6 +330,31 @@ object HmmQueries {
     } finally seqs.unpersist()
   }
 
+  /** Viterbi training (hard EM) from the same seeded random init as
+    * hmm_baumwelch — Mahout `HmmTrainer.trainViterbi`, the public
+    * companion of the reference trainer (BaumWelchDriver.java:53-69).
+    * Dumps the trained model (named long form) + one row per
+    * iteration of the hard-EM objective Σ log P(O, path*).
+    *
+    * Hard counts are integers → the model is FP-deterministic across
+    * partitionings (spec-asserted); the loglik rows are still
+    * order-sensitive double sums, so the dump keeps hmm_baumwelch's
+    * 4dp rounding.
+    */
+  def viterbiTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = vocabNames(spark, dir)
+    val seqs = Sequencer.sequenceDs(spark, dir).map(_._2.toArray).rdd.cache()
+    try {
+      val res = BaumWelch.fitViterbi(seqs,
+        HmmModel.random(NumStates, names.length, seed = 42L),
+        maxIterations = 10, epsilon = 1e-4, pseudoCount = 0.1)
+      val named = res.model.withNames(
+        (0 until NumStates).map(i => s"s$i"), names)
+      namedModelDump(spark, named, res.logLikPerIter.toSeq, round = 4)
+    } finally seqs.unpersist()
+  }
+
   /** Seeded random-model dump (reference: BaumWelchUtils.BuildRandomModel);
     * row-stochasticity asserted in the spec. Names are the s&lt;i&gt;/
     * o&lt;j&gt; defaults — a random model has no data-derived names.

@@ -36,11 +36,11 @@ object Bpe {
     * — and since every withColumn re-analyzes the whole tree, total
     * analysis cost goes O(merges²). persist() alone does NOT fix this
     * (caching truncates execution, not the analyzed plan), so chunk
-    * boundaries use eager localCheckpoint(), a genuine lineage cut;
-    * superseded checkpoint RDDs are freed by the ContextCleaner when
-    * unreferenced. Plan depth is then O(chunk) regardless of
-    * vocabulary size. (On a real cluster you'd use reliable
-    * checkpoint() against the cluster FS for executor-loss safety.)
+    * boundaries use an eager [[graft.Lineage.cut]] — a genuine
+    * lineage cut (reliable checkpoint() when spark.checkpoint.dir is
+    * configured, localCheckpoint() otherwise); superseded checkpoint
+    * RDDs are freed by the ContextCleaner when unreferenced. Plan
+    * depth is then O(chunk) regardless of vocabulary size.
     */
   private[operators] val EncodeChunk = 25
 
@@ -100,7 +100,7 @@ object Bpe {
     val dictRows = raw.count()
     // eager lineage cut: iteration plans start from a LogicalRDD, so
     // the per-step analysis cost is O(1) in the step number
-    var dict = raw.coalesce(dictParts(spark, dictRows)).localCheckpoint()
+    var dict = raw.coalesce(dictParts(spark, dictRows)).transform(graft.Lineage.cut)
     raw.unpersist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
@@ -123,7 +123,7 @@ object Bpe {
         learned += ((step, l, r, cnt))
         dict = dict
           .select(mergeStep(col("tokens"), l, r).as("tokens"), col("freq"))
-          .localCheckpoint() // eager; old checkpoint GC'd by ContextCleaner
+          .transform(graft.Lineage.cut) // eager; old checkpoint GC'd by ContextCleaner
         step += 1
       }
     }
@@ -160,7 +160,7 @@ object Bpe {
     mergeSeq.grouped(EncodeChunk).foreach { chunk =>
       cur = chunk.foldLeft(cur) { case (df, (l, r)) =>
         df.withColumn("tokens", mergeStep(col("tokens"), l, r))
-      }.localCheckpoint()
+      }.transform(graft.Lineage.cut)
     }
     words.unpersist()
     val encoded = cur.select(col("word"),

@@ -349,7 +349,7 @@ object Curation {
     // thousand-node replay of the fixpoint loop
     val near = Dedup.dedupGroups(spark, dir)
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("near_dup"))
-      .localCheckpoint()
+      .transform(graft.Lineage.cut)
     val qual = corpusFilterFor(docs).select(col("doc_id"), (!col("keep")).as("low_q"))
     docs
       .join(exact, "doc_id")

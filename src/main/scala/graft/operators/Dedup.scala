@@ -169,7 +169,7 @@ object Dedup {
     * always point at real nodes, so the self-join halves the
     * label-tree height per round and a diameter-D chain finishes in
     * O(log D) extra rounds, not D) and truncate lineage with
-    * `localCheckpoint` every [[CcCheckpointEvery]] rounds (only the
+    * [[graft.Lineage.cut]] every [[CcCheckpointEvery]] rounds (only the
     * deep path runs long enough for plan growth to matter).
     * Convergence is read from the SAME action that materializes the
     * round: each row carries its previous label, and one aggregate
@@ -205,7 +205,7 @@ object Dedup {
               least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         }
       val updated =
-        if (deep && (rounds + 1) % CcCheckpointEvery == 0) next.localCheckpoint()
+        if (deep && (rounds + 1) % CcCheckpointEvery == 0) next.transform(graft.Lineage.cut)
         else next.cache()
       // single materializing action: labels only ever decrease, so
       // "any row with label < old" ⇔ not yet converged
@@ -284,7 +284,7 @@ object Dedup {
     // shingle sets ≪ 2^31.
     val P = 2147483647L // 2^31 − 1
     val permA: Array[Long] = Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) % (P - 1) + 1L)
-    val permB: Array[Long] = Array.tabulate(NumPerm)(i => mixConst(2 * i + 1) % P & 0x7FFFFFFFL)
+    val permB: Array[Long] = Array.tabulate(NumPerm)(i => Math.floorMod(mixConst(2 * i + 1), P))
     val h = shingled(spark, dir)
       .withColumn("h", xxhash64(col("shingle")) bitwiseAND lit(0x7FFFFFFFL))
     val sigAggs = (0 until NumPerm).map(i =>
@@ -408,11 +408,14 @@ object Dedup {
       |FROM j GROUP BY bench_id ORDER BY bench_id""".stripMargin
 
   /** Incremental (delta-vs-history) dedup — the continuous-crawl
-    * shape: the corpus is split content-addressed into HISTORY
-    * (md5 prefix 0–b, ~75%) and DELTA (c–f, ~25%), and each delta
-    * doc is audited against history only: exact dup (hash join on
-    * md5) and near-dup (the MinHash-LSH candidate machinery filtered
-    * to cross-split pairs). Per flagged delta doc: the exact flag,
+    * shape: the corpus is split by ARRIVAL ORDER into HISTORY
+    * (doc_id % 4 != 0, ~75%) and DELTA (every 4th doc_id, ~25%; see
+    * [[deltaSplit]] — the split is deliberately NOT content-
+    * addressed, since an md5 split would send identical texts to the
+    * same side and make cross-split exact dups structurally
+    * impossible), and each delta doc is audited against history
+    * only: exact dup (hash join on md5) and near-dup (the
+    * MinHash-LSH candidate machinery filtered to cross-split pairs). Per flagged delta doc: the exact flag,
     * the number of near-duplicate history docs, and the max Jaccard.
     *
     * Scale: history hashes are one (md5, id) relation — the delta

@@ -9,9 +9,10 @@ import graft.sources.Tables
   * customer–supplier co-trade graph (orders ⋈ lineitem) and the
   * document near-dup similarity graph. Iterative algorithms follow
   * the repo's loop discipline: node-sized relations, one keyed
-  * shuffle per iteration, eager localCheckpoint lineage cuts so the
-  * per-iteration plan stays O(1) (the BPE/CC lesson), bounded driver
-  * state.
+  * shuffle per iteration, eager [[graft.Lineage.cut]] lineage cuts
+  * (reliable checkpoint when a checkpoint dir is configured,
+  * localCheckpoint otherwise) so the per-iteration plan stays O(1)
+  * (the BPE/CC lesson), bounded driver state.
   */
 object Graph {
 
@@ -57,11 +58,11 @@ object Graph {
     val nEdges = withDeg0.count()
     val eParts = math.max(1L, math.min(nEdges / 500000L + 1L,
       spark.sparkContext.defaultParallelism.toLong)).toInt
-    val withDeg = withDeg0.coalesce(eParts).localCheckpoint()
+    val withDeg = withDeg0.coalesce(eParts).transform(graft.Lineage.cut)
     withDeg0.unpersist()
     val n = deg.count() // every node appears as a src (undirected)
     var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-      .coalesce(eParts).localCheckpoint()
+      .coalesce(eParts).transform(graft.Lineage.cut)
     // Cost note (measured at sf0.1, 16k nodes / 800k edges): ~0.7s
     // per iteration regardless of layout, checkpoint cadence, or AQE
     // on/off — the floor is 10 sequential stage barriers on a tiny
@@ -77,7 +78,7 @@ object Graph {
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
         .coalesce(eParts)
-        .localCheckpoint()
+        .transform(graft.Lineage.cut)
     }
     ranks
       .select(

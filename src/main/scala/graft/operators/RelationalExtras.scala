@@ -164,9 +164,12 @@ object RelationalExtras {
     * not value). Every stage is shuffle-parallel: this is the 10⁹-row
     * plan, and it's exact, so there is no small/large path switch.
     *
-    * The range-partitioned relation is persisted so the partition-id
-    * assignment seen by the count pass and the rank pass is the same
-    * physical layout (range boundaries come from a sample).
+    * The range-partitioned relation is eagerly lineage-cut
+    * ([[graft.Lineage.cut]]) so the partition-id assignment seen by
+    * the count pass and the rank pass is the same frozen physical
+    * layout (range boundaries come from a sample) — and, unlike a
+    * persist(), superseded blocks are freed by the ContextCleaner
+    * instead of accumulating across a multi-query session.
     */
   private[operators] def distributedNtile(
       df: DataFrame, orderCols: Seq[Column], k: Int, scoreName: String): DataFrame = {
@@ -174,7 +177,7 @@ object RelationalExtras {
     val nParts = math.max(spark.sparkContext.defaultParallelism, 1)
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .transform(graft.Lineage.cut)
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum

@@ -181,11 +181,14 @@ object Warehouse {
       min(col("l_suppkey")).as("sLo"), max(col("l_suppkey")).as("sHi"))
       .collect()(0)
     val (pLo, pHi, sLo, sHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def bucket(c: Column, lo: Long, hi: Long): Column =
-      (c - lit(lo)) * 256 / lit(hi - lo + 1) // exact int division on longs
+    // genuine integer division (Spark DIV ≡ DuckDB //): Column `/`
+    // is double division + truncating cast, which only matches the
+    // oracle while (c-lo)*256 < 2^53 — DIV matches by construction
+    def bucket(name: String, lo: Long, hi: Long): Column =
+      expr(s"($name - ${lo}L) * 256L DIV ${hi - lo + 1}L")
     val withZ = li
-      .withColumn("p_b", bucket(col("l_partkey"), pLo, pHi).cast("long"))
-      .withColumn("s_b", bucket(col("l_suppkey"), sLo, sHi).cast("long"))
+      .withColumn("p_b", bucket("l_partkey", pLo, pHi))
+      .withColumn("s_b", bucket("l_suppkey", sLo, sHi))
       .withColumn("z", (0 until 8).map(k =>
         shiftleft(shiftright(col("p_b"), k) bitwiseAND lit(1L), 2 * k + 1) +
           shiftleft(shiftright(col("s_b"), k) bitwiseAND lit(1L), 2 * k))
