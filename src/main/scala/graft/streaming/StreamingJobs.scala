@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming jobs (SURVEY.md §2.8) — the streaming analog
@@ -583,6 +583,70 @@ object StreamingJobs {
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
     spark.table(sink).orderBy("user_id", "start_us")
+  }
+
+  /** Production deployment shape: the windowed aggregate in APPEND
+    * mode against a fault-tolerant PARQUET sink with a reliable
+    * checkpoint. The memory-sink runners above exist for inspection;
+    * a real unbounded job must survive a driver restart, and this is
+    * the runner that does:
+    *
+    *  - source offsets, aggregation state, AND the event-time
+    *    watermark live in `checkpointDir` (WAL + HDFSStateStore) —
+    *    a restarted process resumes mid-stream, re-processing only
+    *    the offsets whose commit is missing;
+    *  - the file sink's `_spark_metadata` manifest makes output
+    *    exactly-once across restarts: a replayed microbatch
+    *    overwrites its own manifest entry instead of double-counting
+    *    (readers go through the manifest, not a directory listing).
+    *
+    * Call once per "process lifetime" with the same (checkpointDir,
+    * outDir); the caller stops the returned query to simulate a
+    * crash/planned restart. RecoverySpec drives two lifetimes and
+    * asserts a window whose events straddle the restart still comes
+    * out with the FULL count — the state-recovery proof — and that
+    * the committed output is duplicate-free and equal to the batch
+    * result restricted to watermark-closed windows.
+    */
+  def startCheckpointedWindowAgg(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(srcDir)
+    windowAgg(stream)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
+  /** Same deployment shape for the first-arrival dedup: keys-seen
+    * state must survive a restart, or a duplicate arriving in the
+    * second process lifetime is re-emitted as "first". */
+  def startCheckpointedDedup(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(srcDir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
   }
 
   val streamTopkSql: String =

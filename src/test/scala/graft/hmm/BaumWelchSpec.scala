@@ -122,4 +122,55 @@ class BaumWelchSpec extends AnyFunSuite {
     val fd = HmmQueries.fromDistributions(spark, sfDir).collect()
     checkNamedDump(fd, (0 until 3).map(j => s"o$j"))
   }
+
+  test("viterbi training is bitwise deterministic across partitionings (hard counts are integers)") {
+    val seqs = syntheticSeqs(60, 40, seed = 17L)
+    val init = HmmModel.random(2, 3, 5L)
+    def train(parts: Int) = BaumWelch.fitViterbi(
+      spark.sparkContext.parallelize(seqs, parts), init,
+      maxIterations = 12, epsilon = 1e-6, pseudoCount = 0.1)
+    val m4 = train(4).model
+    val m1 = train(1).model
+    // NOT the soft-EM 1e-9 tolerance: integer count sums are exact
+    // and order-independent, so the M-step quotients must agree to
+    // the last bit regardless of treeAggregate combine order
+    assert(m4.pi.sameElements(m1.pi)
+      && m4.a.zip(m1.a).forall { case (x, y) => x.sameElements(y) }
+      && m4.b.zip(m1.b).forall { case (x, y) => x.sameElements(y) },
+      "hard-EM models differ bitwise across partitionings")
+    m4.validate(1e-9)
+  }
+
+  test("viterbi training ascends its joint objective and recovers planted emission structure") {
+    val seqs = syntheticSeqs(80, 60, seed = 23L)
+    val rdd = spark.sparkContext.parallelize(seqs, 4)
+    // pure segmental k-means (no smoothing): the joint objective
+    // Σ log P(O, path*) is non-decreasing per Juang & Rabiner
+    val res = BaumWelch.fitViterbi(rdd, HmmModel.random(2, 3, 7L),
+      maxIterations = 25, epsilon = 1e-6, pseudoCount = 0.0)
+    res.logLikPerIter.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9, s"hard-EM objective fell $a -> $b")
+      case _           =>
+    }
+    // planted model: one state prefers symbol 0, the other symbol 2
+    val b = res.model.b
+    val s0 = b.indexWhere(r => r(0) == r.max)
+    val s2 = b.indexWhere(r => r(2) == r.max)
+    assert(s0 >= 0 && s2 >= 0 && s0 != s2,
+      s"emission structure not recovered: B=${b.map(_.mkString(",")).mkString(";")}")
+  }
+
+  test("pseudo-count smoothing keeps every probability strictly positive under hard assignment") {
+    // 1-symbol-per-state data starves the cross terms; hard EM with
+    // no smoothing would zero them permanently (Mahout's documented
+    // reason for the pseudo-count)
+    val seqs = Seq.fill(20)(Array.fill(30)(0)) ++ Seq.fill(20)(Array.fill(30)(2))
+    val rdd = spark.sparkContext.parallelize(seqs, 2)
+    val res = BaumWelch.fitViterbi(rdd, HmmModel.random(2, 3, 11L),
+      maxIterations = 10, epsilon = 1e-8, pseudoCount = 0.5)
+    val m = res.model
+    assert(m.pi.forall(_ > 0) && m.a.flatten.forall(_ > 0) && m.b.flatten.forall(_ > 0),
+      "smoothed hard-EM model has zero cells")
+    m.validate(1e-9)
+  }
 }
