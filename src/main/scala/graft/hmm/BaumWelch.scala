@@ -153,6 +153,27 @@ object BaumWelch {
       fit(sequences, HmmModel.random(numStates, numSymbols, seed + r), maxIterations, epsilon)
     }.maxBy(_.logLikPerIter.last)
 
+  /** Multi-restart Viterbi training: hard EM is even more prone to
+    * local optima than soft EM (the hard assignment can collapse both
+    * states onto the corpus-modal symbol from one bad init), so the
+    * restart guard is the supported way to ask for a trained model
+    * rather than a trajectory. Same maxBy-final-objective selection as
+    * [[fitBest]]; input should be cached.
+    */
+  def fitViterbiBest(
+      sequences: RDD[Array[Int]],
+      numStates: Int,
+      numSymbols: Int,
+      restarts: Int = 3,
+      seed: Long = 42L,
+      maxIterations: Int = 20,
+      epsilon: Double = 1e-4,
+      pseudoCount: Double = 0.0): FitResult =
+    (0 until restarts).map { r =>
+      fitViterbi(sequences, HmmModel.random(numStates, numSymbols, seed + r),
+        maxIterations, epsilon, pseudoCount)
+    }.maxBy(_.logLikPerIter.last)
+
   /** Viterbi training (hard EM) — Mahout `HmmTrainer.trainViterbi`,
     * the public companion of the reference's soft-EM trainer
     * (BaumWelchDriver.java:53-69 exposes the trainer family).

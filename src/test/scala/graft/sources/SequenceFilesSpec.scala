@@ -69,6 +69,13 @@ class SequenceFilesSpec extends AnyFunSuite {
       java.nio.file.Files.write(f.toPath,
         (bytes.take(idx) ++ repl ++ bytes.drop(idx + needle.length)).toArray)
     }
+    // the splice (same length, different bytes) invalidates Hadoop
+    // LocalFileSystem's `.part-*.crc` sidecars; a real reference-
+    // written corpus has consistent checksums, so drop the stale ones
+    // rather than let ChecksumException shadow the alias under test
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".crc"))
+      .foreach(f => assert(f.delete(), s"could not delete stale ${f.getName}"))
     assert(readBack(dir) == rows.map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1),
       "reference-format file did not read back identically")
   }
