@@ -100,7 +100,8 @@ object Bpe {
     val dictRows = raw.count()
     // eager lineage cut: iteration plans start from a LogicalRDD, so
     // the per-step analysis cost is O(1) in the step number
-    var dict = raw.coalesce(dictParts(spark, dictRows)).transform(graft.Lineage.cut)
+    val dictLoop = new graft.Lineage.Loop // dict is the loop variable
+    var dict = dictLoop.cut(raw.coalesce(dictParts(spark, dictRows)))
     raw.unpersist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
@@ -121,12 +122,14 @@ object Bpe {
       else {
         val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         learned += ((step, l, r, cnt))
-        dict = dict
-          .select(mergeStep(col("tokens"), l, r).as("tokens"), col("freq"))
-          .transform(graft.Lineage.cut) // eager; old checkpoint GC'd by ContextCleaner
+        dict = dictLoop.cut( // eager; superseded reliable dirs deleted by the handle
+          dict.select(mergeStep(col("tokens"), l, r).as("tokens"), col("freq")))
         step += 1
       }
     }
+    // merges are fully collected driver-side: the final dict
+    // checkpoint has no live reader, drop it too
+    dictLoop.drop(spark)
     learned.toSeq
   }
 
@@ -157,10 +160,11 @@ object Bpe {
     var cur = words.coalesce(dictParts(spark, dictRows))
       .withColumn("tokens", charTokens(col("word")))
     // chunked eager lineage cuts: bounded plan depth, bounded codegen
+    val curLoop = new graft.Lineage.Loop
     mergeSeq.grouped(EncodeChunk).foreach { chunk =>
-      cur = chunk.foldLeft(cur) { case (df, (l, r)) =>
+      cur = curLoop.cut(chunk.foldLeft(cur) { case (df, (l, r)) =>
         df.withColumn("tokens", mergeStep(col("tokens"), l, r))
-      }.transform(graft.Lineage.cut)
+      })
     }
     words.unpersist()
     val encoded = cur.select(col("word"),

@@ -184,6 +184,7 @@ object Dedup {
       .withColumn("label", col("id")).cache()
     var changed = 1L
     var rounds = 0
+    val labelLoop = new graft.Lineage.Loop // labels is the loop variable
     while (changed > 0 && rounds < 40) {
       val nmin = edges.join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
@@ -205,7 +206,7 @@ object Dedup {
               least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         }
       val updated =
-        if (deep && (rounds + 1) % CcCheckpointEvery == 0) next.transform(graft.Lineage.cut)
+        if (deep && (rounds + 1) % CcCheckpointEvery == 0) labelLoop.cut(next)
         else next.cache()
       // single materializing action: labels only ever decrease, so
       // "any row with label < old" ⇔ not yet converged

@@ -58,11 +58,16 @@ object Graph {
     val nEdges = withDeg0.count()
     val eParts = math.max(1L, math.min(nEdges / 500000L + 1L,
       spark.sparkContext.defaultParallelism.toLong)).toInt
+    // withDeg is loop-INVARIANT (read by every iteration): plain cut,
+    // never routed through the rank loop handle below
     val withDeg = withDeg0.coalesce(eParts).transform(graft.Lineage.cut)
     withDeg0.unpersist()
     val n = deg.count() // every node appears as a src (undirected)
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
-      .coalesce(eParts).transform(graft.Lineage.cut)
+    // rank is the loop VARIABLE: its handle deletes each superseded
+    // reliable checkpoint as soon as the next one materializes
+    val rankLoop = new graft.Lineage.Loop
+    var ranks = rankLoop.cut(
+      deg.select(col("src").as("node"), lit(1.0 / n).as("rank")).coalesce(eParts))
     // Cost note (measured at sf0.1, 16k nodes / 800k edges): ~0.7s
     // per iteration regardless of layout, checkpoint cadence, or AQE
     // on/off — the floor is 10 sequential stage barriers on a tiny
@@ -78,7 +83,7 @@ object Graph {
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
         .coalesce(eParts)
-        .transform(graft.Lineage.cut)
+        .transform(rankLoop.cut(_))
     }
     ranks
       .select(

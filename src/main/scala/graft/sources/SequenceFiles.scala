@@ -78,10 +78,16 @@ object SequenceFiles {
         val key = new LongWritable()
         new Iterator[(Long, Seq[Int])] {
           private var open = true
+          private def closeOnce(): Unit = if (open) { reader.close(); open = false }
+          // a task that stops early (limit/take, downstream failure, a
+          // throw from getCurrentValue) never drains the iterator —
+          // close on task completion, idempotently, not just at EOF
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
           private var ready = advance()
           private def advance(): Boolean = {
             val has = open && reader.next(key)
-            if (!has && open) { reader.close(); open = false }
+            if (!has && open) closeOnce()
             has
           }
           def hasNext: Boolean = ready
@@ -120,23 +126,28 @@ object SequenceFiles {
     * ids, lengths, symbols, AND order.
     */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("graft_seqfile", dir)
+    val path = tmpDir("graft_seqfile", dir, spark)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // rerun in-process: overwrite
     val seqs = graft.hmm.Sequencer.sequenceDs(spark, dir)
       .toDF("seq_id", "syms")
     writeIntArray(seqs, path)
+    // empty sequences are legal wire format (readIntArray/writeIntArray
+    // support them) even though Sequencer never emits one: guard the
+    // positional probes, or ANSI element_at errors and the descending
+    // sequence(1,0) null-pads the checksum
+    val nonEmpty = size(col("syms")) > 0
     readIntArray(spark, path)
       .select(col("seq_id"),
         size(col("syms")).cast("long").as("n_events"),
-        element_at(col("syms"), 1).cast("long").as("first_sym"),
-        element_at(col("syms"), -1).cast("long").as("last_sym"),
+        when(nonEmpty, element_at(col("syms"), 1)).cast("long").as("first_sym"),
+        when(nonEmpty, element_at(col("syms"), -1)).cast("long").as("last_sym"),
         // (pos+1)-weighted sum: order-sensitive, exact in longs
         // (sym < |vocab|, pos < seq length — far inside 2^63)
-        expr("aggregate(zip_with(syms, sequence(1, size(syms)), " +
-          "(s, i) -> CAST(s AS BIGINT) * i), 0L, (acc, x) -> acc + x)")
-          .as("checksum"))
+        when(nonEmpty, expr("aggregate(zip_with(syms, sequence(1, size(syms)), " +
+          "(s, i) -> CAST(s AS BIGINT) * i), 0L, (acc, x) -> acc + x)"))
+          .otherwise(lit(0L)).as("checksum"))
       .orderBy("seq_id")
   }
 
@@ -155,11 +166,15 @@ object SequenceFiles {
        |  CAST(sum(CAST(sym AS BIGINT) * pos1) AS BIGINT) AS checksum
        |FROM s GROUP BY user_id ORDER BY seq_id""".stripMargin
 
-  private def tmpDir(name: String, dir: String): String = {
-    // md5-keyed per source dir + pid, same rule as Formats.tmp
+  private def tmpDir(name: String, dir: String, spark: SparkSession): String = {
+    // keyed per (source dir, pid, SESSION) — the repo's persisted-
+    // DataFrame memoization rule: two sessions (or threads with their
+    // own sessions) in one JVM must not share a scratch dir they
+    // delete-and-rewrite, or one clobbers the other's files mid-read
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"${name}_${tag}_p${ProcessHandle.current().pid()}").toString
+      s"${name}_${tag}_p${ProcessHandle.current().pid()}" +
+        s"_s${System.identityHashCode(spark)}").toString
   }
 }
