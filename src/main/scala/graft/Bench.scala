@@ -54,7 +54,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist to a file: stdout alone has been destroyed three
+    // rounds running (driver tail-truncation + rc=1), losing all
+    // timing data. The file is written before any failure exit so
+    // partial timings survive a red run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

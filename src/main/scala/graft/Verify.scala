@@ -18,6 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // timestamp-sanity tripwire, BEFORE any query runs: a misread ts
+    // encoding can produce plausible-looking wrong answers (the
+    // January-1970 collapse), so the gate hard-fails unless event
+    // timestamps land in the corpus era.
+    locally {
+      import org.apache.spark.sql.functions.{col, max, min, year}
+      val r = graft.sources.Tables.events(spark, sfDir)
+        .select(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .collect().head
+      require(r.getInt(0) >= 2000 && r.getInt(1) <= 2100,
+        s"events.ts years [${r.getInt(0)}, ${r.getInt(1)}] outside [2000, 2100] — " +
+          "timestamp encoding misread; refusing to dump plausible wrong answers")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

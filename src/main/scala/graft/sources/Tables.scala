@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Schema-checked readers for the driver-generated parquet tables
   * (see TESTDATA.md). All graft operators read through here so the
@@ -24,18 +24,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long, then convert to a microsecond
-    * timestamp with integer division (nanos-since-epoch ~1.7e18
-    * overflows double precision, so no FP division). DuckDB's
-    * ::TIMESTAMP cast truncates ns→us identically.
+  /** The physical encoding of `events.ts` is NOT under our control and
+    * has genuinely varied across data generations: INT64
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong), parquet
+    * timestamp[us] without timezone (Spark TIMESTAMP_NTZ), and
+    * timestamp[us] with timezone (TIMESTAMP_LTZ). A production engine
+    * reading customer parquet must accept all three, so the reader
+    * branches on the SCANNED dtype and normalizes to a session-local
+    * TimestampType instant at microsecond resolution — every
+    * downstream `unix_micros(ts)` then works unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    normalizeEventTs(table(spark, dir, "events"))
+  }
+
+  /** Normalize a scanned `ts` column to TimestampType (µs instant):
+    *  - LongType: nanos-since-epoch under nanosAsLong → integer-divide
+    *    to µs (nanos ~1.7e18 overflows double precision, so no FP
+    *    division); DuckDB's ::TIMESTAMP cast truncates ns→µs the same.
+    *  - TIMESTAMP_NTZ: wall-clock µs → cast; the session timezone is
+    *    UTC so the instant is preserved (same rule as o_orderdate).
+    *  - TimestampType: already an instant, pass through.
+    * Any other dtype is a loud error — a silently misread timestamp
+    * column is the worst failure class (plausible wrong answers).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other: DataType =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; " +
+          "expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -24,23 +24,38 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS), read as
-    * long under nanosAsLong — same handling as Tables.events).
+  /** Schema-probed streaming reader over the events files matched by
+    * `glob` under `dir`, with `ts` normalized to a TimestampType µs
+    * instant.
+    *
+    * NEVER re-declare a parquet column's physical type in a readStream
+    * schema you don't control: a wrong declaration can READ
+    * SUCCESSFULLY with wrong values (int64 µs read as "nanos" divides
+    * to January 1970 — plausible-looking, silently wrong). Instead a
+    * one-time batch read probes the footer of the SAME matched files,
+    * that scanned schema is declared verbatim, and
+    * [[graft.sources.Tables.normalizeEventTs]] branches on the actual
+    * dtype (INT64 nanos / TIMESTAMP_NTZ / TIMESTAMP). The probe costs
+    * one footer read per stream start — nothing at scale.
     */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos under nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsStream(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val r0 = spark.readStream.schema(probed)
+    val r1 = maxFilesPerTrigger.fold(r0)(m => r0.option("maxFilesPerTrigger", m.toString))
+    graft.sources.Tables.normalizeEventTs(
+      r1.option("pathGlobFilter", glob).parquet(dir))
+  }
 
   /** The streaming transform, defined once so batch parity tests run
-    * the identical logic on a batch DataFrame.
+    * the identical logic on a batch DataFrame. Accepts either a raw
+    * scan (any supported ts encoding) or an already-normalized one —
+    * normalizeEventTs is idempotent on TimestampType.
     */
   def windowAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(events)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -58,13 +73,8 @@ object StreamingJobs {
     */
   def runWindowAggUpdate(
       spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_window_update_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, glob)
     val query = windowAgg(stream)
       .writeStream.outputMode("update").format("memory").queryName(sink).start()
     val states = try {
@@ -84,8 +94,7 @@ object StreamingJobs {
     * watermark-bounded; complete mode here is for the finite corpus).
     */
   def dedupTransform(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(events)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), col("event_type"))
       .agg(unix_micros(min(col("ts"))).as("first_ts_us"))
@@ -102,13 +111,8 @@ object StreamingJobs {
       |ORDER BY user_id, event_type""".stripMargin
 
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_dedup_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, "events.parquet")
     val query = dedupTransform(stream)
       .writeStream.outputMode("complete").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
@@ -206,15 +210,8 @@ object StreamingJobs {
       emitOpen: Boolean,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_sessionize_${System.nanoTime()}"
-    val reader0 = spark.readStream.schema(eventsSchema)
-    val reader = maxFilesPerTrigger.fold(reader0)(m =>
-      reader0.option("maxFilesPerTrigger", m.toString))
-    val stream = reader
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(spark, dir, glob, maxFilesPerTrigger)
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"), col("ts"))
@@ -242,15 +239,10 @@ object StreamingJobs {
       |ORDER BY window_start_us, event_type""".stripMargin
 
   def sessionAggStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_session_agg_${System.nanoTime()}"
     // file-source streaming needs a directory: stream the sf dir,
     // glob-filtered to the events table (one file per microbatch)
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, "events.parquet")
     val query = windowAgg(stream)
       .writeStream
       .outputMode("complete")
@@ -276,16 +268,10 @@ object StreamingJobs {
     * enriched event stream, directly comparable to the batch join.
     */
   def enrichStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_enrich_${System.nanoTime()}"
     val dim = broadcast(graft.hmm.Sequencer.vocab(spark, dir))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("event_id"), col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+    val stream = eventsStream(spark, dir, "events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val query = stream.join(dim, "event_type")
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
@@ -314,15 +300,9 @@ object StreamingJobs {
     */
   def runDedupWithinWatermark(
       spark: SparkSession, dir: String, glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_dedup_wm_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .select(col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val stream = eventsStream(spark, dir, glob)
+      .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     val query = stream
@@ -353,18 +333,13 @@ object StreamingJobs {
     */
   def runStreamJoin(
       spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_join_${System.nanoTime()}"
     def side(tpe: String, pfx: String): DataFrame =
-      spark.readStream
-        .schema(eventsSchema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", glob)
-        .parquet(dir)
+      eventsStream(spark, dir, glob)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user_id"),
           col("event_id").as(s"${pfx}_event_id"),
-          expr("timestamp_micros(ts div 1000)").as(s"${pfx}_ts"))
+          col("ts").as(s"${pfx}_ts"))
         .withWatermark(s"${pfx}_ts", "30 minutes")
     val joined = side("signup", "s").join(side("purchase", "p"),
       col("s_user_id") === col("p_user_id") &&
@@ -420,7 +395,6 @@ object StreamingJobs {
 
   private[graft] def streamUpsertGlob(
       spark: SparkSession, dir: String, glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // per-invocation nonce: concurrent runs in one JVM never share a
     // version path; superseded version dirs are deleted as the merge
     // advances (only the final version survives the run)
@@ -431,13 +405,10 @@ object StreamingJobs {
     def keepLatest(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     var version = 0
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      // µs BEFORE any ordering so ns-tie-breaking can't diverge from
-      // the µs-resolution oracle; event_id is the deterministic tie
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+    val stream = eventsStream(spark, dir, glob)
+      // µs BEFORE any ordering so sub-µs tie-breaking can't diverge
+      // from the µs-resolution oracle; event_id is the deterministic tie
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
     val query = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -473,13 +444,8 @@ object StreamingJobs {
     */
   def streamTopk(spark: SparkSession, dir: String, k: Int = 3,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_topk_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, glob)
     val query = windowAgg(stream)
       .writeStream.outputMode("complete").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
@@ -508,12 +474,7 @@ object StreamingJobs {
       spark: SparkSession, dir: String, k: Int = 3,
       glob: String = "events.parquet"): (DataFrame, Seq[Long]) = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, glob)
     val store = new java.util.concurrent.ConcurrentHashMap[(Long, String), (Long, Double)]()
     val query = windowAgg(stream)
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
@@ -564,15 +525,9 @@ object StreamingJobs {
     */
   def sessionWindowStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sink = s"stream_session_window_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
+    val stream = eventsStream(spark, dir, glob)
     val query = stream
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
@@ -611,12 +566,7 @@ object StreamingJobs {
   def startCheckpointedWindowAgg(
       spark: SparkSession, srcDir: String, glob: String,
       checkpointDir: String, outDir: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(srcDir)
+    val stream = eventsStream(spark, srcDir, glob)
     windowAgg(stream)
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -632,14 +582,8 @@ object StreamingJobs {
   def startCheckpointedDedup(
       spark: SparkSession, srcDir: String, glob: String,
       checkpointDir: String, outDir: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(srcDir)
-      .select(col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    eventsStream(spark, srcDir, glob)
+      .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))

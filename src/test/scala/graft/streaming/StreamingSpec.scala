@@ -145,7 +145,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming windowed agg equals the batch result over the same data") {
     val streamed = StreamingJobs.sessionAggStream(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-    // identical transform applied in batch (ts arrives as long nanos)
+    // identical transform applied in batch, on the RAW scan (whatever
+    // ts encoding the files carry — windowAgg normalizes internally)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
     val batch = StreamingJobs.windowAgg(batchEvents)
@@ -157,16 +158,15 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful sessionizer over >=3 microbatches with timeouts equals the single-batch result") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet") // ts: long nanos
+    val ev = Tables.events(spark, sfDir) // ts normalized to TimestampType
     val schema = ev.schema
     val tsIdx = schema.fieldIndex("ts")
     val rows = ev.orderBy("ts").collect()
-    val maxTs = rows.map(_.getLong(tsIdx)).max
+    val maxTsMs = rows.map(_.getTimestamp(tsIdx).getTime).max
     // sentinel far-future event (fake user -1): pushes the watermark
     // past every open session so event-time timeouts flush them
     val sentinel = org.apache.spark.sql.Row(
-      -1L, maxTs + 2L * 3600 * 1000000000L, -1L, "click", 0.0, "{}")
+      -1L, new java.sql.Timestamp(maxTsMs + 2L * 3600 * 1000), -1L, "click", 0.0, "{}")
     val tmp = java.nio.file.Files.createTempDirectory("graft_msb").toFile.getAbsolutePath
     val chunkCount = 3
     val per = (rows.length + chunkCount - 1) / chunkCount
