@@ -246,4 +246,61 @@ class PersistenceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("never_seen_type"))
     assert(first.model.numSymbols == types.length)
   }
+
+  test("TrainHmm --trainer viterbi with --pseudo-count matches the library trainer") {
+    import spark.implicits._
+    val out = tmp("graft_vit_cli")
+    val res = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", out,
+      "--states", "3", "--max-iterations", "4", "--restarts", "2",
+      "--seed", "42", "--trainer", "viterbi", "--pseudo-count", "0.5")))
+    res.model.validate(1e-6)
+    val m = Sequencer.vocab(spark, sfDir).count().toInt
+    val seqs = Sequencer.sequenceDs(spark, sfDir).map(_._2.toArray).rdd.cache()
+    try {
+      val direct = BaumWelch.fitViterbiBest(seqs, numStates = 3, numSymbols = m,
+        restarts = 2, seed = 42L, maxIterations = 4, epsilon = 1e-4,
+        pseudoCount = 0.5)
+      assert(res.model.frobeniusDistance(direct.model) < 1e-9,
+        "CLI viterbi training diverged from BaumWelch.fitViterbiBest")
+    } finally seqs.unpersist()
+    // the model dir is loadable and keeps the corpus vocabulary
+    val (loaded, _) = ModelIO.load(spark, s"$out/model")
+    assert(loaded.symbolNames.isDefined && loaded.numSymbols == m)
+    // flag validation: pseudo-count is viterbi-only; viterbi has no
+    // checkpointing (reference parity: trainer families are distinct)
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--pseudo-count", "0.5")))
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--trainer", "viterbi",
+      "--checkpoint-dir", "c")))
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--trainer", "gibbs")))
+  }
+
+  test("TrainHmm --input-format seqfile trains on the reference's native corpus format") {
+    import spark.implicits._
+    // serialize the corpus exactly as the reference driver consumes it
+    val seqPath = s"${tmp("graft_seqcli")}/corpus"
+    graft.sources.SequenceFiles.writeIntArray(
+      Sequencer.sequenceDs(spark, sfDir).toDF("seq_id", "syms"), seqPath)
+    val out = tmp("graft_seqcli_out")
+    val res = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", seqPath, "--output", out,
+      "--input-format", "seqfile",
+      "--states", "3", "--max-iterations", "3", "--restarts", "1", "--seed", "7")))
+    // same training on the events-format input: the sequences are
+    // identical, so the trained models agree (1e-6 — partitioning
+    // differs, so treeAggregate combine order drifts ulps per iter)
+    val events = TrainHmm.run(spark, TrainHmm.parse(Seq(
+      "--input", sfDir, "--output", tmp("graft_seqcli_ev"),
+      "--states", "3", "--max-iterations", "3", "--restarts", "1", "--seed", "7")))
+    assert(res.model.frobeniusDistance(events.model) < 1e-6,
+      "seqfile-input training diverged from events-input training")
+    assert(res.model.numSymbols == events.model.numSymbols)
+    // synthetic o<j> names for an id-space corpus
+    assert(res.model.symbolNames.exists(_.forall(_.startsWith("o"))))
+    intercept[IllegalArgumentException](TrainHmm.parse(Seq(
+      "--input", "a", "--output", "b", "--input-format", "csv")))
+  }
 }
