@@ -227,6 +227,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
+    "kmeans_clusters" -> Similarity.kmeansClustersSql, // pinned per-SF literals (deterministic Lloyd; DuckDB can't recompute xxhash64 seeds)
     "agg_rollup"     -> RelationalExtras.aggRollupSql,
     "agg_cube"       -> RelationalExtras.aggCubeSql,
     "q4_priority"    -> RelationalExtras.q4PrioritySql,
