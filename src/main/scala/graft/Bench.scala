@@ -40,10 +40,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val entries = SparkEntry.queries.toSeq
+    // GC counters: deltas over the whole timed region distinguish "plan
+    // regressed" from "pass went cold / GC storm" without a re-run
+    // (round 9's contam_ngram false alarm). Totals only — per-query GC
+    // attribution in a shared JVM would be noise.
+    def gcTotals(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+    }
     entries.foreach { case (name, fn) => once(name, fn) } // warm-up pass, untimed
+    val (gcMs0, gcN0) = gcTotals()
     val passes = (1 to runs).map(_ => entries.map { case (name, fn) => once(name, fn) })
-    val results = entries.zipWithIndex.map { case ((name, _), i) =>
-      val times = passes.map(_(i)).sorted
+    val (gcMs1, gcN1) = gcTotals()
+    val perQuery = entries.zipWithIndex.map { case ((name, _), i) =>
+      name -> passes.map(_(i)).sorted
+    }
+    val results = perQuery.map { case (name, times) =>
       name -> times(times.length / 2)
     }.toMap
     def jsonStr(s: String): String =
@@ -51,10 +64,16 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ").take(300) + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] over the timed passes: a wide spread
+    // with a normal min means contention, not a plan change
+    val spread = perQuery.map { case (k, ts) =>
+      s"\"" + k + s"\":[${ts.head},${ts(ts.length / 2)},${ts.last}]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val gc = s""""gc_sec":${(gcMs1 - gcMs0) / 1e3},"gc_count":${gcN1 - gcN0}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$gc,"runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist to a file: stdout alone has been destroyed three
     // rounds running (driver tail-truncation + rc=1), losing all

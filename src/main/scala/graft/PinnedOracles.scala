@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Pinned-literal oracles: machine-captured outputs of queries whose
+  * results are deterministic by construction (seeded `java.util.Random`
+  * models, hash-seeded Lloyd codebooks, exact integer BPE merge ranks)
+  * but which DuckDB cannot recompute from the parquet tables. The
+  * captured rows become a `VALUES` relation keyed by corpus tier, so
+  * the driver's exact-hash compare still runs end-to-end.
+  *
+  * What the pins are pinned AGAINST (any of these changing flips them):
+  *   - the Spark minor version's xxhash64 / `hash` family (seed
+  *     selection for Lloyd and for PQ codebooks),
+  *   - `sum()`/`avg()` partial-aggregate fold order at the capture
+  *     parallelism (values are rounded 4-8 dp, so only boundary-exact
+  *     sums are at risk — capture verifies stability across local[4]
+  *     and local[32]),
+  *   - the `java.util.Random` stream (hmm_random_model's seed 42),
+  *   - `round()`'s shortest-decimal (BigDecimal) behavior and
+  *     `Double.toString`'s shortest round-trip rendering.
+  *
+  * [[PinnedOraclesSpec]] recomputes every pinned row from the
+  * distributed path at sf0.001, so a Spark upgrade fails locally with
+  * a row-level diff instead of at the driver. Capture procedure:
+  * `graft.tools.PinGen` (run twice at different parallelism, diff).
+  */
+object PinnedOracles {
+
+  /** Field separator inside a rendered row (never occurs in corpus text). */
+  val Sep = '\u001f'
+
+  /** Corpus-tier discriminator: documents/embeddings have equal row
+    * counts at sf0.001 and sf0.01, so lineitem's row count keys the
+    * tier (1 = sf0.001, 2 = sf0.01, 3 = sf0.1). */
+  val tierSql: String =
+    "SELECT CASE WHEN count(*) < 20000 THEN 1 WHEN count(*) < 200000 THEN 2 ELSE 3 END AS tier FROM lineitem"
+
+  /** One pinned result set: column name → DuckDB type, and per-tier
+    * rendered rows ([[Sep]]-joined, in the query's own output order).
+    * A single-tier map means the result is corpus-independent. */
+  final case class Pinned(cols: Seq[(String, String)], rows: Map[Int, Seq[String]]) {
+
+    def rowsFor(tier: Int): Seq[String] =
+      if (rows.size == 1) rows.head._2 else rows(tier)
+
+    /** DuckDB SQL reproducing this result at whatever SF the driver
+      * points its views at. */
+    def sql: String = {
+      val colNames = cols.map(_._1)
+      val casts = cols.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(",\n  ")
+      def lit(raw: String, tpe: String): String = tpe match {
+        case "VARCHAR" => "'" + raw.replace("'", "''") + "'"
+        case _         => raw
+      }
+      def valuesRow(extra: Seq[String], r: String): String =
+        (extra ++ r.split(Sep.toString, -1).toSeq.zip(cols).map { case (v, (_, t)) => lit(v, t) })
+          .mkString("(", ", ", ")")
+      if (rows.size == 1) {
+        val vals = rows.head._2.map(r => valuesRow(Nil, r)).mkString(",\n  ")
+        s"""SELECT $casts
+           |FROM (VALUES
+           |  $vals) AS vals(${colNames.mkString(", ")})""".stripMargin
+      } else {
+        val vals = rows.toSeq.sortBy(_._1).flatMap { case (tier, rs) =>
+          rs.map(r => valuesRow(Seq(tier.toString), r))
+        }.mkString(",\n  ")
+        s"""WITH sf AS ($tierSql),
+           |vals(tier, ${colNames.mkString(", ")}) AS (VALUES
+           |  $vals)
+           |SELECT $casts
+           |FROM vals JOIN sf USING (tier)""".stripMargin
+      }
+    }
+  }
+
+  /** Render a result row exactly as the capture did — shared by PinGen
+    * and the drift spec so "recompute and compare" is string-equal.
+    * `Double.toString` is the shortest decimal that round-trips to the
+    * same binary double, and DuckDB's string→DOUBLE parse is correctly
+    * rounded, so the driver's exact (bitwise float64) compare holds. */
+  def renderRow(row: Row, schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      require(!row.isNullAt(i), s"null in pinned output column ${f.name}")
+      f.dataType match {
+        case DoubleType  => java.lang.Double.toString(row.getDouble(i))
+        case LongType    => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case StringType  =>
+          val s = row.getString(i)
+          require(!s.exists(c => c == Sep || c == '\n' || c == '\r'),
+            s"unpinnable string in ${f.name}: ${s.take(40)}")
+          s
+        case dt => sys.error(s"unpinnable column type $dt for ${f.name}")
+      }
+    }.mkString(Sep.toString)
+
+  /** DuckDB type for a pinned Spark column. */
+  def duckType(dt: DataType): String = dt match {
+    case DoubleType  => "DOUBLE"
+    case LongType    => "BIGINT"
+    case IntegerType => "INTEGER"
+    case StringType  => "VARCHAR"
+    case other       => sys.error(s"unpinnable column type $other")
+  }
+}

@@ -27,6 +27,8 @@ object Verify {
       val r = graft.sources.Tables.events(spark, sfDir)
         .select(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
         .collect().head
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"events table at $sfDir is empty or ts is all-null — cannot sanity-check timestamps")
       require(r.getInt(0) >= 2000 && r.getInt(1) <= 2100,
         s"events.ts years [${r.getInt(0)}, ${r.getInt(1)}] outside [2000, 2100] — " +
           "timestamp encoding misread; refusing to dump plausible wrong answers")

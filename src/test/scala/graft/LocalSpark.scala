@@ -13,4 +13,66 @@ object LocalSpark {
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Temporarily set session confs around `body`, restoring afterwards.
+    *
+    * Hygiene rules (round-9 cross-suite pollution class):
+    *   - `conf.get` may return NULL for keys with no non-null default
+    *     (e.g. spark.sql.adaptive.autoBroadcastJoinThreshold): a null save
+    *     means "was unset", never a restorable value — restoring it via
+    *     `conf.set(k, null)` throws and strands every later key.
+    *   - each key restores inside its own Try so one bad key can never
+    *     abort the loop and leave test-sized thresholds in the shared
+    *     session for every suite that runs after.
+    */
+  def withSessionConf[A](pairs: (String, String)*)(body: => A): A = {
+    pristineConf // snapshot hygiene keys BEFORE the first mutation
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) =>
+      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))
+    }
+    try {
+      pairs.foreach { case (k, v) => conf.set(k, v) }
+      body
+    } finally saved.foreach { case (k, prev) =>
+      scala.util.Try(prev match {
+        case Some(v) => conf.set(k, v)
+        case None    => conf.unset(k)
+      })
+    }
+  }
+
+  /** Keys that, if stranded by a conf-mutating spec, poison every later
+    * suite in the shared JVM (broadcast disabled → phantom cartesians). */
+  val hygieneKeys: Seq[String] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+  /** Pristine values of the hygiene keys, captured the first time the
+    * shared session is touched (forces `spark`). null-valued keys (no
+    * non-null default) snapshot as None. */
+  lazy val pristineConf: Map[String, Option[String]] = {
+    val conf = spark.conf
+    hygieneKeys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+  }
+
+  /** Fail loudly (with the offending keys) if a prior suite left the shared
+    * session in a non-pristine state. Call from beforeAll of plan-sensitive
+    * suites and afterAll of conf-mutating ones: a poisoned session should
+    * fail HERE with a clear message, not as a phantom plan regression. */
+  def assertSessionHygiene(where: String): Unit = {
+    val conf = spark.conf
+    val dirty = pristineConf.toSeq.sortBy(_._1).flatMap { case (k, want) =>
+      val cur = scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))
+      if (cur != want) Some(s"$k=${cur.getOrElse("<unset>")} (pristine ${want.getOrElse("<unset>")})")
+      else None
+    }
+    assert(dirty.isEmpty,
+      s"shared session poisoned at $where: ${dirty.mkString(", ")} — " +
+        "a conf-mutating spec failed to restore (use LocalSpark.withSessionConf)")
+  }
 }

@@ -28,6 +28,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "kmeans_clusters")
 
   test("no query plans a cartesian product") {
+    // a poisoned shared session (broadcast disabled by an earlier suite)
+    // makes bounded-grid crossJoins plan as "genuine" cartesians — fail
+    // here with the offending conf keys instead of a phantom plan report
+    LocalSpark.assertSessionHygiene("PlanAuditSpec")
     val offenders = SparkEntry.queries.collect {
       case (name, fn) if !skip(name) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

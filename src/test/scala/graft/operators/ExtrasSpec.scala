@@ -103,9 +103,11 @@ class ExtrasSpec extends AnyFunSuite {
   test("streaming dedup (keep-earliest) equals batch groupBy-min") {
     val streamed = StreamingJobs.streamDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = StreamingJobs.dedupTransform(spark.read.parquet(s"$sfDir/events.parquet"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.LocalSpark.withSessionConf(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+      StreamingJobs.dedupTransform(spark.read.parquet(s"$sfDir/events.parquet"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }

@@ -51,36 +51,47 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("AQE skew-join split engages on the planted hot key (the built-in alternative)") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.adaptive.enabled",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold"
-    ).map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
-    try {
-      conf.set("spark.sql.adaptive.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    graft.LocalSpark.withSessionConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
       // test-sized thresholds: the planted hot partition is ~MBs, the
       // cold ones ~100s of KB — production keeps the 256 MB defaults
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072",
       // force a shuffle join: a broadcast join has no skewed exchange
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val joined = plantedLeft.join(plantedRight.hint("shuffle_merge"), "k")
-      val n = joined.count()
+      // collect() (not count()) so THIS QueryExecution runs to completion:
+      // count() spawns a separate execution and would leave joined's AQE
+      // plan unfinalized (isFinalPlan=false, no skew split to observe)
+      val n = joined.collect().length
       assert(n == hotRows + coldKeys * coldRowsPerKey)
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE never split the skewed partition; final plan:\n$finalPlan")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
+    graft.LocalSpark.assertSessionHygiene("SkewSpec AQE test")
+  }
+
+  test("withSessionConf restores null-default keys and survives a crashing body") {
+    val conf = spark.conf
+    // adaptive.autoBroadcastJoinThreshold has a NULL default: restoring it
+    // must unset, never conf.set(k, null) (which throws and, in round 9,
+    // stranded broadcast-disabled confs for every later suite)
+    intercept[RuntimeException] {
+      graft.LocalSpark.withSessionConf(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        sys.error("deliberate crash mid-body")
+      }
+    }
+    assert(scala.util.Try(conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_)).isEmpty,
+      "null-default key not restored to unset")
+    assert(conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "broadcast threshold stranded at -1 after a crashing body")
+    graft.LocalSpark.assertSessionHygiene("SkewSpec crash-resistance test")
   }
 }

@@ -147,12 +147,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     // identical transform applied in batch, on the RAW scan (whatever
     // ts encoding the files carry — windowAgg normalizes internally)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
-    val batch = StreamingJobs.windowAgg(batchEvents)
-      .select(unix_micros(col("window.start")).as("s"), col("event_type"),
-        col("n_events"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.LocalSpark.withSessionConf(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+      val batchEvents = spark.read.parquet(s"$sfDir/events.parquet")
+      StreamingJobs.windowAgg(batchEvents)
+        .select(unix_micros(col("window.start")).as("s"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    }
     assert(streamed == batch, s"stream ${streamed.size} rows vs batch ${batch.size}")
     assert(streamed.nonEmpty)
   }
