@@ -48,8 +48,10 @@ object PinnedOracles {
     /** DuckDB SQL reproducing this result at whatever SF the driver
       * points its views at. */
     def sql: String = {
-      val colNames = cols.map(_._1)
-      val casts = cols.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(",\n  ")
+      // identifiers double-quoted: BPE token columns are named left/right,
+      // both reserved words in DuckDB's VALUES alias list
+      val colNames = cols.map { case (n, _) => "\"" + n + "\"" }
+      val casts = cols.map { case (n, t) => s"""CAST("$n" AS $t) AS "$n"""" }.mkString(",\n  ")
       def lit(raw: String, tpe: String): String = tpe match {
         case "VARCHAR" => "'" + raw.replace("'", "''") + "'"
         case _         => raw

@@ -227,7 +227,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,
-    "kmeans_clusters" -> Similarity.kmeansClustersSql, // pinned per-SF literals (deterministic Lloyd; DuckDB can't recompute xxhash64 seeds)
+    // kmeans_clusters: pinned per-SF literals via PinnedOracleData (below)
     "agg_rollup"     -> RelationalExtras.aggRollupSql,
     "agg_cube"       -> RelationalExtras.aggCubeSql,
     "q4_priority"    -> RelationalExtras.q4PrioritySql,
@@ -286,5 +286,11 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql, // delta-vs-history; LSH leg oracle-able per the minhashLsh argument
     "holdout_splits"   -> Curation.holdoutSplitsSql,  // content-hash split: reproducible across runs/engines/layouts
     "seqfile_roundtrip" -> graft.sources.SequenceFiles.roundtripSql, // order-sensitive checksum straight off events
-  )
+  ) ++
+    // Pinned-literal oracles (round 10): deterministic-by-construction
+    // outputs (seeded RNG models, hash-seeded Lloyd/PQ, exact integer
+    // BPE merge ranks, HLL/GK sketches verified fold-order-stable)
+    // captured per SF tier by graft.tools.PinGen. Coupling and the
+    // local drift tripwire are documented in PinnedOracles.
+    PinnedOracleData.byName.map { case (name, pin) => name -> pin.sql }
 }

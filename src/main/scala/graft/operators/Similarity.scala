@@ -463,8 +463,9 @@ object Similarity {
     * from the same seeds (sizes exact, inertia to 1e-6 — the
     * treeAggregate FP-order rule from CLAUDE.md); the ORACLE is
     * pinned per-SF literal rows (DuckDB cannot recompute the xxhash64
-    * seed selection), verified cross-process stable at 4dp — see
-    * [[kmeansClustersSql]].
+    * seed selection), captured by graft.tools.PinGen into
+    * [[graft.PinnedOracleData]] — coupling knobs and the local drift
+    * tripwire are documented in [[graft.PinnedOracles]].
     */
   def kmeansClusters(spark: SparkSession, dir: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
@@ -482,35 +483,6 @@ object Similarity {
         round(sum(col("d")), 4).as("inertia"))
       .orderBy("cluster")
   }
-
-  /** Pinned per-SF oracle for [[kmeansClusters]]: the deterministic
-    * Lloyd output (hash seeds + memoized model ⇒ stable across
-    * processes, verified by repeated independent runs) as literal
-    * rows, keyed by corpus tier since the embeddings table itself has
-    * 500 rows at both sf0.001 and sf0.01 — lineitem's row count is
-    * the discriminator.
-    */
-  val kmeansClustersSql: String =
-    """WITH sf AS (
-      |  SELECT CASE WHEN count(*) < 20000 THEN 1
-      |              WHEN count(*) < 200000 THEN 2
-      |              ELSE 3 END AS tier
-      |  FROM lineitem
-      |), vals(tier, cluster, n_vectors, inertia) AS (VALUES
-      |  (1, 0, 48, 44.2759), (1, 1, 61, 56.6913), (1, 2, 56, 51.2521),
-      |  (1, 3, 65, 59.9139), (1, 4, 71, 66.2904), (1, 5, 77, 72.8170),
-      |  (1, 6, 52, 48.4282), (1, 7, 70, 65.6425),
-      |  (2, 0, 66, 61.8013), (2, 1, 65, 60.6479), (2, 2, 78, 72.6064),
-      |  (2, 3, 53, 48.3911), (2, 4, 61, 56.6374), (2, 5, 59, 54.6703),
-      |  (2, 6, 63, 59.1605), (2, 7, 55, 51.1006),
-      |  (3, 0, 240, 227.9349), (3, 1, 254, 242.3886), (3, 2, 254, 242.0285),
-      |  (3, 3, 238, 226.4319), (3, 4, 233, 221.1974), (3, 5, 255, 243.0264),
-      |  (3, 6, 261, 248.9513), (3, 7, 265, 253.2759))
-      |SELECT CAST(cluster AS INTEGER) AS cluster,
-      |  CAST(n_vectors AS BIGINT) AS n_vectors,
-      |  CAST(inertia AS DOUBLE) AS inertia
-      |FROM vals JOIN sf USING (tier)
-      |ORDER BY cluster""".stripMargin
 
   val vecQuantizeSql: String =
     """WITH s AS (

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.LocalSpark.{sfDir, spark}
+
+/** Drift tripwire for the pinned-literal oracles (PinnedOracleData):
+  * recomputes every pinned query from the distributed path at sf0.001
+  * and requires STRING-equal rendered rows. A Spark upgrade that
+  * changes any pinned-against knob (xxhash64 family, sum/avg fold
+  * order, java.util.Random stream, round()/toString rendering — see
+  * PinnedOracles) fails here with a row-level diff, locally, instead
+  * of as an opaque hash mismatch at the driver.
+  */
+class PinnedOraclesSpec extends AnyFunSuite {
+
+  test("every pinned oracle matches a fresh distributed recompute at sf0.001") {
+    val diffs = PinnedOracleData.byName.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val live = df.collect().map(r => PinnedOracles.renderRow(r, df.schema)).toSeq
+      val pinned = pin.rowsFor(1)
+      if (live == pinned) None
+      else {
+        val firstBad = live.zipAll(pinned, "<missing>", "<missing>")
+          .indexWhere { case (a, b) => a != b }
+        Some(s"$name: live ${live.size} rows vs pinned ${pinned.size}, first diff at row " +
+          s"$firstBad: live='${live.lift(firstBad).getOrElse("")}' " +
+          s"pinned='${pinned.lift(firstBad).getOrElse("")}'")
+      }
+    }
+    assert(diffs.isEmpty,
+      "pinned oracles drifted (regenerate with graft.tools.PinGen after " +
+        s"confirming the cause is a deliberate version/knob change):\n${diffs.mkString("\n")}")
+  }
+
+  test("pinned SQL embeds the tier discriminator iff the result is corpus-dependent") {
+    PinnedOracleData.byName.foreach { case (name, pin) =>
+      val tiered = pin.rows.size > 1
+      assert(pin.sql.contains("FROM lineitem") == tiered, s"$name: tiered=$tiered but sql disagrees")
+      // seeded, dir-independent models must have collapsed to one tier
+      if (Set("hmm_random_model", "hmm_model_from_distributions")(name))
+        assert(!tiered, s"$name is dir-independent but captured as tiered")
+    }
+  }
+}
