@@ -76,6 +76,10 @@ object TrainHmm {
     // override it, and >1 restarts would need >1 distinct inits
     require(!(cfg.modelIn.isDefined && cfg.resume),
       "--model-in and --resume are mutually exclusive")
+    // without a checkpoint dir there is nothing to resume FROM — the
+    // trainer dispatch would silently run a fresh multi-restart fit
+    require(!(cfg.resume && cfg.checkpointDir.isEmpty),
+      "--resume requires --checkpoint-dir")
     require(!(cfg.modelIn.isDefined && args.contains("--restarts") && cfg.restarts > 1),
       "--model-in trains one trajectory; --restarts > 1 is meaningless with it")
     cfg

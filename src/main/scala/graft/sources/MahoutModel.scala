@@ -47,10 +47,14 @@ object MahoutModel {
       val parts = partFiles(spark, path)
       parts.nonEmpty && {
         val in = fs.open(parts.head)
+        // a truncated (<3 byte) part-* file is "not a Mahout dir", not a
+        // crash: detection must degrade to the parquet loader's own error
         try {
           val magic = new Array[Byte](3)
           in.readFully(0, magic)
           new String(magic, "US-ASCII") == "SEQ"
+        } catch {
+          case _: java.io.IOException => false
         } finally in.close()
       }
     }
@@ -128,6 +132,15 @@ object MahoutModel {
     * limit).
     */
   def write(spark: SparkSession, model: HmmModel, path: String): Unit = {
+    // graft's reader parses the full TRANSIT_/EMIT_ suffix, but the
+    // reference's charAt(8)/charAt(5) parser mis-reads stripe indices
+    // >= 10 (TRANSIT_12 -> state 1): exports meant for the reference
+    // must stay under 10 states, so warn loudly at write time
+    if (model.numStates >= 10)
+      System.err.println(
+        s"[mahout-model] WARNING: writing ${model.numStates} states; the reference's " +
+          "single-char stripe parser corrupts TRANSIT_10+/EMIT_10+ on load — " +
+          "this dir is readable by graft but NOT safely by the reference")
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)

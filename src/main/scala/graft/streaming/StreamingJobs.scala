@@ -42,7 +42,17 @@ object StreamingJobs {
       spark: SparkSession, dir: String, glob: String,
       maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // NOTE: probing requires at least one matched file at stream start (a
+    // behavior change vs a declared schema, which would start and emit
+    // nothing) — acceptable for finite corpora; fail with a clear message
+    val probed =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"no files matching '$glob' under $dir at stream start — " +
+              "the footer probe needs one file to declare the physical ts schema", e)
+      }
     val r0 = spark.readStream.schema(probed)
     val r1 = maxFilesPerTrigger.fold(r0)(m => r0.option("maxFilesPerTrigger", m.toString))
     graft.sources.Tables.normalizeEventTs(
