@@ -1,3629 +1,52 @@
 package graft
 
-// GENERATED by graft.tools.PinGen — do not edit by hand.
-// Regenerate after any Spark version bump (see PinnedOracles docs).
+/** Loader for the pinned-oracle capture (see [[PinnedOracles]] for the
+  * mechanism and coupling docs, `graft.tools.PinGen` for regeneration).
+  *
+  * The captured rows live in `src/main/resources/graft/pinned_oracles.tsv`
+  * rather than Scala literals: tier-3 captures run to thousands of rows,
+  * and a generated Map literal of that size eventually hits the JVM's
+  * 64 KB method-size limit — a flat resource file has no such cliff and
+  * keeps the generated data visibly a fixture, not code.
+  *
+  * Format, one record per line ([[PinnedOracles.Sep]]-separated):
+  * {{{
+  *   #Q <name> <col:TYPE,col:TYPE,...>     — starts a query block
+  *   <tier><Sep><rendered row>             — one captured row
+  * }}}
+  */
 object PinnedOracleData {
-  import PinnedOracles.Pinned
+  import PinnedOracles.{Pinned, Sep}
 
-  val byName: Map[String, Pinned] = Map(
-    "bpe_train" -> Pinned(Seq("step" -> "INTEGER", "left" -> "VARCHAR", "right" -> "VARCHAR", "pair_count" -> "BIGINT"),
-      Map(
-      1 -> Seq(
-        "0\u001fe\u001fr\u001f4650",
-        "1\u001fo\u001fr\u001f2880",
-        "2\u001fi\u001fn\u001f2858",
-        "3\u001fo\u001fw\u001f2763",
-        "4\u001fs\u001ft\u001f2721",
-        "5\u001fl\u001fu\u001f1928",
-        "6\u001fa\u001fr\u001f1873",
-        "7\u001fp\u001far\u001f1873",
-        "8\u001fm\u001fer\u001f1824",
-        "9\u001fa\u001ft\u001f1806"),
-      2 -> Seq(
-        "0\u001fe\u001fr\u001f4568",
-        "1\u001fi\u001fn\u001f2760",
-        "2\u001fo\u001fw\u001f2747",
-        "3\u001fo\u001fr\u001f2696",
-        "4\u001fs\u001ft\u001f2676",
-        "5\u001fm\u001fer\u001f1852",
-        "6\u001fa\u001ft\u001f1845",
-        "7\u001fl\u001fu\u001f1831",
-        "8\u001fa\u001fr\u001f1758",
-        "9\u001fp\u001far\u001f1758"),
-      3 -> Seq(
-        "0\u001fe\u001fr\u001f45089",
-        "1\u001fi\u001fn\u001f27190",
-        "2\u001fo\u001fr\u001f27095",
-        "3\u001fs\u001ft\u001f27060",
-        "4\u001fo\u001fw\u001f27044",
-        "5\u001ft\u001fa\u001f18248",
-        "6\u001fl\u001fu\u001f18239",
-        "7\u001fm\u001fer\u001f18174",
-        "8\u001fa\u001fr\u001f18111",
-        "9\u001fp\u001far\u001f18111"))),
-    "hmm_random_model" -> Pinned(Seq("kind" -> "VARCHAR", "i" -> "BIGINT", "j" -> "BIGINT", "value" -> "DOUBLE", "i_name" -> "VARCHAR", "j_name" -> "VARCHAR"),
-      Map(
-      1 -> Seq(
-        "emission\u001f0\u001f0\u001f0.279526\u001fs0\u001fo0",
-        "emission\u001f0\u001f1\u001f0.212554\u001fs0\u001fo1",
-        "emission\u001f0\u001f2\u001f0.215892\u001fs0\u001fo2",
-        "emission\u001f0\u001f3\u001f0.279983\u001fs0\u001fo3",
-        "emission\u001f0\u001f4\u001f0.012046\u001fs0\u001fo4",
-        "emission\u001f1\u001f0\u001f0.109232\u001fs1\u001fo0",
-        "emission\u001f1\u001f1\u001f0.249189\u001fs1\u001fo1",
-        "emission\u001f1\u001f2\u001f0.127422\u001fs1\u001fo2",
-        "emission\u001f1\u001f3\u001f0.296738\u001fs1\u001fo3",
-        "emission\u001f1\u001f4\u001f0.217419\u001fs1\u001fo4",
-        "emission\u001f2\u001f0\u001f0.151237\u001fs2\u001fo0",
-        "emission\u001f2\u001f1\u001f0.091908\u001fs2\u001fo1",
-        "emission\u001f2\u001f2\u001f0.298616\u001fs2\u001fo2",
-        "emission\u001f2\u001f3\u001f0.257988\u001fs2\u001fo3",
-        "emission\u001f2\u001f4\u001f0.200251\u001fs2\u001fo4",
-        "emission\u001f3\u001f0\u001f0.176329\u001fs3\u001fo0",
-        "emission\u001f3\u001f1\u001f0.172105\u001fs3\u001fo1",
-        "emission\u001f3\u001f2\u001f0.207552\u001fs3\u001fo2",
-        "emission\u001f3\u001f3\u001f0.218346\u001fs3\u001fo3",
-        "emission\u001f3\u001f4\u001f0.225669\u001fs3\u001fo4",
-        "pi\u001f0\u001f-1\u001f0.364175\u001fs0\u001f",
-        "pi\u001f1\u001f-1\u001f0.342012\u001fs1\u001f",
-        "pi\u001f2\u001f-1\u001f0.154814\u001fs2\u001f",
-        "pi\u001f3\u001f-1\u001f0.138999\u001fs3\u001f",
-        "transition\u001f0\u001f0\u001f0.300592\u001fs0\u001fs0",
-        "transition\u001f0\u001f1\u001f0.407843\u001fs0\u001fs1",
-        "transition\u001f0\u001f2\u001f0.16676\u001fs0\u001fs2",
-        "transition\u001f0\u001f3\u001f0.124805\u001fs0\u001fs3",
-        "transition\u001f1\u001f0\u001f0.178276\u001fs1\u001fs0",
-        "transition\u001f1\u001f1\u001f0.300763\u001fs1\u001fs1",
-        "transition\u001f1\u001f2\u001f0.353107\u001fs1\u001fs2",
-        "transition\u001f1\u001f3\u001f0.167854\u001fs1\u001fs3",
-        "transition\u001f2\u001f0\u001f0.392692\u001fs2\u001fs0",
-        "transition\u001f2\u001f1\u001f0.202681\u001fs2\u001fs1",
-        "transition\u001f2\u001f2\u001f0.093284\u001fs2\u001fs2",
-        "transition\u001f2\u001f3\u001f0.311343\u001fs2\u001fs3",
-        "transition\u001f3\u001f0\u001f0.117134\u001fs3\u001fs0",
-        "transition\u001f3\u001f1\u001f0.459584\u001fs3\u001fs1",
-        "transition\u001f3\u001f2\u001f0.096265\u001fs3\u001fs2",
-        "transition\u001f3\u001f3\u001f0.327017\u001fs3\u001fs3"))),
-    "hmm_model_from_distributions" -> Pinned(Seq("kind" -> "VARCHAR", "i" -> "BIGINT", "j" -> "BIGINT", "value" -> "DOUBLE", "i_name" -> "VARCHAR", "j_name" -> "VARCHAR"),
-      Map(
-      1 -> Seq(
-        "emission\u001f0\u001f0\u001f0.1\u001fs0\u001fo0",
-        "emission\u001f0\u001f1\u001f0.4\u001fs0\u001fo1",
-        "emission\u001f0\u001f2\u001f0.5\u001fs0\u001fo2",
-        "emission\u001f1\u001f0\u001f0.6\u001fs1\u001fo0",
-        "emission\u001f1\u001f1\u001f0.3\u001fs1\u001fo1",
-        "emission\u001f1\u001f2\u001f0.1\u001fs1\u001fo2",
-        "pi\u001f0\u001f-1\u001f0.6\u001fs0\u001f",
-        "pi\u001f1\u001f-1\u001f0.4\u001fs1\u001f",
-        "transition\u001f0\u001f0\u001f0.7\u001fs0\u001fs0",
-        "transition\u001f0\u001f1\u001f0.3\u001fs0\u001fs1",
-        "transition\u001f1\u001f0\u001f0.4\u001fs1\u001fs0",
-        "transition\u001f1\u001f1\u001f0.6\u001fs1\u001fs1"))),
-    "hmm_stationary" -> Pinned(Seq("state" -> "BIGINT", "stationary_prob" -> "DOUBLE", "pi0_prob" -> "DOUBLE"),
-      Map(
-      1 -> Seq(
-        "0\u001f0.334507\u001f0.288889",
-        "1\u001f0.333098\u001f0.333333",
-        "2\u001f0.332395\u001f0.377778"),
-      2 -> Seq(
-        "0\u001f0.333313\u001f0.337778",
-        "1\u001f0.333447\u001f0.324444",
-        "2\u001f0.33324\u001f0.337778"),
-      3 -> Seq(
-        "0\u001f0.333196\u001f0.342667",
-        "1\u001f0.333257\u001f0.338222",
-        "2\u001f0.333547\u001f0.319111"))),
-    "approx_stats" -> Pinned(Seq("l_returnflag" -> "VARCHAR", "approx_orders" -> "BIGINT", "p50_price" -> "DOUBLE", "p95_price" -> "DOUBLE"),
-      Map(
-      1 -> Seq(
-        "A\u001f1085\u001f51424.94\u001f100263.58",
-        "N\u001f1117\u001f54089.68\u001f98893.14",
-        "R\u001f1103\u001f52709.74\u001f99728.64"),
-      2 -> Seq(
-        "A\u001f10998\u001f52832.76\u001f99754.65",
-        "N\u001f10967\u001f53042.23\u001f99525.17",
-        "R\u001f11120\u001f53219.57\u001f99860.51"),
-      3 -> Seq(
-        "A\u001f109558\u001f52873.3\u001f99794.29",
-        "N\u001f110064\u001f53086.11\u001f99806.09",
-        "R\u001f109851\u001f52805.06\u001f99784.24"))),
-    "knn_ivf" -> Pinned(Seq("q_id" -> "BIGINT", "n_id" -> "BIGINT", "cos_sim" -> "DOUBLE", "rnk" -> "INTEGER"),
-      Map(
-      1 -> Seq(
-        "0\u001f225\u001f0.315127\u001f1",
-        "0\u001f12\u001f0.311027\u001f2",
-        "0\u001f483\u001f0.300451\u001f3",
-        "0\u001f73\u001f0.297238\u001f4",
-        "0\u001f212\u001f0.281399\u001f5",
-        "1\u001f376\u001f0.304811\u001f1",
-        "1\u001f440\u001f0.299303\u001f2",
-        "1\u001f75\u001f0.289978\u001f3",
-        "1\u001f260\u001f0.255336\u001f4",
-        "1\u001f248\u001f0.24799\u001f5",
-        "2\u001f62\u001f0.289997\u001f1",
-        "2\u001f441\u001f0.253966\u001f2",
-        "2\u001f132\u001f0.246669\u001f3",
-        "2\u001f488\u001f0.238607\u001f4",
-        "2\u001f388\u001f0.229304\u001f5",
-        "3\u001f223\u001f0.340915\u001f1",
-        "3\u001f205\u001f0.336595\u001f2",
-        "3\u001f84\u001f0.319664\u001f3",
-        "3\u001f72\u001f0.308943\u001f4",
-        "3\u001f278\u001f0.269397\u001f5",
-        "4\u001f345\u001f0.374941\u001f1",
-        "4\u001f143\u001f0.329711\u001f2",
-        "4\u001f57\u001f0.298747\u001f3",
-        "4\u001f357\u001f0.295446\u001f4",
-        "4\u001f62\u001f0.288641\u001f5",
-        "5\u001f113\u001f0.364433\u001f1",
-        "5\u001f234\u001f0.304412\u001f2",
-        "5\u001f31\u001f0.262665\u001f3",
-        "5\u001f409\u001f0.2548\u001f4",
-        "5\u001f360\u001f0.248967\u001f5",
-        "6\u001f141\u001f0.34588\u001f1",
-        "6\u001f434\u001f0.305749\u001f2",
-        "6\u001f280\u001f0.285945\u001f3",
-        "6\u001f312\u001f0.255047\u001f4",
-        "6\u001f486\u001f0.235414\u001f5",
-        "7\u001f382\u001f0.349854\u001f1",
-        "7\u001f466\u001f0.324004\u001f2",
-        "7\u001f209\u001f0.30625\u001f3",
-        "7\u001f329\u001f0.305111\u001f4",
-        "7\u001f18\u001f0.285971\u001f5",
-        "8\u001f231\u001f0.323992\u001f1",
-        "8\u001f132\u001f0.309926\u001f2",
-        "8\u001f142\u001f0.283681\u001f3",
-        "8\u001f118\u001f0.278424\u001f4",
-        "8\u001f375\u001f0.275049\u001f5",
-        "9\u001f107\u001f0.329678\u001f1",
-        "9\u001f365\u001f0.321149\u001f2",
-        "9\u001f261\u001f0.279713\u001f3",
-        "9\u001f216\u001f0.272537\u001f4",
-        "9\u001f327\u001f0.259396\u001f5"),
-      2 -> Seq(
-        "0\u001f365\u001f0.369994\u001f1",
-        "0\u001f334\u001f0.362722\u001f2",
-        "0\u001f387\u001f0.331139\u001f3",
-        "0\u001f423\u001f0.296934\u001f4",
-        "0\u001f73\u001f0.295434\u001f5",
-        "1\u001f386\u001f0.371485\u001f1",
-        "1\u001f27\u001f0.348208\u001f2",
-        "1\u001f64\u001f0.316374\u001f3",
-        "1\u001f124\u001f0.30275\u001f4",
-        "1\u001f220\u001f0.289782\u001f5",
-        "2\u001f117\u001f0.318143\u001f1",
-        "2\u001f188\u001f0.263272\u001f2",
-        "2\u001f320\u001f0.255043\u001f3",
-        "2\u001f418\u001f0.254029\u001f4",
-        "2\u001f172\u001f0.239829\u001f5",
-        "3\u001f231\u001f0.298788\u001f1",
-        "3\u001f207\u001f0.291702\u001f2",
-        "3\u001f315\u001f0.285192\u001f3",
-        "3\u001f437\u001f0.280535\u001f4",
-        "3\u001f474\u001f0.276738\u001f5",
-        "4\u001f280\u001f0.279826\u001f1",
-        "4\u001f249\u001f0.279631\u001f2",
-        "4\u001f89\u001f0.265964\u001f3",
-        "4\u001f346\u001f0.231564\u001f4",
-        "4\u001f288\u001f0.228625\u001f5",
-        "5\u001f404\u001f0.328403\u001f1",
-        "5\u001f157\u001f0.311256\u001f2",
-        "5\u001f33\u001f0.310987\u001f3",
-        "5\u001f453\u001f0.240669\u001f4",
-        "5\u001f46\u001f0.232479\u001f5",
-        "6\u001f430\u001f0.32252\u001f1",
-        "6\u001f145\u001f0.297696\u001f2",
-        "6\u001f395\u001f0.25912\u001f3",
-        "6\u001f214\u001f0.256941\u001f4",
-        "6\u001f371\u001f0.241364\u001f5",
-        "7\u001f340\u001f0.492766\u001f1",
-        "7\u001f209\u001f0.394463\u001f2",
-        "7\u001f334\u001f0.356901\u001f3",
-        "7\u001f0\u001f0.292842\u001f4",
-        "7\u001f49\u001f0.288352\u001f5",
-        "8\u001f39\u001f0.384696\u001f1",
-        "8\u001f497\u001f0.317798\u001f2",
-        "8\u001f380\u001f0.304526\u001f3",
-        "8\u001f173\u001f0.30203\u001f4",
-        "8\u001f447\u001f0.280742\u001f5",
-        "9\u001f49\u001f0.385171\u001f1",
-        "9\u001f489\u001f0.343538\u001f2",
-        "9\u001f319\u001f0.241903\u001f3",
-        "9\u001f340\u001f0.233565\u001f4",
-        "9\u001f274\u001f0.233516\u001f5"),
-      3 -> Seq(
-        "0\u001f1204\u001f0.406472\u001f1",
-        "0\u001f291\u001f0.391932\u001f2",
-        "0\u001f1020\u001f0.375988\u001f3",
-        "0\u001f510\u001f0.344458\u001f4",
-        "0\u001f1511\u001f0.328782\u001f5",
-        "1\u001f1950\u001f0.386131\u001f1",
-        "1\u001f1175\u001f0.370337\u001f2",
-        "1\u001f1843\u001f0.339907\u001f3",
-        "1\u001f173\u001f0.310885\u001f4",
-        "1\u001f986\u001f0.306432\u001f5",
-        "2\u001f1303\u001f0.394011\u001f1",
-        "2\u001f953\u001f0.369105\u001f2",
-        "2\u001f337\u001f0.357443\u001f3",
-        "2\u001f990\u001f0.333658\u001f4",
-        "2\u001f1196\u001f0.316817\u001f5",
-        "3\u001f263\u001f0.397951\u001f1",
-        "3\u001f859\u001f0.362761\u001f2",
-        "3\u001f930\u001f0.341681\u001f3",
-        "3\u001f1062\u001f0.301174\u001f4",
-        "3\u001f173\u001f0.29417\u001f5",
-        "4\u001f76\u001f0.359507\u001f1",
-        "4\u001f660\u001f0.319719\u001f2",
-        "4\u001f773\u001f0.307807\u001f3",
-        "4\u001f685\u001f0.306941\u001f4",
-        "4\u001f1351\u001f0.289725\u001f5",
-        "5\u001f426\u001f0.396217\u001f1",
-        "5\u001f1684\u001f0.39469\u001f2",
-        "5\u001f250\u001f0.350939\u001f3",
-        "5\u001f1121\u001f0.350672\u001f4",
-        "5\u001f813\u001f0.350453\u001f5",
-        "6\u001f1184\u001f0.384812\u001f1",
-        "6\u001f1823\u001f0.371389\u001f2",
-        "6\u001f1921\u001f0.368534\u001f3",
-        "6\u001f1790\u001f0.341813\u001f4",
-        "6\u001f1876\u001f0.319361\u001f5",
-        "7\u001f605\u001f0.400025\u001f1",
-        "7\u001f471\u001f0.331459\u001f2",
-        "7\u001f420\u001f0.325589\u001f3",
-        "7\u001f498\u001f0.311807\u001f4",
-        "7\u001f478\u001f0.308511\u001f5",
-        "8\u001f1413\u001f0.384788\u001f1",
-        "8\u001f1031\u001f0.380335\u001f2",
-        "8\u001f767\u001f0.364295\u001f3",
-        "8\u001f274\u001f0.325989\u001f4",
-        "8\u001f1578\u001f0.321769\u001f5",
-        "9\u001f1443\u001f0.431444\u001f1",
-        "9\u001f796\u001f0.361948\u001f2",
-        "9\u001f348\u001f0.351084\u001f3",
-        "9\u001f843\u001f0.339125\u001f4",
-        "9\u001f491\u001f0.33456\u001f5"))),
-    "knn_pq" -> Pinned(Seq("q_id" -> "BIGINT", "n_id" -> "BIGINT", "adc_d" -> "DOUBLE", "rnk" -> "INTEGER"),
-      Map(
-      1 -> Seq(
-        "0\u001f369\u001f0.858934\u001f1",
-        "0\u001f60\u001f0.878599\u001f2",
-        "0\u001f246\u001f0.919395\u001f3",
-        "0\u001f261\u001f0.919395\u001f4",
-        "0\u001f456\u001f0.948484\u001f5",
-        "1\u001f257\u001f0.944844\u001f1",
-        "1\u001f492\u001f0.995591\u001f2",
-        "1\u001f30\u001f0.998351\u001f3",
-        "1\u001f493\u001f1.019466\u001f4",
-        "1\u001f378\u001f1.027254\u001f5",
-        "2\u001f88\u001f0.80357\u001f1",
-        "2\u001f488\u001f0.922852\u001f2",
-        "2\u001f132\u001f0.924838\u001f3",
-        "2\u001f268\u001f0.942348\u001f4",
-        "2\u001f277\u001f0.970206\u001f5",
-        "3\u001f164\u001f0.842609\u001f1",
-        "3\u001f223\u001f0.899139\u001f2",
-        "3\u001f37\u001f0.918096\u001f3",
-        "3\u001f452\u001f0.937899\u001f4",
-        "3\u001f376\u001f0.991104\u001f5",
-        "4\u001f188\u001f0.951369\u001f1",
-        "4\u001f238\u001f0.955441\u001f2",
-        "4\u001f52\u001f0.989093\u001f3",
-        "4\u001f271\u001f1.00908\u001f4",
-        "4\u001f309\u001f1.00908\u001f5",
-        "5\u001f326\u001f1.031825\u001f1",
-        "5\u001f137\u001f1.032945\u001f2",
-        "5\u001f288\u001f1.043552\u001f3",
-        "5\u001f343\u001f1.043728\u001f4",
-        "5\u001f327\u001f1.04814\u001f5",
-        "6\u001f418\u001f0.97522\u001f1",
-        "6\u001f155\u001f0.981797\u001f2",
-        "6\u001f378\u001f0.989336\u001f3",
-        "6\u001f325\u001f0.989701\u001f4",
-        "6\u001f434\u001f0.991056\u001f5",
-        "7\u001f281\u001f1.000366\u001f1",
-        "7\u001f325\u001f1.00578\u001f2",
-        "7\u001f123\u001f1.009864\u001f3",
-        "7\u001f494\u001f1.044152\u001f4",
-        "7\u001f416\u001f1.045701\u001f5",
-        "8\u001f434\u001f0.951834\u001f1",
-        "8\u001f123\u001f0.964072\u001f2",
-        "8\u001f6\u001f0.964529\u001f3",
-        "8\u001f366\u001f1.024491\u001f4",
-        "8\u001f185\u001f1.025566\u001f5",
-        "9\u001f222\u001f0.732444\u001f1",
-        "9\u001f157\u001f0.851523\u001f2",
-        "9\u001f82\u001f0.861577\u001f3",
-        "9\u001f478\u001f0.882628\u001f4",
-        "9\u001f346\u001f0.889297\u001f5"),
-      2 -> Seq(
-        "0\u001f365\u001f0.893632\u001f1",
-        "0\u001f108\u001f0.914603\u001f2",
-        "0\u001f357\u001f0.95036\u001f3",
-        "0\u001f363\u001f0.95429\u001f4",
-        "0\u001f388\u001f0.963362\u001f5",
-        "1\u001f497\u001f0.980932\u001f1",
-        "1\u001f6\u001f0.993837\u001f2",
-        "1\u001f39\u001f0.993982\u001f3",
-        "1\u001f253\u001f1.030246\u001f4",
-        "1\u001f352\u001f1.039846\u001f5",
-        "2\u001f356\u001f0.950334\u001f1",
-        "2\u001f219\u001f0.988467\u001f2",
-        "2\u001f6\u001f0.997967\u001f3",
-        "2\u001f231\u001f1.005198\u001f4",
-        "2\u001f68\u001f1.005338\u001f5",
-        "3\u001f469\u001f0.904419\u001f1",
-        "3\u001f227\u001f1.000293\u001f2",
-        "3\u001f85\u001f1.014098\u001f3",
-        "3\u001f499\u001f1.015062\u001f4",
-        "3\u001f460\u001f1.021366\u001f5",
-        "4\u001f397\u001f0.968959\u001f1",
-        "4\u001f249\u001f0.99624\u001f2",
-        "4\u001f332\u001f0.998893\u001f3",
-        "4\u001f231\u001f1.00163\u001f4",
-        "4\u001f406\u001f1.031859\u001f5",
-        "5\u001f493\u001f1.002923\u001f1",
-        "5\u001f27\u001f1.042734\u001f2",
-        "5\u001f419\u001f1.062391\u001f3",
-        "5\u001f314\u001f1.068091\u001f4",
-        "5\u001f8\u001f1.092298\u001f5",
-        "6\u001f232\u001f0.942678\u001f1",
-        "6\u001f303\u001f0.993502\u001f2",
-        "6\u001f277\u001f0.999425\u001f3",
-        "6\u001f260\u001f1.004292\u001f4",
-        "6\u001f98\u001f1.015077\u001f5",
-        "7\u001f445\u001f0.84898\u001f1",
-        "7\u001f167\u001f0.981136\u001f2",
-        "7\u001f176\u001f0.984117\u001f3",
-        "7\u001f148\u001f0.988426\u001f4",
-        "7\u001f70\u001f1.000989\u001f5",
-        "8\u001f314\u001f0.849535\u001f1",
-        "8\u001f37\u001f0.856735\u001f2",
-        "8\u001f85\u001f0.876639\u001f3",
-        "8\u001f447\u001f0.8993\u001f4",
-        "8\u001f39\u001f0.905344\u001f5",
-        "9\u001f117\u001f0.872575\u001f1",
-        "9\u001f256\u001f0.888529\u001f2",
-        "9\u001f449\u001f0.908478\u001f3",
-        "9\u001f457\u001f0.922151\u001f4",
-        "9\u001f285\u001f0.943692\u001f5"),
-      3 -> Seq(
-        "0\u001f182\u001f0.873594\u001f1",
-        "0\u001f699\u001f0.892888\u001f2",
-        "0\u001f88\u001f0.89341\u001f3",
-        "0\u001f925\u001f0.898183\u001f4",
-        "0\u001f1270\u001f0.899489\u001f5",
-        "1\u001f950\u001f0.83566\u001f1",
-        "1\u001f795\u001f0.903888\u001f2",
-        "1\u001f90\u001f0.913197\u001f3",
-        "1\u001f1508\u001f0.925244\u001f4",
-        "1\u001f122\u001f0.927955\u001f5",
-        "2\u001f516\u001f0.909247\u001f1",
-        "2\u001f1163\u001f0.926382\u001f2",
-        "2\u001f338\u001f0.927197\u001f3",
-        "2\u001f994\u001f0.930929\u001f4",
-        "2\u001f539\u001f0.931661\u001f5",
-        "3\u001f1994\u001f0.847517\u001f1",
-        "3\u001f265\u001f0.947108\u001f2",
-        "3\u001f1780\u001f0.947108\u001f3",
-        "3\u001f1114\u001f0.953587\u001f4",
-        "3\u001f859\u001f0.954014\u001f5",
-        "4\u001f1582\u001f0.840467\u001f1",
-        "4\u001f685\u001f0.878615\u001f2",
-        "4\u001f1735\u001f0.884577\u001f3",
-        "4\u001f1106\u001f0.898427\u001f4",
-        "4\u001f83\u001f0.898635\u001f5",
-        "5\u001f1662\u001f0.834232\u001f1",
-        "5\u001f1135\u001f0.844341\u001f2",
-        "5\u001f378\u001f0.886068\u001f3",
-        "5\u001f1285\u001f0.891948\u001f4",
-        "5\u001f88\u001f0.896711\u001f5",
-        "6\u001f1128\u001f0.869245\u001f1",
-        "6\u001f1995\u001f0.870974\u001f2",
-        "6\u001f1424\u001f0.90026\u001f3",
-        "6\u001f1645\u001f0.905052\u001f4",
-        "6\u001f1058\u001f0.905053\u001f5",
-        "7\u001f160\u001f0.704051\u001f1",
-        "7\u001f784\u001f0.842851\u001f2",
-        "7\u001f67\u001f0.868262\u001f3",
-        "7\u001f1708\u001f0.88848\u001f4",
-        "7\u001f1464\u001f0.904617\u001f5",
-        "8\u001f1988\u001f0.886792\u001f1",
-        "8\u001f1856\u001f0.916911\u001f2",
-        "8\u001f825\u001f0.919394\u001f3",
-        "8\u001f199\u001f0.921186\u001f4",
-        "8\u001f1365\u001f0.921714\u001f5",
-        "9\u001f492\u001f0.862696\u001f1",
-        "9\u001f767\u001f0.872948\u001f2",
-        "9\u001f1988\u001f0.901136\u001f3",
-        "9\u001f441\u001f0.904781\u001f4",
-        "9\u001f718\u001f0.912379\u001f5"))),
-    "knn_ivf_pq" -> Pinned(Seq("q_id" -> "BIGINT", "n_id" -> "BIGINT", "adc_d" -> "DOUBLE", "rnk" -> "INTEGER"),
-      Map(
-      1 -> Seq(
-        "0\u001f84\u001f0.937173\u001f1",
-        "0\u001f468\u001f0.947611\u001f2",
-        "0\u001f205\u001f0.977203\u001f3",
-        "0\u001f89\u001f0.986636\u001f4",
-        "0\u001f483\u001f1.008353\u001f5",
-        "1\u001f103\u001f0.935626\u001f1",
-        "1\u001f129\u001f1.014851\u001f2",
-        "1\u001f50\u001f1.017467\u001f3",
-        "1\u001f441\u001f1.030998\u001f4",
-        "1\u001f428\u001f1.04854\u001f5",
-        "2\u001f435\u001f1.013843\u001f1",
-        "2\u001f70\u001f1.022954\u001f2",
-        "2\u001f295\u001f1.024586\u001f3",
-        "2\u001f443\u001f1.039385\u001f4",
-        "2\u001f85\u001f1.040958\u001f5",
-        "3\u001f382\u001f0.959263\u001f1",
-        "3\u001f223\u001f0.970532\u001f2",
-        "3\u001f321\u001f1.002312\u001f3",
-        "3\u001f307\u001f1.054987\u001f4",
-        "3\u001f397\u001f1.054987\u001f5",
-        "4\u001f271\u001f0.919257\u001f1",
-        "4\u001f125\u001f0.981702\u001f2",
-        "4\u001f477\u001f0.988176\u001f3",
-        "4\u001f199\u001f0.997165\u001f4",
-        "4\u001f326\u001f1.024747\u001f5",
-        "5\u001f208\u001f1.021406\u001f1",
-        "5\u001f492\u001f1.030213\u001f2",
-        "5\u001f53\u001f1.050443\u001f3",
-        "5\u001f147\u001f1.065266\u001f4",
-        "5\u001f419\u001f1.075547\u001f5",
-        "6\u001f8\u001f0.925025\u001f1",
-        "6\u001f25\u001f1.010325\u001f2",
-        "6\u001f180\u001f1.06652\u001f3",
-        "6\u001f166\u001f1.069561\u001f4",
-        "6\u001f344\u001f1.070186\u001f5",
-        "7\u001f122\u001f1.016034\u001f1",
-        "7\u001f42\u001f1.045319\u001f2",
-        "7\u001f228\u001f1.052618\u001f3",
-        "7\u001f494\u001f1.059052\u001f4",
-        "7\u001f74\u001f1.066785\u001f5",
-        "8\u001f95\u001f0.998897\u001f1",
-        "8\u001f424\u001f1.055181\u001f2",
-        "8\u001f434\u001f1.062407\u001f3",
-        "8\u001f392\u001f1.066151\u001f4",
-        "8\u001f299\u001f1.087098\u001f5",
-        "9\u001f110\u001f0.739973\u001f1",
-        "9\u001f317\u001f0.863281\u001f2",
-        "9\u001f367\u001f0.968861\u001f3",
-        "9\u001f222\u001f0.997018\u001f4",
-        "9\u001f84\u001f1.0177\u001f5"),
-      2 -> Seq(
-        "0\u001f312\u001f0.859299\u001f1",
-        "0\u001f77\u001f0.934125\u001f2",
-        "0\u001f387\u001f0.939579\u001f3",
-        "0\u001f423\u001f1.020056\u001f4",
-        "0\u001f74\u001f1.024278\u001f5",
-        "1\u001f235\u001f1.02949\u001f1",
-        "1\u001f386\u001f1.030935\u001f2",
-        "1\u001f314\u001f1.053876\u001f3",
-        "1\u001f402\u001f1.126398\u001f4",
-        "1\u001f324\u001f1.128221\u001f5",
-        "2\u001f247\u001f0.945766\u001f1",
-        "2\u001f336\u001f0.970232\u001f2",
-        "2\u001f82\u001f1.01089\u001f3",
-        "2\u001f362\u001f1.042803\u001f4",
-        "2\u001f28\u001f1.050006\u001f5",
-        "3\u001f50\u001f1.010324\u001f1",
-        "3\u001f295\u001f1.024849\u001f2",
-        "3\u001f61\u001f1.052205\u001f3",
-        "3\u001f218\u001f1.052546\u001f4",
-        "3\u001f85\u001f1.071816\u001f5",
-        "4\u001f281\u001f0.998279\u001f1",
-        "4\u001f269\u001f1.034904\u001f2",
-        "4\u001f332\u001f1.039046\u001f3",
-        "4\u001f302\u001f1.040667\u001f4",
-        "4\u001f61\u001f1.054345\u001f5",
-        "5\u001f419\u001f0.890302\u001f1",
-        "5\u001f85\u001f0.947315\u001f2",
-        "5\u001f266\u001f0.960965\u001f3",
-        "5\u001f404\u001f0.966384\u001f4",
-        "5\u001f309\u001f0.970262\u001f5",
-        "6\u001f214\u001f1.046036\u001f1",
-        "6\u001f178\u001f1.049515\u001f2",
-        "6\u001f145\u001f1.071768\u001f3",
-        "6\u001f219\u001f1.101371\u001f4",
-        "6\u001f330\u001f1.115251\u001f5",
-        "7\u001f340\u001f0.849584\u001f1",
-        "7\u001f445\u001f0.967896\u001f2",
-        "7\u001f387\u001f0.973648\u001f3",
-        "7\u001f297\u001f1.017799\u001f4",
-        "7\u001f327\u001f1.021957\u001f5",
-        "8\u001f314\u001f0.937014\u001f1",
-        "8\u001f316\u001f0.957062\u001f2",
-        "8\u001f93\u001f0.959538\u001f3",
-        "8\u001f102\u001f0.992528\u001f4",
-        "8\u001f253\u001f1.010216\u001f5",
-        "9\u001f144\u001f0.919191\u001f1",
-        "9\u001f57\u001f0.958144\u001f2",
-        "9\u001f386\u001f0.969544\u001f3",
-        "9\u001f340\u001f0.996405\u001f4",
-        "9\u001f365\u001f1.018786\u001f5"),
-      3 -> Seq(
-        "0\u001f815\u001f0.889905\u001f1",
-        "0\u001f660\u001f0.894978\u001f2",
-        "0\u001f453\u001f0.91707\u001f3",
-        "0\u001f934\u001f0.942305\u001f4",
-        "0\u001f1207\u001f0.95063\u001f5",
-        "1\u001f756\u001f0.841553\u001f1",
-        "1\u001f1652\u001f0.853096\u001f2",
-        "1\u001f1548\u001f0.859544\u001f3",
-        "1\u001f1724\u001f0.870827\u001f4",
-        "1\u001f1351\u001f0.892406\u001f5",
-        "2\u001f1350\u001f0.915899\u001f1",
-        "2\u001f614\u001f0.941864\u001f2",
-        "2\u001f926\u001f0.950138\u001f3",
-        "2\u001f225\u001f0.961522\u001f4",
-        "2\u001f493\u001f0.971647\u001f5",
-        "3\u001f1994\u001f0.801645\u001f1",
-        "3\u001f263\u001f0.828386\u001f2",
-        "3\u001f1817\u001f0.854046\u001f3",
-        "3\u001f1701\u001f0.85844\u001f4",
-        "3\u001f715\u001f0.882726\u001f5",
-        "4\u001f1617\u001f0.891154\u001f1",
-        "4\u001f83\u001f0.911685\u001f2",
-        "4\u001f921\u001f0.936373\u001f3",
-        "4\u001f649\u001f0.941061\u001f4",
-        "4\u001f643\u001f0.941997\u001f5",
-        "5\u001f250\u001f0.89982\u001f1",
-        "5\u001f1966\u001f0.908224\u001f2",
-        "5\u001f533\u001f0.92118\u001f3",
-        "5\u001f1553\u001f0.923495\u001f4",
-        "5\u001f1377\u001f0.931438\u001f5",
-        "6\u001f952\u001f0.869855\u001f1",
-        "6\u001f1385\u001f0.88252\u001f2",
-        "6\u001f943\u001f0.91678\u001f3",
-        "6\u001f624\u001f0.940447\u001f4",
-        "6\u001f1866\u001f0.951965\u001f5",
-        "7\u001f1725\u001f0.820949\u001f1",
-        "7\u001f848\u001f0.901916\u001f2",
-        "7\u001f568\u001f0.927363\u001f3",
-        "7\u001f68\u001f0.93993\u001f4",
-        "7\u001f67\u001f0.952949\u001f5",
-        "8\u001f825\u001f0.893582\u001f1",
-        "8\u001f628\u001f0.932613\u001f2",
-        "8\u001f1858\u001f0.949647\u001f3",
-        "8\u001f1552\u001f0.954445\u001f4",
-        "8\u001f893\u001f0.964675\u001f5",
-        "9\u001f1207\u001f0.834823\u001f1",
-        "9\u001f1579\u001f0.838755\u001f2",
-        "9\u001f1020\u001f0.877615\u001f3",
-        "9\u001f667\u001f0.880893\u001f4",
-        "9\u001f939\u001f0.885805\u001f5"))),
-    "pq_quantize" -> Pinned(Seq("vec_id" -> "BIGINT", "label" -> "INTEGER", "pq_code" -> "BIGINT", "sse8" -> "DOUBLE"),
-      Map(
-      1 -> Seq(
-        "0\u001f5\u001f14995\u001f0.73286299",
-        "1\u001f6\u001f51699\u001f0.89212115",
-        "2\u001f9\u001f37870\u001f0.769981",
-        "3\u001f7\u001f39312\u001f0.80298105",
-        "4\u001f0\u001f1408\u001f0.93017801",
-        "5\u001f7\u001f53358\u001f0.8930122",
-        "6\u001f3\u001f68460\u001f0.90081231",
-        "7\u001f1\u001f69891\u001f0.87078496",
-        "8\u001f7\u001f67355\u001f0.8565156",
-        "9\u001f7\u001f17233\u001f0.66690392",
-        "10\u001f9\u001f28945\u001f0.98702172",
-        "11\u001f5\u001f36726\u001f0.85436553",
-        "12\u001f9\u001f728\u001f0.63204172",
-        "13\u001f7\u001f42501\u001f0.60770654",
-        "14\u001f5\u001f49370\u001f0.95633774",
-        "15\u001f9\u001f54539\u001f0.80192684",
-        "16\u001f9\u001f14405\u001f0.80869408",
-        "17\u001f7\u001f25291\u001f0.83108051",
-        "18\u001f6\u001f2806\u001f0.79483583",
-        "19\u001f1\u001f57989\u001f0.52221322",
-        "20\u001f7\u001f48694\u001f0.69793302",
-        "21\u001f4\u001f28973\u001f0.94612113",
-        "22\u001f5\u001f33915\u001f0.82659944",
-        "23\u001f2\u001f37740\u001f0.80116697",
-        "24\u001f2\u001f37049\u001f0.88641181",
-        "25\u001f1\u001f16949\u001f0.97605509",
-        "26\u001f1\u001f50781\u001f0.87411143",
-        "27\u001f3\u001f77883\u001f0.76075009",
-        "28\u001f6\u001f10435\u001f0.87291619",
-        "29\u001f3\u001f26232\u001f0.9245359",
-        "30\u001f8\u001f22169\u001f0.73770113",
-        "31\u001f6\u001f51499\u001f0.88177805",
-        "32\u001f6\u001f50791\u001f0.84814992",
-        "33\u001f5\u001f34973\u001f0.85780377",
-        "34\u001f5\u001f64417\u001f0.83752551",
-        "35\u001f5\u001f20880\u001f0.30188441",
-        "36\u001f4\u001f3474\u001f0.87448707",
-        "37\u001f4\u001f39305\u001f0.88675033",
-        "38\u001f3\u001f36488\u001f0.77684321",
-        "39\u001f6\u001f75831\u001f0.85353195",
-        "40\u001f9\u001f63900\u001f0.87483592",
-        "41\u001f4\u001f55818\u001f0.86002611",
-        "42\u001f0\u001f74678\u001f0.89453067",
-        "43\u001f7\u001f55991\u001f0.88497977",
-        "44\u001f5\u001f24775\u001f0.97759694",
-        "45\u001f0\u001f34659\u001f0.80667118",
-        "46\u001f1\u001f41633\u001f0.81093989",
-        "47\u001f8\u001f37227\u001f0.83738306",
-        "48\u001f5\u001f3679\u001f0.90359626",
-        "49\u001f4\u001f18401\u001f0.80021558",
-        "50\u001f3\u001f54589\u001f1.03183553",
-        "51\u001f8\u001f14413\u001f0.95521717",
-        "52\u001f0\u001f68115\u001f0.81112448",
-        "53\u001f3\u001f19659\u001f0.94347958",
-        "54\u001f0\u001f48497\u001f0.95285608",
-        "55\u001f8\u001f36052\u001f0.87946216",
-        "56\u001f7\u001f38075\u001f0.90001151",
-        "57\u001f2\u001f35815\u001f0.61365501",
-        "58\u001f0\u001f24232\u001f0.86101468",
-        "59\u001f1\u001f11375\u001f0.91576594",
-        "60\u001f9\u001f19046\u001f0.84988968",
-        "61\u001f9\u001f21817\u001f0.92006456",
-        "62\u001f3\u001f39602\u001f0.65486018",
-        "63\u001f2\u001f78085\u001f0.53479297",
-        "64\u001f9\u001f74528\u001f0.7861907",
-        "65\u001f9\u001f44427\u001f0.88843876",
-        "66\u001f4\u001f50533\u001f0.73964221",
-        "67\u001f9\u001f16339\u001f0.69551851",
-        "68\u001f7\u001f24231\u001f0.69112529",
-        "69\u001f1\u001f13116\u001f0.88441957",
-        "70\u001f1\u001f49217\u001f0.89849627",
-        "71\u001f2\u001f16247\u001f0.49550365",
-        "72\u001f2\u001f39361\u001f0.96483964",
-        "73\u001f3\u001f12870\u001f0.53935064",
-        "74\u001f6\u001f47728\u001f0.82710801",
-        "75\u001f0\u001f10440\u001f0.36746445",
-        "76\u001f9\u001f22395\u001f0.80964755",
-        "77\u001f2\u001f14189\u001f0.83026854",
-        "78\u001f9\u001f73740\u001f0.84948536",
-        "79\u001f0\u001f42812\u001f0.83825198",
-        "80\u001f7\u001f75334\u001f0.96534053",
-        "81\u001f5\u001f19114\u001f0.91886946",
-        "82\u001f8\u001f16366\u001f0.57978978",
-        "83\u001f3\u001f28926\u001f0.9199386",
-        "84\u001f9\u001f16899\u001f0.79288674",
-        "85\u001f7\u001f58\u001f0.79856613",
-        "86\u001f7\u001f64516\u001f0.88176762",
-        "87\u001f2\u001f65912\u001f0.93826207",
-        "88\u001f3\u001f23131\u001f0.8028784",
-        "89\u001f0\u001f39543\u001f0.80379254",
-        "90\u001f3\u001f53479\u001f0.75131808",
-        "91\u001f2\u001f14991\u001f0.80702542",
-        "92\u001f5\u001f75928\u001f0.70607507",
-        "93\u001f7\u001f51751\u001f0.82208326",
-        "94\u001f9\u001f262\u001f0.74680079",
-        "95\u001f4\u001f76402\u001f0.88110887",
-        "96\u001f0\u001f37963\u001f0.85675032",
-        "97\u001f5\u001f73991\u001f0.90852434",
-        "98\u001f9\u001f77254\u001f0.91249292",
-        "99\u001f3\u001f37435\u001f0.86062316",
-        "100\u001f9\u001f39494\u001f0.82864635",
-        "101\u001f0\u001f64689\u001f0.92837584",
-        "102\u001f1\u001f17924\u001f0.99348762",
-        "103\u001f8\u001f36964\u001f0.79293185",
-        "104\u001f0\u001f31320\u001f0.33635164",
-        "105\u001f5\u001f15337\u001f0.97239292",
-        "106\u001f6\u001f38935\u001f0.68448884",
-        "107\u001f8\u001f27042\u001f0.55185729",
-        "108\u001f0\u001f68925\u001f0.94276806",
-        "109\u001f2\u001f39492\u001f0.91019351",
-        "110\u001f7\u001f17295\u001f0.7574898",
-        "111\u001f2\u001f65711\u001f0.88818422",
-        "112\u001f3\u001f25348\u001f0.73798888",
-        "113\u001f1\u001f41688\u001f0.88849701",
-        "114\u001f2\u001f38978\u001f0.75245742",
-        "115\u001f9\u001f71123\u001f0.90857965",
-        "116\u001f2\u001f28067\u001f0.94795992",
-        "117\u001f7\u001f49952\u001f0.85289074",
-        "118\u001f8\u001f62640\u001f0.30784096",
-        "119\u001f4\u001f39512\u001f0.66232512",
-        "120\u001f9\u001f2468\u001f0.52112092",
-        "121\u001f4\u001f19312\u001f0.83863854",
-        "122\u001f0\u001f36032\u001f0.77804959",
-        "123\u001f9\u001f68225\u001f0.9008636",
-        "124\u001f1\u001f34608\u001f0.86078726",
-        "125\u001f0\u001f26597\u001f0.87252508",
-        "126\u001f7\u001f43832\u001f0.67038465",
-        "127\u001f9\u001f66054\u001f0.82886183",
-        "128\u001f9\u001f40953\u001f0.85157471",
-        "129\u001f9\u001f12314\u001f0.73352877",
-        "130\u001f9\u001f38038\u001f0.79376875",
-        "131\u001f2\u001f32343\u001f0.62975573",
-        "132\u001f8\u001f38125\u001f0.69278271",
-        "133\u001f8\u001f45290\u001f0.50573565",
-        "134\u001f3\u001f22843\u001f0.7636715",
-        "135\u001f7\u001f53607\u001f0.9097432",
-        "136\u001f0\u001f50354\u001f0.84597722",
-        "137\u001f6\u001f53279\u001f0.91681196",
-        "138\u001f0\u001f67860\u001f0.38985596",
-        "139\u001f3\u001f31026\u001f0.8111387",
-        "140\u001f0\u001f42062\u001f0.74406163",
-        "141\u001f5\u001f66004\u001f0.59579304",
-        "142\u001f5\u001f41946\u001f0.63231159",
-        "143\u001f8\u001f233\u001f0.87623733",
-        "144\u001f2\u001f49950\u001f0.90208664",
-        "145\u001f7\u001f29122\u001f0.93853123",
-        "146\u001f9\u001f35207\u001f0.98600618",
-        "147\u001f6\u001f38789\u001f0.8527557",
-        "148\u001f6\u001f23890\u001f0.53823491",
-        "149\u001f8\u001f17731\u001f0.74509908",
-        "150\u001f8\u001f2414\u001f0.82917785",
-        "151\u001f6\u001f68400\u001f0.73773317",
-        "152\u001f9\u001f29100\u001f0.62567249",
-        "153\u001f6\u001f35174\u001f0.84537789",
-        "154\u001f3\u001f75899\u001f0.49216366",
-        "155\u001f1\u001f68419\u001f0.86803732",
-        "156\u001f1\u001f17319\u001f0.83292858",
-        "157\u001f9\u001f17091\u001f0.90327896",
-        "158\u001f0\u001f51361\u001f0.74752283",
-        "159\u001f8\u001f73953\u001f0.86312",
-        "160\u001f8\u001f14881\u001f0.78906248",
-        "161\u001f9\u001f40525\u001f0.83135675",
-        "162\u001f0\u001f50504\u001f0.84922197",
-        "163\u001f9\u001f69031\u001f0.93664616",
-        "164\u001f5\u001f39516\u001f0.89130044",
-        "165\u001f9\u001f4237\u001f0.61260884",
-        "166\u001f5\u001f77167\u001f0.76705039",
-        "167\u001f8\u001f66008\u001f0.89940756",
-        "168\u001f4\u001f61748\u001f0.83287576",
-        "169\u001f3\u001f36432\u001f0.91956239",
-        "170\u001f9\u001f51944\u001f0.79686821",
-        "171\u001f2\u001f9894\u001f0.81173723",
-        "172\u001f0\u001f37366\u001f0.78403836",
-        "173\u001f3\u001f27087\u001f0.89917511",
-        "174\u001f6\u001f73698\u001f0.82258883",
-        "175\u001f4\u001f66867\u001f0.73260937",
-        "176\u001f1\u001f17549\u001f0.80196849",
-        "177\u001f4\u001f11431\u001f0.90130575",
-        "178\u001f1\u001f41001\u001f0.92818262",
-        "179\u001f0\u001f50504\u001f0.79528493",
-        "180\u001f6\u001f43799\u001f0.79704981",
-        "181\u001f4\u001f36947\u001f0.96601154",
-        "182\u001f4\u001f22457\u001f0.83332687",
-        "183\u001f2\u001f43611\u001f0.81473015",
-        "184\u001f0\u001f4018\u001f0.90721592",
-        "185\u001f1\u001f23155\u001f0.70426685",
-        "186\u001f5\u001f41345\u001f0.66142548",
-        "187\u001f6\u001f51939\u001f0.84022113",
-        "188\u001f9\u001f66093\u001f0.66244268",
-        "189\u001f5\u001f52524\u001f0.83736754",
-        "190\u001f0\u001f22279\u001f0.8780588",
-        "191\u001f6\u001f35146\u001f0.77123751",
-        "192\u001f2\u001f20436\u001f0.89153279",
-        "193\u001f9\u001f52782\u001f0.83515184",
-        "194\u001f6\u001f36384\u001f0.83570227",
-        "195\u001f9\u001f1383\u001f0.64166467",
-        "196\u001f8\u001f62632\u001f0.79926516",
-        "197\u001f7\u001f72506\u001f0.61949929",
-        "198\u001f5\u001f71341\u001f0.77164412",
-        "199\u001f3\u001f19024\u001f0.90027376",
-        "200\u001f3\u001f78282\u001f0.95407886",
-        "201\u001f0\u001f44422\u001f0.94411537",
-        "202\u001f1\u001f73296\u001f0.67626478",
-        "203\u001f9\u001f38065\u001f0.92729592",
-        "204\u001f1\u001f34439\u001f0.8998631",
-        "205\u001f1\u001f49238\u001f0.87029624",
-        "206\u001f9\u001f73964\u001f0.80322154",
-        "207\u001f5\u001f73905\u001f0.97134853",
-        "208\u001f0\u001f51600\u001f0.94446364",
-        "209\u001f4\u001f73317\u001f0.95885925",
-        "210\u001f6\u001f62625\u001f0.93068018",
-        "211\u001f4\u001f43034\u001f0.92305997",
-        "212\u001f5\u001f56459\u001f0.75869104",
-        "213\u001f4\u001f10269\u001f0.82368271",
-        "214\u001f7\u001f15521\u001f0.8394478",
-        "215\u001f1\u001f2214\u001f0.89625184",
-        "216\u001f1\u001f66001\u001f0.82091711",
-        "217\u001f3\u001f40755\u001f0.67435064",
-        "218\u001f6\u001f53431\u001f0.94943325",
-        "219\u001f9\u001f47137\u001f0.57719183",
-        "220\u001f6\u001f45906\u001f0.85134331",
-        "221\u001f2\u001f37916\u001f0.7372756",
-        "222\u001f8\u001f17227\u001f0.74914027",
-        "223\u001f8\u001f12061\u001f0.53734766",
-        "224\u001f9\u001f600\u001f0.92925917",
-        "225\u001f8\u001f56366\u001f0.82987866",
-        "226\u001f6\u001f28686\u001f0.68760161",
-        "227\u001f3\u001f43696\u001f0.79687455",
-        "228\u001f6\u001f36047\u001f0.82636109",
-        "229\u001f6\u001f44724\u001f0.80730063",
-        "230\u001f1\u001f71940\u001f0.96989999",
-        "231\u001f1\u001f73723\u001f0.80919418",
-        "232\u001f4\u001f34941\u001f0.79156417",
-        "233\u001f0\u001f26844\u001f0.88520866",
-        "234\u001f7\u001f15751\u001f0.88030715",
-        "235\u001f9\u001f44240\u001f0.88542925",
-        "236\u001f9\u001f28681\u001f0.83935455",
-        "237\u001f3\u001f65748\u001f0.88182736",
-        "238\u001f2\u001f66136\u001f0.82693866",
-        "239\u001f2\u001f16157\u001f0.86355431",
-        "240\u001f0\u001f68091\u001f0.79136039",
-        "241\u001f8\u001f53533\u001f0.78627032",
-        "242\u001f7\u001f15182\u001f0.69878697",
-        "243\u001f0\u001f77714\u001f0.78623055",
-        "244\u001f1\u001f66056\u001f0.89063738",
-        "245\u001f1\u001f51445\u001f0.82277065",
-        "246\u001f6\u001f14779\u001f0.73167754",
-        "247\u001f0\u001f4577\u001f0.94613319",
-        "248\u001f2\u001f56561\u001f0.78954818",
-        "249\u001f2\u001f17599\u001f0.90865375",
-        "250\u001f9\u001f27852\u001f0.82173421",
-        "251\u001f9\u001f17537\u001f0.54448069",
-        "252\u001f8\u001f36811\u001f0.92935815",
-        "253\u001f1\u001f22797\u001f0.97015327",
-        "254\u001f5\u001f53440\u001f0.95574059",
-        "255\u001f0\u001f66731\u001f0.87415507",
-        "256\u001f1\u001f76114\u001f0.84256851",
-        "257\u001f5\u001f49148\u001f0.79991954",
-        "258\u001f5\u001f12913\u001f0.73596514",
-        "259\u001f7\u001f38743\u001f0.82291908",
-        "260\u001f0\u001f39927\u001f0.74690872",
-        "261\u001f6\u001f14779\u001f0.74731121",
-        "262\u001f0\u001f46286\u001f0.89075013",
-        "263\u001f7\u001f38063\u001f0.68665932",
-        "264\u001f6\u001f53605\u001f0.71168203",
-        "265\u001f9\u001f77277\u001f0.85540584",
-        "266\u001f1\u001f42089\u001f0.71596555",
-        "267\u001f9\u001f34408\u001f0.84969026",
-        "268\u001f0\u001f51448\u001f0.91335709",
-        "269\u001f9\u001f38161\u001f0.78717138",
-        "270\u001f4\u001f52200\u001f0.35273908",
-        "271\u001f6\u001f35799\u001f0.83103281",
-        "272\u001f9\u001f62340\u001f0.82280943",
-        "273\u001f3\u001f48012\u001f0.84734441",
-        "274\u001f7\u001f13720\u001f0.58964061",
-        "275\u001f7\u001f2530\u001f0.60440715",
-        "276\u001f5\u001f35905\u001f0.89345503",
-        "277\u001f4\u001f38052\u001f0.8093147",
-        "278\u001f1\u001f21687\u001f0.78604239",
-        "279\u001f5\u001f51894\u001f0.68390844",
-        "280\u001f2\u001f36619\u001f0.92056474",
-        "281\u001f2\u001f71338\u001f0.94542688",
-        "282\u001f8\u001f77784\u001f0.82495475",
-        "283\u001f6\u001f78217\u001f0.83418254",
-        "284\u001f0\u001f11535\u001f0.69934653",
-        "285\u001f3\u001f14909\u001f0.8742232",
-        "286\u001f5\u001f52811\u001f0.83334472",
-        "287\u001f7\u001f41810\u001f0.71671018",
-        "288\u001f9\u001f52745\u001f0.853196",
-        "289\u001f4\u001f51670\u001f0.56245827",
-        "290\u001f4\u001f53676\u001f0.76544083",
-        "291\u001f1\u001f2746\u001f0.8729019",
-        "292\u001f9\u001f19853\u001f0.74423135",
-        "293\u001f2\u001f3664\u001f0.81480067",
-        "294\u001f7\u001f27061\u001f0.75976833",
-        "295\u001f8\u001f24758\u001f0.93512295",
-        "296\u001f7\u001f18966\u001f0.62326826",
-        "297\u001f5\u001f33834\u001f0.91323516",
-        "298\u001f4\u001f44382\u001f0.86397478",
-        "299\u001f5\u001f51018\u001f0.96967889",
-        "300\u001f1\u001f46356\u001f0.7144644",
-        "301\u001f8\u001f9840\u001f0.69142494",
-        "302\u001f2\u001f63313\u001f0.87217756",
-        "303\u001f5\u001f41396\u001f0.82649982",
-        "304\u001f1\u001f35904\u001f0.69335478",
-        "305\u001f9\u001f34421\u001f0.68324128",
-        "306\u001f7\u001f2231\u001f0.61903484",
-        "307\u001f5\u001f68098\u001f0.88488772",
-        "308\u001f5\u001f36914\u001f0.88192877",
-        "309\u001f2\u001f35799\u001f0.87054208",
-        "310\u001f5\u001f48284\u001f0.82406567",
-        "311\u001f0\u001f47601\u001f0.65772323",
-        "312\u001f3\u001f68154\u001f0.88019746",
-        "313\u001f7\u001f65325\u001f0.5351549",
-        "314\u001f2\u001f47324\u001f0.90745849",
-        "315\u001f7\u001f24608\u001f0.97675552",
-        "316\u001f7\u001f11965\u001f0.93898589",
-        "317\u001f3\u001f17269\u001f0.95334009",
-        "318\u001f2\u001f76256\u001f0.83492914",
-        "319\u001f7\u001f39861\u001f0.89723855",
-        "320\u001f1\u001f63021\u001f0.85394645",
-        "321\u001f2\u001f56284\u001f0.93284974",
-        "322\u001f4\u001f66003\u001f0.79282866",
-        "323\u001f3\u001f34497\u001f0.79839763",
-        "324\u001f7\u001f15857\u001f0.78635366",
-        "325\u001f0\u001f68448\u001f0.80864643",
-        "326\u001f0\u001f38460\u001f0.75225372",
-        "327\u001f1\u001f38545\u001f0.83515898",
-        "328\u001f2\u001f49901\u001f0.84945471",
-        "329\u001f3\u001f38829\u001f0.90855572",
-        "330\u001f6\u001f51948\u001f0.92443961",
-        "331\u001f3\u001f37866\u001f0.82949155",
-        "332\u001f4\u001f57716\u001f0.80319548",
-        "333\u001f8\u001f15243\u001f0.92205635",
-        "334\u001f0\u001f34941\u001f0.74279206",
-        "335\u001f5\u001f1301\u001f0.78708711",
-        "336\u001f7\u001f38654\u001f0.9996615",
-        "337\u001f5\u001f12903\u001f0.93592539",
-        "338\u001f2\u001f48233\u001f0.83730059",
-        "339\u001f1\u001f67588\u001f0.76560199",
-        "340\u001f2\u001f68802\u001f0.74601865",
-        "341\u001f6\u001f63960\u001f0.97882464",
-        "342\u001f4\u001f26693\u001f0.81526314",
-        "343\u001f8\u001f51337\u001f0.6243615",
-        "344\u001f9\u001f48769\u001f0.81668094",
-        "345\u001f8\u001f16810\u001f0.79054603",
-        "346\u001f4\u001f16933\u001f0.8462951",
-        "347\u001f2\u001f16423\u001f0.8059809",
-        "348\u001f0\u001f51655\u001f0.96576074",
-        "349\u001f4\u001f44813\u001f0.5209846",
-        "350\u001f4\u001f73740\u001f0.79336633",
-        "351\u001f4\u001f28930\u001f0.83821276",
-        "352\u001f3\u001f10133\u001f0.71513284",
-        "353\u001f6\u001f48774\u001f0.88899634",
-        "354\u001f1\u001f45880\u001f0.81577561",
-        "355\u001f0\u001f65999\u001f0.84167338",
-        "356\u001f1\u001f34451\u001f0.83687834",
-        "357\u001f0\u001f15518\u001f0.74522193",
-        "358\u001f5\u001f14931\u001f0.95528458",
-        "359\u001f4\u001f51467\u001f0.87779299",
-        "360\u001f9\u001f18858\u001f0.64304537",
-        "361\u001f7\u001f17239\u001f0.74839096",
-        "362\u001f8\u001f34489\u001f0.84314872",
-        "363\u001f0\u001f2513\u001f0.81031749",
-        "364\u001f8\u001f43521\u001f0.79183643",
-        "365\u001f3\u001f60611\u001f0.86903337",
-        "366\u001f2\u001f66212\u001f0.9663248",
-        "367\u001f5\u001f77265\u001f0.62781241",
-        "368\u001f5\u001f55523\u001f0.89266024",
-        "369\u001f0\u001f14757\u001f0.64012934",
-        "370\u001f1\u001f43712\u001f0.60073468",
-        "371\u001f8\u001f11458\u001f0.87001832",
-        "372\u001f4\u001f68074\u001f0.61481544",
-        "373\u001f9\u001f10904\u001f0.92799358",
-        "374\u001f7\u001f44993\u001f0.86484245",
-        "375\u001f1\u001f78300\u001f0.33212415",
-        "376\u001f2\u001f12180\u001f0.67982932",
-        "377\u001f1\u001f73700\u001f0.89780708",
-        "378\u001f8\u001f53731\u001f0.64828303",
-        "379\u001f3\u001f18133\u001f0.83417961",
-        "380\u001f7\u001f71673\u001f0.57302802",
-        "381\u001f5\u001f46992\u001f0.93403229",
-        "382\u001f6\u001f71010\u001f0.90279218",
-        "383\u001f5\u001f14\u001f0.88971928",
-        "384\u001f8\u001f4442\u001f0.86446953",
-        "385\u001f9\u001f27435\u001f0.68261851",
-        "386\u001f2\u001f16252\u001f1.00707701",
-        "387\u001f0\u001f26701\u001f0.60072049",
-        "388\u001f9\u001f36676\u001f1.03076195",
-        "389\u001f4\u001f25050\u001f0.65858515",
-        "390\u001f3\u001f41348\u001f0.86103",
-        "391\u001f2\u001f4477\u001f0.9274493",
-        "392\u001f4\u001f75310\u001f0.64127849",
-        "393\u001f9\u001f4558\u001f0.7775081",
-        "394\u001f8\u001f16451\u001f0.84946177",
-        "395\u001f8\u001f66070\u001f0.88278095",
-        "396\u001f8\u001f12321\u001f0.86070366",
-        "397\u001f5\u001f63977\u001f0.76979156",
-        "398\u001f7\u001f18928\u001f0.80051794",
-        "399\u001f7\u001f26100\u001f0.38952899",
-        "400\u001f3\u001f14763\u001f0.92172381",
-        "401\u001f8\u001f19768\u001f0.65573118",
-        "402\u001f8\u001f16864\u001f0.8308443",
-        "403\u001f2\u001f35860\u001f0.68112912",
-        "404\u001f7\u001f34822\u001f0.85820871",
-        "405\u001f2\u001f33834\u001f0.59792407",
-        "406\u001f4\u001f58981\u001f0.61475931",
-        "407\u001f0\u001f66191\u001f0.84432603",
-        "408\u001f3\u001f3217\u001f0.86572229",
-        "409\u001f4\u001f13442\u001f1.03149859",
-        "410\u001f5\u001f39905\u001f0.82812328",
-        "411\u001f5\u001f5220\u001f0.28420929",
-        "412\u001f8\u001f66398\u001f0.71668891",
-        "413\u001f4\u001f38029\u001f0.82540105",
-        "414\u001f8\u001f17006\u001f0.98388087",
-        "415\u001f1\u001f39797\u001f0.63405429",
-        "416\u001f0\u001f38747\u001f0.75378614",
-        "417\u001f2\u001f49176\u001f0.88062279",
-        "418\u001f6\u001f68450\u001f0.84583004",
-        "419\u001f5\u001f45261\u001f0.92123956",
-        "420\u001f4\u001f65291\u001f0.67739911",
-        "421\u001f0\u001f75739\u001f0.87411096",
-        "422\u001f1\u001f9852\u001f0.86037708",
-        "423\u001f2\u001f45583\u001f0.92560441",
-        "424\u001f0\u001f43833\u001f0.80680168",
-        "425\u001f3\u001f2425\u001f0.94729455",
-        "426\u001f4\u001f41760\u001f0.34639282",
-        "427\u001f9\u001f68405\u001f0.78928733",
-        "428\u001f2\u001f52128\u001f0.60780664",
-        "429\u001f5\u001f65523\u001f0.70026992",
-        "430\u001f2\u001f12954\u001f0.84052461",
-        "431\u001f3\u001f26187\u001f0.66208114",
-        "432\u001f6\u001f44733\u001f0.92058659",
-        "433\u001f6\u001f76116\u001f0.90294299",
-        "434\u001f4\u001f68307\u001f0.95270034",
-        "435\u001f2\u001f19275\u001f0.85774865",
-        "436\u001f2\u001f46980\u001f0.41388771",
-        "437\u001f4\u001f41732\u001f0.88940731",
-        "438\u001f8\u001f50443\u001f0.80747756",
-        "439\u001f3\u001f4494\u001f0.81538573",
-        "440\u001f5\u001f51323\u001f0.78765587",
-        "441\u001f6\u001f51523\u001f0.92295081",
-        "442\u001f1\u001f6273\u001f0.74274368",
-        "443\u001f2\u001f38083\u001f0.91152574",
-        "444\u001f1\u001f36462\u001f0.67327695",
-        "445\u001f0\u001f75078\u001f0.59117824",
-        "446\u001f9\u001f43619\u001f0.94456086",
-        "447\u001f9\u001f46451\u001f0.67646555",
-        "448\u001f4\u001f54151\u001f0.63291987",
-        "449\u001f2\u001f37346\u001f0.91926234",
-        "450\u001f7\u001f17850\u001f0.87328541",
-        "451\u001f7\u001f47894\u001f0.8691582",
-        "452\u001f9\u001f39310\u001f0.97027694",
-        "453\u001f8\u001f18298\u001f0.61489282",
-        "454\u001f3\u001f34646\u001f0.67491981",
-        "455\u001f2\u001f65938\u001f0.8560307",
-        "456\u001f0\u001f19335\u001f0.8776739",
-        "457\u001f8\u001f17553\u001f0.79510959",
-        "458\u001f5\u001f50615\u001f0.94005584",
-        "459\u001f7\u001f0\u001f0.45060645",
-        "460\u001f0\u001f40998\u001f0.75551237",
-        "461\u001f2\u001f73080\u001f0.37504515",
-        "462\u001f3\u001f11059\u001f0.87293784",
-        "463\u001f2\u001f15660\u001f0.36485247",
-        "464\u001f1\u001f21893\u001f0.77328843",
-        "465\u001f9\u001f22317\u001f0.96500274",
-        "466\u001f8\u001f4489\u001f0.6941542",
-        "467\u001f4\u001f56335\u001f0.86650137",
-        "468\u001f0\u001f17891\u001f0.82802525",
-        "469\u001f5\u001f49596\u001f0.89483068",
-        "470\u001f8\u001f71023\u001f0.89197056",
-        "471\u001f3\u001f66649\u001f0.92600071",
-        "472\u001f4\u001f38171\u001f0.95713786",
-        "473\u001f6\u001f12159\u001f0.89564092",
-        "474\u001f4\u001f28566\u001f0.70458523",
-        "475\u001f9\u001f17099\u001f0.97524737",
-        "476\u001f0\u001f57420\u001f0.42378815",
-        "477\u001f2\u001f65037\u001f0.76920368",
-        "478\u001f7\u001f17267\u001f0.72073681",
-        "479\u001f4\u001f49568\u001f0.64512415",
-        "480\u001f7\u001f28801\u001f0.75347584",
-        "481\u001f9\u001f75408\u001f0.82074695",
-        "482\u001f6\u001f36125\u001f0.55750658",
-        "483\u001f6\u001f16990\u001f0.8721809",
-        "484\u001f1\u001f14765\u001f0.9623213",
-        "485\u001f5\u001f44287\u001f0.87811829",
-        "486\u001f4\u001f36540\u001f0.17852216",
-        "487\u001f4\u001f48486\u001f0.79234588",
-        "488\u001f8\u001f38074\u001f0.89826425",
-        "489\u001f2\u001f56322\u001f0.88818572",
-        "490\u001f0\u001f38026\u001f0.90367053",
-        "491\u001f0\u001f2335\u001f0.90325528",
-        "492\u001f7\u001f49153\u001f0.8194323",
-        "493\u001f6\u001f12292\u001f0.81526941",
-        "494\u001f7\u001f43883\u001f0.67781036",
-        "495\u001f3\u001f36624\u001f0.83811736",
-        "496\u001f9\u001f36448\u001f0.95033462",
-        "497\u001f1\u001f47079\u001f0.84701939",
-        "498\u001f5\u001f36461\u001f0.89080589",
-        "499\u001f6\u001f75957\u001f0.63410251"),
-      2 -> Seq(
-        "0\u001f2\u001f70389\u001f0.8124908",
-        "1\u001f0\u001f65361\u001f0.79769222",
-        "2\u001f1\u001f54375\u001f0.85055545",
-        "3\u001f8\u001f52372\u001f0.89233426",
-        "4\u001f9\u001f48156\u001f0.86948003",
-        "5\u001f4\u001f12389\u001f0.86473013",
-        "6\u001f6\u001f50621\u001f0.92814101",
-        "7\u001f0\u001f72724\u001f0.81170055",
-        "8\u001f5\u001f12185\u001f0.76256847",
-        "9\u001f0\u001f706\u001f0.604382",
-        "10\u001f5\u001f74980\u001f0.86444408",
-        "11\u001f8\u001f26610\u001f0.91177029",
-        "12\u001f6\u001f46345\u001f0.64301667",
-        "13\u001f9\u001f51486\u001f0.72848159",
-        "14\u001f4\u001f24068\u001f0.85333229",
-        "15\u001f6\u001f47571\u001f0.79196694",
-        "16\u001f2\u001f31573\u001f0.81228551",
-        "17\u001f0\u001f57860\u001f0.80846203",
-        "18\u001f3\u001f71622\u001f0.85031743",
-        "19\u001f1\u001f7124\u001f0.66825045",
-        "20\u001f6\u001f55871\u001f0.6436161",
-        "21\u001f7\u001f75532\u001f0.85855937",
-        "22\u001f6\u001f49587\u001f0.85633201",
-        "23\u001f7\u001f56415\u001f0.91139121",
-        "24\u001f7\u001f48707\u001f0.77891662",
-        "25\u001f1\u001f43744\u001f0.96037449",
-        "26\u001f0\u001f44311\u001f0.82444912",
-        "27\u001f9\u001f35220\u001f0.82656926",
-        "28\u001f3\u001f26489\u001f0.83862658",
-        "29\u001f3\u001f51108\u001f0.87431106",
-        "30\u001f6\u001f51515\u001f0.6277611",
-        "31\u001f2\u001f69752\u001f0.74976748",
-        "32\u001f7\u001f41817\u001f0.9361327",
-        "33\u001f0\u001f77852\u001f0.95187914",
-        "34\u001f8\u001f16347\u001f0.78274139",
-        "35\u001f9\u001f20880\u001f0.30652653",
-        "36\u001f2\u001f16063\u001f0.71573134",
-        "37\u001f3\u001f22011\u001f0.93886712",
-        "38\u001f8\u001f70297\u001f0.80416919",
-        "39\u001f2\u001f66228\u001f0.82283384",
-        "40\u001f6\u001f45094\u001f0.90925408",
-        "41\u001f9\u001f38548\u001f0.84096829",
-        "42\u001f1\u001f70866\u001f0.85650247",
-        "43\u001f0\u001f21585\u001f0.96705951",
-        "44\u001f0\u001f76955\u001f1.01770271",
-        "45\u001f0\u001f43619\u001f0.8642412",
-        "46\u001f7\u001f46722\u001f0.78671858",
-        "47\u001f5\u001f11788\u001f0.76170259",
-        "48\u001f2\u001f44878\u001f0.69603655",
-        "49\u001f3\u001f77205\u001f0.7516803",
-        "50\u001f3\u001f49669\u001f0.84352365",
-        "51\u001f5\u001f18282\u001f0.783316",
-        "52\u001f0\u001f21882\u001f0.83485145",
-        "53\u001f5\u001f26341\u001f0.80395556",
-        "54\u001f6\u001f1106\u001f0.83180156",
-        "55\u001f1\u001f70569\u001f0.83329794",
-        "56\u001f4\u001f9279\u001f0.91207891",
-        "57\u001f1\u001f15391\u001f0.69629958",
-        "58\u001f8\u001f15104\u001f0.74141553",
-        "59\u001f5\u001f67703\u001f0.83528102",
-        "60\u001f2\u001f44973\u001f0.76231803",
-        "61\u001f0\u001f69704\u001f0.93599141",
-        "62\u001f4\u001f23808\u001f0.64320262",
-        "63\u001f0\u001f16859\u001f0.60897015",
-        "64\u001f0\u001f51863\u001f0.76341549",
-        "65\u001f3\u001f74152\u001f0.67877089",
-        "66\u001f5\u001f36602\u001f0.81942886",
-        "67\u001f0\u001f43410\u001f0.58499442",
-        "68\u001f8\u001f55700\u001f0.66619653",
-        "69\u001f2\u001f20446\u001f0.77485273",
-        "70\u001f0\u001f33406\u001f0.83067249",
-        "71\u001f7\u001f20208\u001f0.70045971",
-        "72\u001f8\u001f55831\u001f0.80082725",
-        "73\u001f6\u001f46201\u001f0.77600807",
-        "74\u001f0\u001f31329\u001f0.61514302",
-        "75\u001f8\u001f10440\u001f0.3574955",
-        "76\u001f2\u001f29091\u001f1.02756256",
-        "77\u001f9\u001f57962\u001f0.65821339",
-        "78\u001f9\u001f5358\u001f0.86880555",
-        "79\u001f8\u001f31414\u001f0.8564984",
-        "80\u001f0\u001f71199\u001f0.87448374",
-        "81\u001f9\u001f2115\u001f0.82358437",
-        "82\u001f1\u001f36372\u001f0.65439198",
-        "83\u001f9\u001f41829\u001f1.0306992",
-        "84\u001f7\u001f36864\u001f0.75673216",
-        "85\u001f7\u001f71209\u001f0.88605286",
-        "86\u001f3\u001f46340\u001f0.83587708",
-        "87\u001f0\u001f21358\u001f0.89800129",
-        "88\u001f3\u001f63388\u001f0.86001948",
-        "89\u001f6\u001f36959\u001f0.84914919",
-        "90\u001f3\u001f50981\u001f0.8073309",
-        "91\u001f2\u001f1642\u001f0.75934256",
-        "92\u001f8\u001f72933\u001f0.78425077",
-        "93\u001f6\u001f12232\u001f0.91349536",
-        "94\u001f1\u001f64652\u001f0.85203913",
-        "95\u001f8\u001f41591\u001f0.84401137",
-        "96\u001f5\u001f66246\u001f0.86008314",
-        "97\u001f9\u001f58266\u001f0.75865254",
-        "98\u001f6\u001f53355\u001f0.83380906",
-        "99\u001f2\u001f23875\u001f0.90038726",
-        "100\u001f6\u001f22153\u001f0.63413556",
-        "101\u001f0\u001f75885\u001f0.84638431",
-        "102\u001f6\u001f31320\u001f0.78495552",
-        "103\u001f7\u001f73297\u001f0.84431017",
-        "104\u001f4\u001f31320\u001f0.44810635",
-        "105\u001f8\u001f56564\u001f0.8278651",
-        "106\u001f3\u001f27236\u001f0.61928135",
-        "107\u001f6\u001f34009\u001f0.74151193",
-        "108\u001f8\u001f21251\u001f0.84871808",
-        "109\u001f9\u001f43030\u001f0.87048346",
-        "110\u001f7\u001f30525\u001f0.82939225",
-        "111\u001f8\u001f30817\u001f0.84231834",
-        "112\u001f3\u001f75243\u001f0.64891269",
-        "113\u001f3\u001f54216\u001f0.92736882",
-        "114\u001f7\u001f14032\u001f0.76473547",
-        "115\u001f3\u001f23214\u001f0.75120323",
-        "116\u001f9\u001f13338\u001f0.91718869",
-        "117\u001f4\u001f33074\u001f0.8858995",
-        "118\u001f0\u001f62640\u001f0.25247773",
-        "119\u001f4\u001f15404\u001f0.69905015",
-        "120\u001f4\u001f39396\u001f0.62054073",
-        "121\u001f6\u001f49665\u001f0.86339895",
-        "122\u001f2\u001f36659\u001f0.72339539",
-        "123\u001f5\u001f76172\u001f0.84206043",
-        "124\u001f3\u001f43711\u001f0.85367723",
-        "125\u001f9\u001f12235\u001f0.8006379",
-        "126\u001f1\u001f31946\u001f0.62138034",
-        "127\u001f1\u001f49526\u001f0.74564306",
-        "128\u001f3\u001f75186\u001f0.94436431",
-        "129\u001f9\u001f28742\u001f0.85828296",
-        "130\u001f0\u001f69674\u001f0.79679642",
-        "131\u001f3\u001f36785\u001f0.62668421",
-        "132\u001f6\u001f53542\u001f0.98177999",
-        "133\u001f6\u001f72450\u001f0.59993359",
-        "134\u001f7\u001f16819\u001f0.83210203",
-        "135\u001f9\u001f21366\u001f0.84392327",
-        "136\u001f4\u001f77420\u001f0.76902039",
-        "137\u001f8\u001f40192\u001f0.86428094",
-        "138\u001f9\u001f67860\u001f0.33117705",
-        "139\u001f9\u001f68279\u001f0.8917289",
-        "140\u001f3\u001f73313\u001f0.89399855",
-        "141\u001f9\u001f56413\u001f0.64442771",
-        "142\u001f5\u001f21987\u001f0.59247896",
-        "143\u001f5\u001f46762\u001f0.82195645",
-        "144\u001f3\u001f675\u001f0.9048059",
-        "145\u001f9\u001f55633\u001f0.80025399",
-        "146\u001f4\u001f58425\u001f0.89453424",
-        "147\u001f5\u001f70913\u001f0.91222419",
-        "148\u001f7\u001f4588\u001f0.67329911",
-        "149\u001f8\u001f71221\u001f0.90727047",
-        "150\u001f7\u001f46573\u001f0.83470042",
-        "151\u001f3\u001f3571\u001f0.78483431",
-        "152\u001f2\u001f68411\u001f0.75498609",
-        "153\u001f9\u001f50158\u001f0.91985551",
-        "154\u001f6\u001f24065\u001f0.70312901",
-        "155\u001f5\u001f17703\u001f0.92103098",
-        "156\u001f5\u001f38444\u001f0.8639064",
-        "157\u001f5\u001f44766\u001f0.7886856",
-        "158\u001f1\u001f36477\u001f0.65169781",
-        "159\u001f4\u001f45278\u001f0.87513744",
-        "160\u001f0\u001f29696\u001f0.76528278",
-        "161\u001f6\u001f68268\u001f0.97057839",
-        "162\u001f6\u001f48378\u001f0.81331472",
-        "163\u001f4\u001f45760\u001f0.86060659",
-        "164\u001f7\u001f350\u001f0.81373026",
-        "165\u001f0\u001f30966\u001f0.69320211",
-        "166\u001f9\u001f53556\u001f0.92781307",
-        "167\u001f8\u001f70429\u001f0.85437503",
-        "168\u001f2\u001f55887\u001f0.92906888",
-        "169\u001f1\u001f35453\u001f0.87480479",
-        "170\u001f9\u001f40302\u001f0.86946555",
-        "171\u001f1\u001f55579\u001f0.92458432",
-        "172\u001f5\u001f37590\u001f0.82901791",
-        "173\u001f3\u001f55993\u001f0.89451277",
-        "174\u001f5\u001f53292\u001f0.86423948",
-        "175\u001f7\u001f38752\u001f0.82558885",
-        "176\u001f5\u001f77535\u001f0.73030613",
-        "177\u001f4\u001f23166\u001f0.87144345",
-        "178\u001f3\u001f37904\u001f0.87923822",
-        "179\u001f4\u001f53087\u001f0.82653537",
-        "180\u001f1\u001f48646\u001f0.89000818",
-        "181\u001f3\u001f75266\u001f0.85241823",
-        "182\u001f5\u001f71187\u001f0.93374854",
-        "183\u001f2\u001f27839\u001f0.74522826",
-        "184\u001f5\u001f38888\u001f0.82622429",
-        "185\u001f8\u001f57580\u001f0.68803404",
-        "186\u001f7\u001f49801\u001f0.64967034",
-        "187\u001f6\u001f73959\u001f0.8026957",
-        "188\u001f7\u001f58642\u001f0.76649929",
-        "189\u001f1\u001f64785\u001f0.87351883",
-        "190\u001f7\u001f28483\u001f0.71724243",
-        "191\u001f1\u001f23314\u001f0.82405303",
-        "192\u001f4\u001f25478\u001f0.77593565",
-        "193\u001f0\u001f55642\u001f0.92972446",
-        "194\u001f6\u001f58572\u001f0.76954108",
-        "195\u001f0\u001f1108\u001f0.81458264",
-        "196\u001f5\u001f67397\u001f0.87215525",
-        "197\u001f1\u001f56041\u001f0.60645859",
-        "198\u001f9\u001f44553\u001f0.78604418",
-        "199\u001f7\u001f52179\u001f0.86333791",
-        "200\u001f8\u001f66433\u001f0.90793114",
-        "201\u001f3\u001f31302\u001f0.91606944",
-        "202\u001f2\u001f20764\u001f0.65343214",
-        "203\u001f9\u001f38882\u001f0.88592817",
-        "204\u001f7\u001f4990\u001f0.92500227",
-        "205\u001f5\u001f37670\u001f0.94816022",
-        "206\u001f2\u001f19767\u001f0.81278278",
-        "207\u001f8\u001f75248\u001f0.80776348",
-        "208\u001f1\u001f75628\u001f0.9681577",
-        "209\u001f9\u001f38547\u001f0.83408813",
-        "210\u001f4\u001f31698\u001f0.82622363",
-        "211\u001f3\u001f63941\u001f0.87625215",
-        "212\u001f4\u001f50825\u001f0.94672274",
-        "213\u001f1\u001f20492\u001f0.91736782",
-        "214\u001f7\u001f23554\u001f0.86060214",
-        "215\u001f2\u001f744\u001f0.78909775",
-        "216\u001f8\u001f34062\u001f0.77386344",
-        "217\u001f6\u001f68964\u001f0.65071078",
-        "218\u001f2\u001f35436\u001f0.81482629",
-        "219\u001f9\u001f56534\u001f0.76363657",
-        "220\u001f0\u001f41726\u001f0.86401152",
-        "221\u001f5\u001f50255\u001f0.63896316",
-        "222\u001f2\u001f20673\u001f0.92318498",
-        "223\u001f3\u001f67967\u001f0.75600686",
-        "224\u001f2\u001f56520\u001f0.92154163",
-        "225\u001f9\u001f11369\u001f0.8000993",
-        "226\u001f9\u001f56274\u001f0.63055607",
-        "227\u001f9\u001f52559\u001f0.89132428",
-        "228\u001f7\u001f13779\u001f0.91369476",
-        "229\u001f0\u001f71253\u001f0.89295803",
-        "230\u001f5\u001f42560\u001f0.77456546",
-        "231\u001f7\u001f46575\u001f0.68560851",
-        "232\u001f7\u001f53222\u001f0.85476822",
-        "233\u001f6\u001f57249\u001f0.76296541",
-        "234\u001f2\u001f29004\u001f0.81938727",
-        "235\u001f6\u001f40917\u001f0.84925458",
-        "236\u001f8\u001f53630\u001f0.7909437",
-        "237\u001f7\u001f897\u001f0.76053304",
-        "238\u001f8\u001f41130\u001f0.82051954",
-        "239\u001f4\u001f48439\u001f0.9271648",
-        "240\u001f0\u001f56800\u001f0.79772239",
-        "241\u001f3\u001f55542\u001f0.83569127",
-        "242\u001f0\u001f34478\u001f0.66348194",
-        "243\u001f5\u001f53512\u001f0.93713974",
-        "244\u001f0\u001f36900\u001f0.92703478",
-        "245\u001f3\u001f22585\u001f0.84533991",
-        "246\u001f5\u001f53416\u001f0.60029469",
-        "247\u001f0\u001f23877\u001f0.90852104",
-        "248\u001f6\u001f36026\u001f0.92734837",
-        "249\u001f9\u001f46286\u001f0.93162356",
-        "250\u001f9\u001f2523\u001f0.9076495",
-        "251\u001f4\u001f36682\u001f0.68627621",
-        "252\u001f3\u001f26328\u001f0.82948025",
-        "253\u001f7\u001f55654\u001f0.87074048",
-        "254\u001f9\u001f24952\u001f0.88818372",
-        "255\u001f0\u001f38778\u001f0.81825944",
-        "256\u001f7\u001f622\u001f0.81554985",
-        "257\u001f7\u001f45737\u001f0.91527817",
-        "258\u001f1\u001f69420\u001f0.8498231",
-        "259\u001f0\u001f22668\u001f0.7124956",
-        "260\u001f8\u001f50747\u001f0.80082453",
-        "261\u001f5\u001f23474\u001f0.57311169",
-        "262\u001f2\u001f15102\u001f0.88235148",
-        "263\u001f1\u001f74094\u001f0.81034845",
-        "264\u001f7\u001f50938\u001f0.69906729",
-        "265\u001f2\u001f21480\u001f0.88554894",
-        "266\u001f1\u001f49488\u001f0.73372597",
-        "267\u001f3\u001f29941\u001f0.69051835",
-        "268\u001f7\u001f53581\u001f0.86554872",
-        "269\u001f6\u001f1846\u001f0.93842019",
-        "270\u001f1\u001f52200\u001f0.34000916",
-        "271\u001f2\u001f65677\u001f0.97417264",
-        "272\u001f1\u001f77529\u001f0.83304189",
-        "273\u001f7\u001f52799\u001f0.7770889",
-        "274\u001f3\u001f4083\u001f0.6181391",
-        "275\u001f8\u001f78203\u001f0.69820011",
-        "276\u001f2\u001f70443\u001f0.87419101",
-        "277\u001f4\u001f52635\u001f0.86743077",
-        "278\u001f2\u001f23219\u001f0.73439382",
-        "279\u001f1\u001f51530\u001f0.87933531",
-        "280\u001f5\u001f2409\u001f0.84163777",
-        "281\u001f5\u001f26413\u001f0.94921775",
-        "282\u001f0\u001f53232\u001f0.82603603",
-        "283\u001f8\u001f68874\u001f0.86669371",
-        "284\u001f6\u001f18909\u001f0.41798321",
-        "285\u001f1\u001f65442\u001f0.86138459",
-        "286\u001f2\u001f24081\u001f0.73279385",
-        "287\u001f7\u001f58586\u001f1.03515027",
-        "288\u001f0\u001f42359\u001f0.7786973",
-        "289\u001f4\u001f640\u001f0.56525971",
-        "290\u001f9\u001f41648\u001f0.60916752",
-        "291\u001f9\u001f26912\u001f0.85745058",
-        "292\u001f4\u001f58273\u001f0.81528913",
-        "293\u001f1\u001f56454\u001f0.91241621",
-        "294\u001f4\u001f38564\u001f0.94542278",
-        "295\u001f3\u001f74047\u001f0.81719718",
-        "296\u001f9\u001f9920\u001f0.46928588",
-        "297\u001f0\u001f24671\u001f0.81846031",
-        "298\u001f3\u001f2581\u001f0.79725606",
-        "299\u001f3\u001f55974\u001f0.81603564",
-        "300\u001f4\u001f47744\u001f0.85471028",
-        "301\u001f3\u001f57428\u001f0.73111571",
-        "302\u001f4\u001f40962\u001f0.81646284",
-        "303\u001f9\u001f51480\u001f0.90626449",
-        "304\u001f4\u001f33417\u001f0.67369478",
-        "305\u001f4\u001f26781\u001f0.55189489",
-        "306\u001f3\u001f23310\u001f0.78378368",
-        "307\u001f1\u001f54778\u001f0.77963014",
-        "308\u001f1\u001f58177\u001f0.88128007",
-        "309\u001f9\u001f17307\u001f0.80811892",
-        "310\u001f6\u001f2094\u001f0.79262186",
-        "311\u001f3\u001f20290\u001f0.77004257",
-        "312\u001f9\u001f46555\u001f0.83591185",
-        "313\u001f7\u001f52707\u001f0.66505162",
-        "314\u001f7\u001f11777\u001f0.86133023",
-        "315\u001f4\u001f35764\u001f0.97201997",
-        "316\u001f2\u001f66296\u001f0.86355658",
-        "317\u001f9\u001f2131\u001f0.80666097",
-        "318\u001f8\u001f57741\u001f0.71164785",
-        "319\u001f1\u001f19169\u001f0.89047471",
-        "320\u001f2\u001f33787\u001f0.85189617",
-        "321\u001f8\u001f10262\u001f0.85021857",
-        "322\u001f4\u001f51677\u001f0.89230852",
-        "323\u001f0\u001f37753\u001f0.86287628",
-        "324\u001f8\u001f30062\u001f0.75379969",
-        "325\u001f2\u001f1664\u001f0.78685028",
-        "326\u001f3\u001f23908\u001f0.67031896",
-        "327\u001f6\u001f21965\u001f0.95614463",
-        "328\u001f2\u001f38939\u001f0.87067802",
-        "329\u001f9\u001f30608\u001f0.88129102",
-        "330\u001f4\u001f43461\u001f0.92623129",
-        "331\u001f4\u001f39840\u001f0.80021857",
-        "332\u001f8\u001f21645\u001f0.72432383",
-        "333\u001f8\u001f8361\u001f0.83383038",
-        "334\u001f0\u001f72513\u001f0.88470515",
-        "335\u001f9\u001f48765\u001f0.94183141",
-        "336\u001f9\u001f52839\u001f0.86918884",
-        "337\u001f4\u001f48329\u001f0.95915388",
-        "338\u001f8\u001f21517\u001f0.83021297",
-        "339\u001f7\u001f43807\u001f0.6362895",
-        "340\u001f1\u001f21205\u001f0.99541348",
-        "341\u001f7\u001f17310\u001f0.99320209",
-        "342\u001f6\u001f14376\u001f0.89059744",
-        "343\u001f7\u001f28765\u001f0.76499417",
-        "344\u001f4\u001f68813\u001f0.73893663",
-        "345\u001f3\u001f35638\u001f0.88165525",
-        "346\u001f8\u001f58033\u001f0.85962335",
-        "347\u001f3\u001f42751\u001f0.89191661",
-        "348\u001f3\u001f22006\u001f0.80099189",
-        "349\u001f8\u001f69808\u001f0.71268978",
-        "350\u001f3\u001f51699\u001f0.83638644",
-        "351\u001f2\u001f35618\u001f0.54443564",
-        "352\u001f8\u001f65323\u001f0.8056871",
-        "353\u001f6\u001f43098\u001f0.82745216",
-        "354\u001f6\u001f24659\u001f0.87964809",
-        "355\u001f3\u001f22013\u001f0.9154836",
-        "356\u001f1\u001f54582\u001f0.8969159",
-        "357\u001f6\u001f1608\u001f0.63186782",
-        "358\u001f4\u001f56254\u001f0.91959249",
-        "359\u001f2\u001f24252\u001f0.8232068",
-        "360\u001f4\u001f43539\u001f0.81369521",
-        "361\u001f5\u001f41493\u001f0.69423072",
-        "362\u001f9\u001f48655\u001f0.87934387",
-        "363\u001f8\u001f45816\u001f0.97229746",
-        "364\u001f6\u001f23792\u001f0.85877836",
-        "365\u001f8\u001f1607\u001f0.86071889",
-        "366\u001f6\u001f23793\u001f0.74580275",
-        "367\u001f3\u001f58591\u001f0.81531683",
-        "368\u001f4\u001f70891\u001f0.90844612",
-        "369\u001f4\u001f52249\u001f0.46576966",
-        "370\u001f1\u001f34569\u001f0.68079109",
-        "371\u001f1\u001f21716\u001f0.80736399",
-        "372\u001f2\u001f48660\u001f0.7655973",
-        "373\u001f3\u001f64836\u001f0.84781834",
-        "374\u001f3\u001f23939\u001f0.85606814",
-        "375\u001f1\u001f78300\u001f0.27968203",
-        "376\u001f4\u001f66236\u001f0.67030541",
-        "377\u001f7\u001f947\u001f0.93674023",
-        "378\u001f8\u001f40776\u001f0.59847695",
-        "379\u001f7\u001f68404\u001f0.81688118",
-        "380\u001f0\u001f1521\u001f0.64460725",
-        "381\u001f4\u001f70471\u001f0.88804468",
-        "382\u001f8\u001f43902\u001f0.82178319",
-        "383\u001f5\u001f47797\u001f0.93209031",
-        "384\u001f3\u001f19161\u001f0.88394209",
-        "385\u001f8\u001f67720\u001f0.60510474",
-        "386\u001f3\u001f1560\u001f0.88729808",
-        "387\u001f6\u001f4064\u001f0.6583036",
-        "388\u001f1\u001f70383\u001f0.73250331",
-        "389\u001f2\u001f23043\u001f0.62104923",
-        "390\u001f0\u001f57268\u001f0.90481899",
-        "391\u001f9\u001f36885\u001f0.7481416",
-        "392\u001f7\u001f33630\u001f0.57899717",
-        "393\u001f0\u001f66952\u001f0.84979156",
-        "394\u001f7\u001f21291\u001f0.87674508",
-        "395\u001f3\u001f49616\u001f0.81032968",
-        "396\u001f0\u001f38489\u001f0.80619173",
-        "397\u001f9\u001f21857\u001f0.63864489",
-        "398\u001f7\u001f58286\u001f0.85626538",
-        "399\u001f5\u001f26100\u001f0.31306122",
-        "400\u001f9\u001f64714\u001f0.91464658",
-        "401\u001f7\u001f29933\u001f0.68574319",
-        "402\u001f7\u001f72644\u001f0.90273185",
-        "403\u001f7\u001f4263\u001f0.73046979",
-        "404\u001f3\u001f1112\u001f0.80263705",
-        "405\u001f6\u001f53579\u001f0.69787599",
-        "406\u001f2\u001f70613\u001f0.68929546",
-        "407\u001f9\u001f70551\u001f0.7550658",
-        "408\u001f5\u001f2724\u001f0.79508208",
-        "409\u001f8\u001f44378\u001f0.8454367",
-        "410\u001f6\u001f45722\u001f0.82497175",
-        "411\u001f2\u001f5220\u001f0.3394968",
-        "412\u001f4\u001f55643\u001f0.68252436",
-        "413\u001f1\u001f51388\u001f0.76993138",
-        "414\u001f2\u001f38032\u001f0.83176858",
-        "415\u001f4\u001f20108\u001f0.61549811",
-        "416\u001f0\u001f24013\u001f0.67929646",
-        "417\u001f5\u001f19982\u001f0.91161731",
-        "418\u001f9\u001f4081\u001f0.81724774",
-        "419\u001f2\u001f46601\u001f0.77830529",
-        "420\u001f8\u001f38525\u001f0.6212457",
-        "421\u001f4\u001f41713\u001f0.81192597",
-        "422\u001f7\u001f53517\u001f0.83007157",
-        "423\u001f0\u001f67787\u001f0.6856331",
-        "424\u001f0\u001f34652\u001f0.91628777",
-        "425\u001f4\u001f22931\u001f0.87223915",
-        "426\u001f2\u001f41760\u001f0.31275335",
-        "427\u001f8\u001f42884\u001f0.89155651",
-        "428\u001f8\u001f57303\u001f0.65736433",
-        "429\u001f3\u001f24101\u001f0.95187708",
-        "430\u001f1\u001f31970\u001f0.78697921",
-        "431\u001f4\u001f29967\u001f0.69628505",
-        "432\u001f7\u001f5396\u001f0.92887217",
-        "433\u001f8\u001f41493\u001f0.77978694",
-        "434\u001f8\u001f8563\u001f0.64633404",
-        "435\u001f6\u001f24833\u001f0.93826463",
-        "436\u001f3\u001f46980\u001f0.31370702",
-        "437\u001f9\u001f43166\u001f0.86770325",
-        "438\u001f5\u001f25395\u001f0.92602363",
-        "439\u001f6\u001f11533\u001f0.92174633",
-        "440\u001f4\u001f51484\u001f0.68173719",
-        "441\u001f3\u001f14845\u001f0.7884235",
-        "442\u001f9\u001f75294\u001f0.78456527",
-        "443\u001f6\u001f40911\u001f0.8994412",
-        "444\u001f6\u001f53099\u001f0.6002927",
-        "445\u001f0\u001f73302\u001f0.64070451",
-        "446\u001f6\u001f50890\u001f0.77637129",
-        "447\u001f4\u001f1849\u001f0.648358",
-        "448\u001f3\u001f21168\u001f0.79136386",
-        "449\u001f5\u001f4225\u001f0.89887456",
-        "450\u001f3\u001f76625\u001f0.82417351",
-        "451\u001f4\u001f42937\u001f0.81737325",
-        "452\u001f1\u001f56225\u001f0.81211977",
-        "453\u001f9\u001f47646\u001f0.60677884",
-        "454\u001f0\u001f74045\u001f0.59544206",
-        "455\u001f5\u001f45326\u001f0.67783977",
-        "456\u001f1\u001f24925\u001f0.84149736",
-        "457\u001f5\u001f49972\u001f0.88648072",
-        "458\u001f1\u001f43568\u001f0.7690051",
-        "459\u001f1\u001f0\u001f0.17089067",
-        "460\u001f1\u001f17111\u001f0.9299698",
-        "461\u001f1\u001f73080\u001f0.41415831",
-        "462\u001f3\u001f37901\u001f0.7537121",
-        "463\u001f7\u001f15660\u001f0.3683463",
-        "464\u001f4\u001f70886\u001f0.85565492",
-        "465\u001f8\u001f70984\u001f0.8430365",
-        "466\u001f2\u001f40251\u001f0.90766664",
-        "467\u001f2\u001f64908\u001f0.84702261",
-        "468\u001f5\u001f24226\u001f0.79798858",
-        "469\u001f4\u001f51505\u001f0.8239465",
-        "470\u001f5\u001f18185\u001f0.8062321",
-        "471\u001f8\u001f23163\u001f0.88974553",
-        "472\u001f7\u001f50775\u001f0.84202121",
-        "473\u001f5\u001f51282\u001f0.86405847",
-        "474\u001f9\u001f18030\u001f0.65169099",
-        "475\u001f1\u001f68431\u001f0.95697999",
-        "476\u001f7\u001f57420\u001f0.36739067",
-        "477\u001f5\u001f31276\u001f0.71804877",
-        "478\u001f7\u001f9177\u001f0.62926101",
-        "479\u001f7\u001f51622\u001f0.68365091",
-        "480\u001f0\u001f9445\u001f0.72129232",
-        "481\u001f2\u001f78184\u001f0.85431113",
-        "482\u001f2\u001f72089\u001f0.58988349",
-        "483\u001f4\u001f7914\u001f0.91933589",
-        "484\u001f2\u001f36769\u001f0.81218428",
-        "485\u001f0\u001f49823\u001f0.96154311",
-        "486\u001f3\u001f36540\u001f0.41755153",
-        "487\u001f9\u001f18007\u001f0.85805002",
-        "488\u001f4\u001f21341\u001f0.86708103",
-        "489\u001f1\u001f44956\u001f0.69542142",
-        "490\u001f5\u001f36780\u001f0.80226074",
-        "491\u001f6\u001f3555\u001f0.93087783",
-        "492\u001f5\u001f4291\u001f0.85814488",
-        "493\u001f9\u001f46779\u001f0.86214505",
-        "494\u001f3\u001f3697\u001f0.57880619",
-        "495\u001f3\u001f7577\u001f0.79294419",
-        "496\u001f2\u001f26122\u001f0.86061533",
-        "497\u001f0\u001f67707\u001f0.87830575",
-        "498\u001f4\u001f55642\u001f0.76243763",
-        "499\u001f8\u001f71204\u001f0.59975474"),
-      3 -> Seq(
-        "0\u001f2\u001f65284\u001f0.75239153",
-        "1\u001f2\u001f57356\u001f0.78867758",
-        "2\u001f9\u001f45390\u001f0.81757755",
-        "3\u001f8\u001f68303\u001f0.8415273",
-        "4\u001f4\u001f52145\u001f0.7410985",
-        "5\u001f9\u001f66156\u001f0.76905893",
-        "6\u001f6\u001f61853\u001f0.75896736",
-        "7\u001f9\u001f67713\u001f0.69776631",
-        "8\u001f6\u001f24928\u001f0.8297128",
-        "9\u001f9\u001f64397\u001f0.78829061",
-        "10\u001f5\u001f67945\u001f0.81238265",
-        "11\u001f0\u001f9303\u001f0.8387365",
-        "12\u001f8\u001f42693\u001f0.63744394",
-        "13\u001f6\u001f2407\u001f0.76389252",
-        "14\u001f2\u001f1789\u001f0.83350527",
-        "15\u001f3\u001f24081\u001f0.79490399",
-        "16\u001f7\u001f41736\u001f0.81059749",
-        "17\u001f3\u001f67971\u001f0.76449141",
-        "18\u001f5\u001f40218\u001f0.90941047",
-        "19\u001f4\u001f49145\u001f0.71817462",
-        "20\u001f6\u001f37448\u001f0.69105466",
-        "21\u001f9\u001f20568\u001f0.74371132",
-        "22\u001f1\u001f74032\u001f0.81806651",
-        "23\u001f0\u001f39697\u001f0.75768227",
-        "24\u001f0\u001f19081\u001f0.85951807",
-        "25\u001f0\u001f23339\u001f0.8264767",
-        "26\u001f2\u001f41134\u001f0.82880472",
-        "27\u001f5\u001f37130\u001f0.8299128",
-        "28\u001f4\u001f56302\u001f0.8136446",
-        "29\u001f5\u001f47109\u001f0.86237982",
-        "30\u001f1\u001f30815\u001f0.67810161",
-        "31\u001f0\u001f17464\u001f0.79527138",
-        "32\u001f3\u001f51075\u001f0.79575313",
-        "33\u001f5\u001f37142\u001f0.84572688",
-        "34\u001f1\u001f74955\u001f0.81472912",
-        "35\u001f3\u001f56424\u001f0.70484807",
-        "36\u001f8\u001f61497\u001f0.90132307",
-        "37\u001f2\u001f67406\u001f0.88538579",
-        "38\u001f5\u001f30168\u001f0.60510107",
-        "39\u001f8\u001f51180\u001f0.86287241",
-        "40\u001f5\u001f59283\u001f0.87729824",
-        "41\u001f4\u001f57166\u001f0.80088338",
-        "42\u001f0\u001f21573\u001f0.8325581",
-        "43\u001f1\u001f42492\u001f0.87537305",
-        "44\u001f9\u001f105\u001f0.80519464",
-        "45\u001f9\u001f65894\u001f0.84977386",
-        "46\u001f5\u001f20034\u001f0.76355804",
-        "47\u001f8\u001f33062\u001f0.7520449",
-        "48\u001f1\u001f20019\u001f0.78144628",
-        "49\u001f0\u001f4251\u001f0.91864374",
-        "50\u001f3\u001f18302\u001f0.73119223",
-        "51\u001f2\u001f14034\u001f0.7070985",
-        "52\u001f6\u001f23786\u001f0.81769111",
-        "53\u001f4\u001f76549\u001f0.81295658",
-        "54\u001f8\u001f54917\u001f0.90102313",
-        "55\u001f5\u001f2843\u001f0.7258904",
-        "56\u001f2\u001f70843\u001f0.7989087",
-        "57\u001f8\u001f8617\u001f0.60180888",
-        "58\u001f7\u001f66516\u001f0.83526468",
-        "59\u001f2\u001f57801\u001f0.89440807",
-        "60\u001f0\u001f18241\u001f0.66793303",
-        "61\u001f3\u001f10850\u001f0.8195967",
-        "62\u001f7\u001f12503\u001f0.78947249",
-        "63\u001f4\u001f43888\u001f0.75181823",
-        "64\u001f2\u001f25762\u001f0.84443136",
-        "65\u001f1\u001f50049\u001f0.73118723",
-        "66\u001f8\u001f72541\u001f0.83105865",
-        "67\u001f9\u001f64483\u001f0.79268052",
-        "68\u001f5\u001f47976\u001f0.72688577",
-        "69\u001f4\u001f51472\u001f0.8633831",
-        "70\u001f9\u001f75941\u001f0.84770682",
-        "71\u001f9\u001f17508\u001f0.68102024",
-        "72\u001f7\u001f4564\u001f0.89164298",
-        "73\u001f0\u001f59324\u001f0.80902059",
-        "74\u001f0\u001f60933\u001f0.7679147",
-        "75\u001f3\u001f4217\u001f0.76935836",
-        "76\u001f5\u001f17295\u001f0.74897207",
-        "77\u001f1\u001f47017\u001f0.80688427",
-        "78\u001f7\u001f41263\u001f0.83824444",
-        "79\u001f7\u001f72736\u001f0.69965189",
-        "80\u001f3\u001f4969\u001f0.8435955",
-        "81\u001f7\u001f23502\u001f0.85527213",
-        "82\u001f9\u001f41038\u001f0.91100105",
-        "83\u001f6\u001f50836\u001f0.78916158",
-        "84\u001f3\u001f73047\u001f0.86658864",
-        "85\u001f1\u001f12369\u001f0.73688232",
-        "86\u001f2\u001f3720\u001f0.75652233",
-        "87\u001f5\u001f69154\u001f0.73173799",
-        "88\u001f8\u001f68174\u001f0.73327677",
-        "89\u001f0\u001f49999\u001f0.88632811",
-        "90\u001f1\u001f13190\u001f0.77871409",
-        "91\u001f0\u001f54631\u001f0.82038434",
-        "92\u001f6\u001f49351\u001f0.80228052",
-        "93\u001f6\u001f61518\u001f0.85284939",
-        "94\u001f0\u001f32241\u001f0.87848321",
-        "95\u001f0\u001f37537\u001f0.9199288",
-        "96\u001f6\u001f45803\u001f0.81138344",
-        "97\u001f7\u001f36508\u001f0.80817844",
-        "98\u001f2\u001f41276\u001f0.80238563",
-        "99\u001f5\u001f1764\u001f0.7389353",
-        "100\u001f7\u001f38908\u001f0.7498491",
-        "101\u001f7\u001f3149\u001f0.84599817",
-        "102\u001f1\u001f59715\u001f0.81701667",
-        "103\u001f3\u001f67392\u001f0.81070806",
-        "104\u001f9\u001f22974\u001f0.75546097",
-        "105\u001f9\u001f771\u001f0.8025005",
-        "106\u001f6\u001f13982\u001f0.75607573",
-        "107\u001f4\u001f58423\u001f0.80803157",
-        "108\u001f5\u001f66539\u001f0.73036113",
-        "109\u001f4\u001f35362\u001f0.84402138",
-        "110\u001f4\u001f51245\u001f0.77473233",
-        "111\u001f4\u001f40263\u001f0.79418021",
-        "112\u001f6\u001f23373\u001f0.77382146",
-        "113\u001f8\u001f20684\u001f0.73025128",
-        "114\u001f7\u001f51559\u001f0.70575686",
-        "115\u001f8\u001f49676\u001f0.82407365",
-        "116\u001f5\u001f22348\u001f0.84219255",
-        "117\u001f3\u001f16260\u001f0.8459455",
-        "118\u001f6\u001f17966\u001f0.64239415",
-        "119\u001f4\u001f45282\u001f0.73252287",
-        "120\u001f5\u001f5593\u001f0.76865038",
-        "121\u001f0\u001f67888\u001f0.68569427",
-        "122\u001f7\u001f50177\u001f0.84727556",
-        "123\u001f1\u001f20968\u001f0.84828929",
-        "124\u001f8\u001f15088\u001f0.83959429",
-        "125\u001f6\u001f72777\u001f0.84755096",
-        "126\u001f2\u001f34083\u001f0.75741349",
-        "127\u001f7\u001f51639\u001f0.80797794",
-        "128\u001f7\u001f21228\u001f0.76729172",
-        "129\u001f1\u001f34638\u001f0.8037218",
-        "130\u001f7\u001f28990\u001f0.85333848",
-        "131\u001f9\u001f55244\u001f0.74405921",
-        "132\u001f3\u001f54088\u001f0.84169266",
-        "133\u001f9\u001f13468\u001f0.77102433",
-        "134\u001f8\u001f66558\u001f0.79367487",
-        "135\u001f8\u001f61159\u001f0.78827234",
-        "136\u001f2\u001f43753\u001f0.74005065",
-        "137\u001f3\u001f65654\u001f0.84818762",
-        "138\u001f4\u001f14088\u001f0.78349509",
-        "139\u001f2\u001f223\u001f0.93093186",
-        "140\u001f5\u001f40938\u001f0.81571535",
-        "141\u001f2\u001f11502\u001f0.71736913",
-        "142\u001f0\u001f49548\u001f0.7963574",
-        "143\u001f7\u001f36448\u001f0.76622991",
-        "144\u001f3\u001f40345\u001f0.73559426",
-        "145\u001f1\u001f53381\u001f0.76526367",
-        "146\u001f7\u001f27768\u001f0.80595749",
-        "147\u001f5\u001f72940\u001f0.7656633",
-        "148\u001f2\u001f13381\u001f0.69163616",
-        "149\u001f1\u001f914\u001f0.81226158",
-        "150\u001f9\u001f40107\u001f0.75496746",
-        "151\u001f5\u001f3494\u001f0.88638634",
-        "152\u001f9\u001f34828\u001f0.7182605",
-        "153\u001f5\u001f10093\u001f0.87963475",
-        "154\u001f9\u001f11505\u001f0.71172949",
-        "155\u001f3\u001f11509\u001f0.69924513",
-        "156\u001f8\u001f1184\u001f0.78560516",
-        "157\u001f1\u001f29778\u001f0.8088745",
-        "158\u001f1\u001f62798\u001f0.77791191",
-        "159\u001f5\u001f70621\u001f0.79238884",
-        "160\u001f9\u001f67662\u001f0.76729583",
-        "161\u001f7\u001f41116\u001f0.73463973",
-        "162\u001f8\u001f59344\u001f0.81526917",
-        "163\u001f7\u001f46024\u001f0.76042726",
-        "164\u001f2\u001f2167\u001f0.86481672",
-        "165\u001f0\u001f22770\u001f0.67085726",
-        "166\u001f7\u001f43730\u001f0.83540857",
-        "167\u001f3\u001f28856\u001f0.7118459",
-        "168\u001f0\u001f1489\u001f0.86685178",
-        "169\u001f7\u001f5154\u001f0.80722297",
-        "170\u001f4\u001f25117\u001f0.88931202",
-        "171\u001f0\u001f71587\u001f0.6643853",
-        "172\u001f0\u001f33754\u001f0.77815017",
-        "173\u001f6\u001f19208\u001f0.71516099",
-        "174\u001f1\u001f44903\u001f0.76391802",
-        "175\u001f2\u001f58128\u001f0.76540511",
-        "176\u001f9\u001f36253\u001f0.80111447",
-        "177\u001f3\u001f22055\u001f0.84525152",
-        "178\u001f8\u001f59075\u001f0.82921062",
-        "179\u001f1\u001f46874\u001f0.85058987",
-        "180\u001f7\u001f30294\u001f0.84103061",
-        "181\u001f5\u001f53674\u001f0.87420538",
-        "182\u001f3\u001f65154\u001f0.78361347",
-        "183\u001f6\u001f20734\u001f0.79054217",
-        "184\u001f7\u001f7261\u001f0.81623346",
-        "185\u001f0\u001f10518\u001f0.65897472",
-        "186\u001f9\u001f32257\u001f0.73932733",
-        "187\u001f8\u001f4401\u001f0.8593449",
-        "188\u001f9\u001f20859\u001f0.67212552",
-        "189\u001f5\u001f31716\u001f0.80191784",
-        "190\u001f0\u001f4309\u001f0.88429463",
-        "191\u001f9\u001f33259\u001f0.82148247",
-        "192\u001f1\u001f44997\u001f0.89103614",
-        "193\u001f9\u001f25281\u001f0.70442424",
-        "194\u001f8\u001f74044\u001f0.79699458",
-        "195\u001f4\u001f54133\u001f0.73071629",
-        "196\u001f3\u001f1683\u001f0.85980385",
-        "197\u001f2\u001f826\u001f0.69886426",
-        "198\u001f5\u001f22917\u001f0.89206766",
-        "199\u001f1\u001f63076\u001f0.81275667",
-        "200\u001f5\u001f71476\u001f0.81888759",
-        "201\u001f9\u001f23887\u001f0.87579332",
-        "202\u001f2\u001f37194\u001f0.76611624",
-        "203\u001f8\u001f51684\u001f0.86182524",
-        "204\u001f4\u001f46282\u001f0.8108382",
-        "205\u001f4\u001f57953\u001f0.8397736",
-        "206\u001f6\u001f65774\u001f0.90408615",
-        "207\u001f1\u001f40594\u001f0.8143001",
-        "208\u001f2\u001f37260\u001f0.85899417",
-        "209\u001f4\u001f43279\u001f0.83527063",
-        "210\u001f9\u001f51494\u001f0.79408435",
-        "211\u001f4\u001f61711\u001f0.80505221",
-        "212\u001f2\u001f14230\u001f0.87964968",
-        "213\u001f5\u001f51932\u001f0.75595955",
-        "214\u001f5\u001f36241\u001f0.73957338",
-        "215\u001f2\u001f37023\u001f0.7967239",
-        "216\u001f3\u001f75967\u001f0.76151604",
-        "217\u001f9\u001f60358\u001f0.71748215",
-        "218\u001f1\u001f26834\u001f0.79235896",
-        "219\u001f3\u001f77080\u001f0.68055055",
-        "220\u001f1\u001f18211\u001f0.81372961",
-        "221\u001f5\u001f27355\u001f0.7219478",
-        "222\u001f2\u001f19296\u001f0.84868531",
-        "223\u001f1\u001f32259\u001f0.89950641",
-        "224\u001f4\u001f74080\u001f0.85380777",
-        "225\u001f5\u001f71128\u001f0.74159821",
-        "226\u001f7\u001f1113\u001f0.64237071",
-        "227\u001f2\u001f49161\u001f0.85359652",
-        "228\u001f4\u001f58109\u001f0.77937614",
-        "229\u001f6\u001f28620\u001f0.78910512",
-        "230\u001f6\u001f12904\u001f0.77934231",
-        "231\u001f8\u001f67530\u001f0.74547023",
-        "232\u001f6\u001f55866\u001f0.7086308",
-        "233\u001f3\u001f17549\u001f0.85408382",
-        "234\u001f2\u001f17219\u001f0.83374729",
-        "235\u001f3\u001f45186\u001f0.79698841",
-        "236\u001f4\u001f71385\u001f0.73465638",
-        "237\u001f2\u001f13671\u001f0.74889923",
-        "238\u001f9\u001f63130\u001f0.80876182",
-        "239\u001f3\u001f68816\u001f0.81067248",
-        "240\u001f6\u001f14074\u001f0.88283999",
-        "241\u001f8\u001f21359\u001f0.80956866",
-        "242\u001f9\u001f56937\u001f0.68491493",
-        "243\u001f7\u001f38639\u001f0.79094563",
-        "244\u001f6\u001f11275\u001f0.83581391",
-        "245\u001f8\u001f20526\u001f0.75896886",
-        "246\u001f8\u001f38678\u001f0.76276999",
-        "247\u001f3\u001f11011\u001f0.69990563",
-        "248\u001f7\u001f34457\u001f0.78543814",
-        "249\u001f9\u001f41713\u001f0.76061397",
-        "250\u001f3\u001f38496\u001f0.8490345",
-        "251\u001f2\u001f77679\u001f0.75741286",
-        "252\u001f4\u001f39982\u001f0.83108355",
-        "253\u001f8\u001f62735\u001f0.80549645",
-        "254\u001f9\u001f71890\u001f0.82911808",
-        "255\u001f3\u001f18226\u001f0.77579744",
-        "256\u001f2\u001f61207\u001f0.8401442",
-        "257\u001f8\u001f53646\u001f0.69287839",
-        "258\u001f7\u001f1813\u001f0.78046501",
-        "259\u001f9\u001f43379\u001f0.7330451",
-        "260\u001f3\u001f30139\u001f0.85135418",
-        "261\u001f4\u001f35504\u001f0.82351097",
-        "262\u001f5\u001f10305\u001f0.79653913",
-        "263\u001f9\u001f35884\u001f0.8927242",
-        "264\u001f7\u001f21826\u001f0.667562",
-        "265\u001f2\u001f64252\u001f0.74416182",
-        "266\u001f0\u001f14402\u001f0.63475191",
-        "267\u001f4\u001f5102\u001f0.79731091",
-        "268\u001f7\u001f35179\u001f0.79978984",
-        "269\u001f6\u001f37989\u001f0.79674326",
-        "270\u001f3\u001f18973\u001f0.8037583",
-        "271\u001f9\u001f13685\u001f0.82247293",
-        "272\u001f3\u001f54274\u001f0.85938432",
-        "273\u001f8\u001f71188\u001f0.76539112",
-        "274\u001f6\u001f64091\u001f0.69065928",
-        "275\u001f9\u001f71003\u001f0.69415604",
-        "276\u001f6\u001f56036\u001f0.83027591",
-        "277\u001f0\u001f22628\u001f0.7523848",
-        "278\u001f9\u001f2824\u001f0.91505623",
-        "279\u001f6\u001f38534\u001f0.76527389",
-        "280\u001f5\u001f13721\u001f0.78162301",
-        "281\u001f4\u001f20764\u001f0.84836912",
-        "282\u001f8\u001f66606\u001f0.85833716",
-        "283\u001f2\u001f4082\u001f0.8934069",
-        "284\u001f4\u001f43835\u001f0.77057498",
-        "285\u001f8\u001f75499\u001f0.78994309",
-        "286\u001f5\u001f50690\u001f0.82367617",
-        "287\u001f9\u001f35719\u001f0.85154783",
-        "288\u001f6\u001f12920\u001f0.8716947",
-        "289\u001f9\u001f41499\u001f0.71952223",
-        "290\u001f1\u001f52020\u001f0.71569571",
-        "291\u001f2\u001f53446\u001f0.69806014",
-        "292\u001f6\u001f14249\u001f0.73148758",
-        "293\u001f2\u001f11621\u001f0.86761066",
-        "294\u001f8\u001f11305\u001f0.73604058",
-        "295\u001f0\u001f77097\u001f0.8760329",
-        "296\u001f2\u001f62732\u001f0.68271255",
-        "297\u001f9\u001f57872\u001f0.79047799",
-        "298\u001f1\u001f61285\u001f0.81735373",
-        "299\u001f4\u001f67743\u001f0.87149621",
-        "300\u001f3\u001f56046\u001f0.83685671",
-        "301\u001f6\u001f74069\u001f0.7337588",
-        "302\u001f2\u001f75140\u001f0.81128901",
-        "303\u001f4\u001f7112\u001f0.70970915",
-        "304\u001f0\u001f53130\u001f0.703052",
-        "305\u001f4\u001f67595\u001f0.67885902",
-        "306\u001f6\u001f34929\u001f0.72080023",
-        "307\u001f5\u001f23348\u001f0.72764891",
-        "308\u001f4\u001f52535\u001f0.83745641",
-        "309\u001f1\u001f31252\u001f0.83132652",
-        "310\u001f1\u001f33483\u001f0.88404347",
-        "311\u001f4\u001f11008\u001f0.77404374",
-        "312\u001f3\u001f33184\u001f0.80737483",
-        "313\u001f5\u001f43369\u001f0.84097985",
-        "314\u001f7\u001f21406\u001f0.78899792",
-        "315\u001f7\u001f26980\u001f0.80770652",
-        "316\u001f1\u001f76585\u001f0.81975522",
-        "317\u001f4\u001f40994\u001f0.80505486",
-        "318\u001f3\u001f15150\u001f0.82050457",
-        "319\u001f5\u001f58483\u001f0.89100985",
-        "320\u001f7\u001f38798\u001f0.87158801",
-        "321\u001f0\u001f67342\u001f0.80137783",
-        "322\u001f8\u001f67972\u001f0.86226351",
-        "323\u001f6\u001f40562\u001f0.70047647",
-        "324\u001f9\u001f17227\u001f0.88424103",
-        "325\u001f9\u001f41436\u001f0.85097384",
-        "326\u001f6\u001f32161\u001f0.71633157",
-        "327\u001f4\u001f52799\u001f0.85769208",
-        "328\u001f4\u001f55252\u001f0.78609923",
-        "329\u001f1\u001f21353\u001f0.79291883",
-        "330\u001f7\u001f57760\u001f0.88204326",
-        "331\u001f4\u001f56809\u001f0.82586331",
-        "332\u001f0\u001f30188\u001f0.55397431",
-        "333\u001f6\u001f13847\u001f0.86169873",
-        "334\u001f5\u001f67987\u001f0.8870502",
-        "335\u001f0\u001f65733\u001f0.88450304",
-        "336\u001f7\u001f61649\u001f0.81338785",
-        "337\u001f2\u001f37936\u001f0.78920175",
-        "338\u001f7\u001f39625\u001f0.87223255",
-        "339\u001f7\u001f66200\u001f0.74456652",
-        "340\u001f2\u001f29850\u001f0.87189011",
-        "341\u001f4\u001f40824\u001f0.90184306",
-        "342\u001f1\u001f19715\u001f0.76839814",
-        "343\u001f1\u001f62164\u001f0.75462445",
-        "344\u001f5\u001f72319\u001f0.81837781",
-        "345\u001f9\u001f72515\u001f0.74004017",
-        "346\u001f2\u001f60763\u001f0.73768677",
-        "347\u001f3\u001f7931\u001f0.81069787",
-        "348\u001f1\u001f55489\u001f0.8006969",
-        "349\u001f7\u001f21184\u001f0.72580844",
-        "350\u001f6\u001f45987\u001f0.85068698",
-        "351\u001f3\u001f4114\u001f0.8335559",
-        "352\u001f7\u001f8916\u001f0.84736923",
-        "353\u001f4\u001f30420\u001f0.80874483",
-        "354\u001f5\u001f45854\u001f0.87622491",
-        "355\u001f2\u001f3868\u001f0.71468984",
-        "356\u001f6\u001f60147\u001f0.89050542",
-        "357\u001f2\u001f57818\u001f0.80560732",
-        "358\u001f0\u001f25830\u001f0.76719371",
-        "359\u001f1\u001f29483\u001f0.80495225",
-        "360\u001f6\u001f73225\u001f0.71583668",
-        "361\u001f3\u001f42725\u001f0.79288505",
-        "362\u001f3\u001f70809\u001f0.79138935",
-        "363\u001f1\u001f2578\u001f0.92594689",
-        "364\u001f8\u001f41957\u001f0.84488755",
-        "365\u001f5\u001f53182\u001f0.76187333",
-        "366\u001f7\u001f45026\u001f0.78117019",
-        "367\u001f4\u001f42249\u001f0.77625527",
-        "368\u001f4\u001f44482\u001f0.80512937",
-        "369\u001f7\u001f30923\u001f0.77231697",
-        "370\u001f5\u001f68124\u001f0.72247874",
-        "371\u001f4\u001f36636\u001f0.86161259",
-        "372\u001f5\u001f8004\u001f0.7281221",
-        "373\u001f5\u001f52531\u001f0.84169022",
-        "374\u001f4\u001f54185\u001f0.68045992",
-        "375\u001f8\u001f53562\u001f0.81590103",
-        "376\u001f2\u001f3208\u001f0.73513064",
-        "377\u001f2\u001f21425\u001f0.82516046",
-        "378\u001f5\u001f16822\u001f0.66697631",
-        "379\u001f1\u001f21339\u001f0.77230022",
-        "380\u001f7\u001f2484\u001f0.76811807",
-        "381\u001f6\u001f49593\u001f0.90157964",
-        "382\u001f1\u001f49426\u001f0.85241391",
-        "383\u001f9\u001f11685\u001f0.85932196",
-        "384\u001f0\u001f49823\u001f0.81624158",
-        "385\u001f8\u001f23875\u001f0.86002834",
-        "386\u001f9\u001f41396\u001f0.84798236",
-        "387\u001f8\u001f49762\u001f0.70710793",
-        "388\u001f1\u001f47721\u001f0.81222151",
-        "389\u001f2\u001f40207\u001f0.85036269",
-        "390\u001f9\u001f32725\u001f0.79407586",
-        "391\u001f3\u001f40971\u001f0.74065991",
-        "392\u001f3\u001f50526\u001f0.73847151",
-        "393\u001f4\u001f76914\u001f0.93670976",
-        "394\u001f8\u001f18762\u001f0.82258136",
-        "395\u001f4\u001f40653\u001f0.77194481",
-        "396\u001f5\u001f23944\u001f0.82592558",
-        "397\u001f3\u001f32349\u001f0.73441113",
-        "398\u001f2\u001f75\u001f0.76208768",
-        "399\u001f2\u001f38318\u001f0.80229728",
-        "400\u001f8\u001f27533\u001f0.80784984",
-        "401\u001f1\u001f71934\u001f0.73656691",
-        "402\u001f2\u001f25441\u001f0.93021643",
-        "403\u001f2\u001f38180\u001f0.85661967",
-        "404\u001f3\u001f20210\u001f0.79565833",
-        "405\u001f8\u001f46878\u001f0.80846405",
-        "406\u001f7\u001f26713\u001f0.72009246",
-        "407\u001f9\u001f5605\u001f0.81683857",
-        "408\u001f1\u001f30951\u001f0.79367016",
-        "409\u001f0\u001f53252\u001f0.83416324",
-        "410\u001f3\u001f51826\u001f0.81024508",
-        "411\u001f0\u001f41760\u001f0.33509236",
-        "412\u001f3\u001f43579\u001f0.69850485",
-        "413\u001f2\u001f28123\u001f0.77288692",
-        "414\u001f8\u001f34686\u001f0.85168978",
-        "415\u001f9\u001f16377\u001f0.7616605",
-        "416\u001f2\u001f9001\u001f0.62460346",
-        "417\u001f0\u001f30545\u001f0.81479673",
-        "418\u001f7\u001f4427\u001f0.85795954",
-        "419\u001f0\u001f23312\u001f0.84326938",
-        "420\u001f4\u001f43096\u001f0.77788708",
-        "421\u001f8\u001f40081\u001f0.83699614",
-        "422\u001f5\u001f4187\u001f0.88088392",
-        "423\u001f6\u001f32661\u001f0.70087432",
-        "424\u001f1\u001f11042\u001f0.88422243",
-        "425\u001f8\u001f12277\u001f0.8219922",
-        "426\u001f5\u001f16724\u001f0.63042953",
-        "427\u001f7\u001f49572\u001f0.86093338",
-        "428\u001f5\u001f15215\u001f0.70542229",
-        "429\u001f8\u001f66601\u001f0.76900759",
-        "430\u001f0\u001f53415\u001f0.80310483",
-        "431\u001f1\u001f53204\u001f0.78410737",
-        "432\u001f8\u001f7735\u001f0.70192263",
-        "433\u001f3\u001f43882\u001f0.81469985",
-        "434\u001f6\u001f21798\u001f0.85323296",
-        "435\u001f3\u001f35295\u001f0.76395005",
-        "436\u001f5\u001f54346\u001f0.7943826",
-        "437\u001f7\u001f6088\u001f0.83928478",
-        "438\u001f7\u001f47774\u001f0.78730801",
-        "439\u001f8\u001f53344\u001f0.85874456",
-        "440\u001f2\u001f47924\u001f0.91138025",
-        "441\u001f6\u001f44752\u001f0.77485795",
-        "442\u001f4\u001f27133\u001f0.75835031",
-        "443\u001f3\u001f55318\u001f0.83150771",
-        "444\u001f3\u001f74522\u001f0.76112524",
-        "445\u001f7\u001f61797\u001f0.84203624",
-        "446\u001f0\u001f8394\u001f0.83192852",
-        "447\u001f1\u001f33430\u001f0.75590695",
-        "448\u001f0\u001f18834\u001f0.6894338",
-        "449\u001f2\u001f61354\u001f0.80665073",
-        "450\u001f1\u001f61591\u001f0.75406405",
-        "451\u001f0\u001f59014\u001f0.83602114",
-        "452\u001f1\u001f16738\u001f0.83891137",
-        "453\u001f3\u001f62613\u001f0.84226144",
-        "454\u001f4\u001f3402\u001f0.84935017",
-        "455\u001f7\u001f65981\u001f0.7289736",
-        "456\u001f5\u001f57675\u001f0.86842442",
-        "457\u001f3\u001f62816\u001f0.91754882",
-        "458\u001f9\u001f27329\u001f0.83023633",
-        "459\u001f9\u001f31320\u001f0.46041365",
-        "460\u001f8\u001f46881\u001f0.85611749",
-        "461\u001f0\u001f47723\u001f0.73877689",
-        "462\u001f2\u001f21699\u001f0.77854727",
-        "463\u001f1\u001f51914\u001f0.63168294",
-        "464\u001f0\u001f68448\u001f0.91234452",
-        "465\u001f5\u001f16840\u001f0.82830978",
-        "466\u001f6\u001f18904\u001f0.90818677",
-        "467\u001f6\u001f67089\u001f0.82209148",
-        "468\u001f4\u001f77492\u001f0.87328535",
-        "469\u001f2\u001f9294\u001f0.86723376",
-        "470\u001f7\u001f3781\u001f0.79541041",
-        "471\u001f0\u001f36245\u001f0.89538441",
-        "472\u001f5\u001f35227\u001f0.85262831",
-        "473\u001f1\u001f42926\u001f0.79303963",
-        "474\u001f0\u001f62616\u001f0.86289764",
-        "475\u001f1\u001f56396\u001f0.9284275",
-        "476\u001f8\u001f54084\u001f0.7311598",
-        "477\u001f8\u001f28130\u001f0.76355193",
-        "478\u001f1\u001f58106\u001f0.84425825",
-        "479\u001f0\u001f60562\u001f0.74804781",
-        "480\u001f8\u001f23858\u001f0.81248635",
-        "481\u001f5\u001f33757\u001f0.84061254",
-        "482\u001f2\u001f35928\u001f0.65817372",
-        "483\u001f8\u001f37205\u001f0.72432719",
-        "484\u001f5\u001f46254\u001f0.78590416",
-        "485\u001f8\u001f66667\u001f0.8386011",
-        "486\u001f5\u001f67131\u001f0.69019675",
-        "487\u001f1\u001f66770\u001f0.7590187",
-        "488\u001f6\u001f67072\u001f0.8377811",
-        "489\u001f8\u001f15394\u001f0.88022723",
-        "490\u001f2\u001f34833\u001f0.7073275",
-        "491\u001f6\u001f38442\u001f0.85963978",
-        "492\u001f2\u001f54576\u001f0.85829672",
-        "493\u001f7\u001f60726\u001f0.82214871",
-        "494\u001f4\u001f60137\u001f0.7893012",
-        "495\u001f9\u001f75055\u001f0.71463701",
-        "496\u001f1\u001f76559\u001f0.70905779",
-        "497\u001f6\u001f47563\u001f0.84844156",
-        "498\u001f3\u001f30957\u001f0.70629715",
-        "499\u001f3\u001f2078\u001f0.69699696",
-        "500\u001f4\u001f66298\u001f0.84169317",
-        "501\u001f6\u001f48278\u001f0.68613406",
-        "502\u001f9\u001f8304\u001f0.7963719",
-        "503\u001f8\u001f63165\u001f0.74755166",
-        "504\u001f8\u001f63883\u001f0.70911803",
-        "505\u001f2\u001f59032\u001f0.7364577",
-        "506\u001f7\u001f41371\u001f0.71154811",
-        "507\u001f9\u001f33697\u001f0.77051574",
-        "508\u001f3\u001f50219\u001f0.67785295",
-        "509\u001f2\u001f55286\u001f0.65750984",
-        "510\u001f9\u001f6243\u001f0.64541848",
-        "511\u001f3\u001f8765\u001f0.81289504",
-        "512\u001f3\u001f50587\u001f0.81998531",
-        "513\u001f6\u001f59895\u001f0.7497948",
-        "514\u001f1\u001f51527\u001f0.77767555",
-        "515\u001f8\u001f4116\u001f0.75606548",
-        "516\u001f7\u001f59262\u001f0.77917363",
-        "517\u001f0\u001f53442\u001f0.87104616",
-        "518\u001f6\u001f4466\u001f0.75828346",
-        "519\u001f3\u001f5015\u001f0.74268078",
-        "520\u001f2\u001f14387\u001f0.87643276",
-        "521\u001f4\u001f597\u001f0.71322134",
-        "522\u001f0\u001f41197\u001f0.78435467",
-        "523\u001f0\u001f63181\u001f0.88185248",
-        "524\u001f4\u001f64826\u001f0.71277152",
-        "525\u001f5\u001f61376\u001f0.77040953",
-        "526\u001f3\u001f63969\u001f0.66855675",
-        "527\u001f8\u001f19665\u001f0.83662678",
-        "528\u001f8\u001f3378\u001f0.86690877",
-        "529\u001f3\u001f33652\u001f0.89748337",
-        "530\u001f6\u001f24620\u001f0.73994429",
-        "531\u001f9\u001f61364\u001f0.83217975",
-        "532\u001f7\u001f19101\u001f0.81321877",
-        "533\u001f7\u001f17023\u001f0.7685927",
-        "534\u001f7\u001f16740\u001f0.77172752",
-        "535\u001f2\u001f36893\u001f0.83198922",
-        "536\u001f8\u001f50787\u001f0.66955367",
-        "537\u001f9\u001f52855\u001f0.77251619",
-        "538\u001f1\u001f39545\u001f0.79562977",
-        "539\u001f9\u001f37879\u001f0.88630412",
-        "540\u001f7\u001f20061\u001f0.7619148",
-        "541\u001f9\u001f32147\u001f0.84382458",
-        "542\u001f1\u001f23343\u001f0.79089015",
-        "543\u001f0\u001f40370\u001f0.77412643",
-        "544\u001f8\u001f76966\u001f0.77596909",
-        "545\u001f9\u001f48644\u001f0.77567102",
-        "546\u001f7\u001f38652\u001f0.77063965",
-        "547\u001f2\u001f53711\u001f0.89011979",
-        "548\u001f8\u001f42670\u001f0.77508616",
-        "549\u001f4\u001f70810\u001f0.82801779",
-        "550\u001f9\u001f54360\u001f0.75916149",
-        "551\u001f9\u001f35919\u001f0.81416375",
-        "552\u001f9\u001f71624\u001f0.83418504",
-        "553\u001f4\u001f10083\u001f0.83530616",
-        "554\u001f0\u001f64247\u001f0.85676806",
-        "555\u001f7\u001f27399\u001f0.79829295",
-        "556\u001f0\u001f20164\u001f0.7338437",
-        "557\u001f8\u001f62980\u001f0.78220428",
-        "558\u001f8\u001f53637\u001f0.78411088",
-        "559\u001f5\u001f43158\u001f0.88124327",
-        "560\u001f4\u001f39894\u001f0.80670393",
-        "561\u001f6\u001f14108\u001f0.75802108",
-        "562\u001f5\u001f39443\u001f0.8920359",
-        "563\u001f2\u001f58635\u001f0.78889215",
-        "564\u001f4\u001f43596\u001f0.7745946",
-        "565\u001f7\u001f36540\u001f0.40342771",
-        "566\u001f6\u001f26100\u001f0.40678429",
-        "567\u001f9\u001f55412\u001f0.80303165",
-        "568\u001f0\u001f70777\u001f0.80795721",
-        "569\u001f2\u001f17357\u001f0.79626836",
-        "570\u001f6\u001f51784\u001f0.77176605",
-        "571\u001f3\u001f35292\u001f0.89029886",
-        "572\u001f6\u001f49170\u001f0.83997992",
-        "573\u001f4\u001f72422\u001f0.82566101",
-        "574\u001f6\u001f66018\u001f0.83647947",
-        "575\u001f3\u001f37373\u001f0.84816574",
-        "576\u001f7\u001f73355\u001f0.75547552",
-        "577\u001f8\u001f36705\u001f0.75940376",
-        "578\u001f9\u001f2665\u001f0.84772463",
-        "579\u001f2\u001f11656\u001f0.82596364",
-        "580\u001f7\u001f10901\u001f0.85608635",
-        "581\u001f4\u001f73130\u001f0.89408206",
-        "582\u001f2\u001f42056\u001f0.82599823",
-        "583\u001f8\u001f37767\u001f0.80708535",
-        "584\u001f1\u001f43099\u001f0.86064112",
-        "585\u001f5\u001f67743\u001f0.71005128",
-        "586\u001f9\u001f38973\u001f0.79112586",
-        "587\u001f5\u001f37496\u001f0.85493274",
-        "588\u001f2\u001f58998\u001f0.87510084",
-        "589\u001f2\u001f4051\u001f0.87737801",
-        "590\u001f9\u001f13993\u001f0.7192027",
-        "591\u001f6\u001f45088\u001f0.80064857",
-        "592\u001f7\u001f19202\u001f0.87221796",
-        "593\u001f2\u001f64777\u001f0.87390888",
-        "594\u001f8\u001f53116\u001f0.77388103",
-        "595\u001f2\u001f46951\u001f0.81272593",
-        "596\u001f6\u001f41401\u001f0.80732897",
-        "597\u001f9\u001f72321\u001f0.86779697",
-        "598\u001f5\u001f39548\u001f0.81977669",
-        "599\u001f3\u001f78156\u001f0.76931202",
-        "600\u001f1\u001f9061\u001f0.84497565",
-        "601\u001f2\u001f61559\u001f0.87072637",
-        "602\u001f0\u001f23506\u001f0.80974373",
-        "603\u001f6\u001f43002\u001f0.80550143",
-        "604\u001f8\u001f45283\u001f0.80746556",
-        "605\u001f3\u001f64129\u001f0.84099903",
-        "606\u001f8\u001f12476\u001f0.75146362",
-        "607\u001f2\u001f51613\u001f0.86557678",
-        "608\u001f3\u001f54425\u001f0.74763755",
-        "609\u001f8\u001f1528\u001f0.76832909",
-        "610\u001f5\u001f55496\u001f0.78902746",
-        "611\u001f7\u001f48506\u001f0.78010748",
-        "612\u001f8\u001f18249\u001f0.76079586",
-        "613\u001f2\u001f47020\u001f0.77883763",
-        "614\u001f0\u001f39510\u001f0.88118697",
-        "615\u001f0\u001f44852\u001f0.77452288",
-        "616\u001f0\u001f21879\u001f0.79570731",
-        "617\u001f4\u001f59103\u001f0.823502",
-        "618\u001f4\u001f5971\u001f0.80984062",
-        "619\u001f3\u001f59939\u001f0.78811734",
-        "620\u001f6\u001f38163\u001f0.74750814",
-        "621\u001f2\u001f53319\u001f0.78008464",
-        "622\u001f0\u001f38242\u001f0.89307378",
-        "623\u001f3\u001f52375\u001f0.79039542",
-        "624\u001f8\u001f22338\u001f0.80023831",
-        "625\u001f3\u001f57229\u001f0.6954432",
-        "626\u001f7\u001f63346\u001f0.81612226",
-        "627\u001f7\u001f67420\u001f0.78305163",
-        "628\u001f3\u001f37954\u001f0.87227865",
-        "629\u001f6\u001f72918\u001f0.70652202",
-        "630\u001f0\u001f32658\u001f0.82190178",
-        "631\u001f3\u001f61769\u001f0.83665942",
-        "632\u001f9\u001f40724\u001f0.82985503",
-        "633\u001f6\u001f35525\u001f0.80960049",
-        "634\u001f2\u001f49614\u001f0.80735644",
-        "635\u001f8\u001f56713\u001f0.83259702",
-        "636\u001f1\u001f64894\u001f0.74930495",
-        "637\u001f1\u001f10316\u001f0.87089567",
-        "638\u001f0\u001f55804\u001f0.68970062",
-        "639\u001f3\u001f46763\u001f0.61121977",
-        "640\u001f8\u001f24603\u001f0.85177912",
-        "641\u001f8\u001f45496\u001f0.71358963",
-        "642\u001f2\u001f12738\u001f0.7618252",
-        "643\u001f5\u001f53572\u001f0.7535893",
-        "644\u001f5\u001f43881\u001f0.84949715",
-        "645\u001f7\u001f50947\u001f0.77347726",
-        "646\u001f9\u001f1570\u001f0.7540348",
-        "647\u001f3\u001f50301\u001f0.7375297",
-        "648\u001f2\u001f37381\u001f0.83496676",
-        "649\u001f8\u001f68107\u001f0.84912724",
-        "650\u001f4\u001f12895\u001f0.80428764",
-        "651\u001f3\u001f32155\u001f0.82997948",
-        "652\u001f8\u001f19969\u001f0.82056755",
-        "653\u001f5\u001f32827\u001f0.69369928",
-        "654\u001f4\u001f13160\u001f0.90993951",
-        "655\u001f5\u001f57390\u001f0.76338476",
-        "656\u001f6\u001f74465\u001f0.74651939",
-        "657\u001f2\u001f20289\u001f0.88499316",
-        "658\u001f1\u001f54437\u001f0.84704463",
-        "659\u001f5\u001f42647\u001f0.73997693",
-        "660\u001f2\u001f40591\u001f0.94130035",
-        "661\u001f7\u001f5109\u001f0.72585124",
-        "662\u001f4\u001f61867\u001f0.86229122",
-        "663\u001f1\u001f29767\u001f0.68915319",
-        "664\u001f3\u001f78183\u001f0.76998561",
-        "665\u001f0\u001f54836\u001f0.72606903",
-        "666\u001f4\u001f76104\u001f0.83663274",
-        "667\u001f4\u001f73956\u001f0.78618708",
-        "668\u001f5\u001f43484\u001f0.76257955",
-        "669\u001f8\u001f49650\u001f0.78281136",
-        "670\u001f8\u001f1912\u001f0.83915546",
-        "671\u001f5\u001f6382\u001f0.85180943",
-        "672\u001f8\u001f52499\u001f0.73352565",
-        "673\u001f2\u001f18513\u001f0.75231489",
-        "674\u001f8\u001f38731\u001f0.86181591",
-        "675\u001f7\u001f25815\u001f0.89475519",
-        "676\u001f1\u001f27297\u001f0.86534644",
-        "677\u001f4\u001f73781\u001f0.76886735",
-        "678\u001f5\u001f19285\u001f0.82500715",
-        "679\u001f5\u001f20709\u001f0.78903282",
-        "680\u001f3\u001f46586\u001f0.76581929",
-        "681\u001f8\u001f57622\u001f0.79601857",
-        "682\u001f6\u001f33866\u001f0.79265147",
-        "683\u001f1\u001f1630\u001f0.70760507",
-        "684\u001f1\u001f28632\u001f0.87983728",
-        "685\u001f7\u001f16156\u001f0.70284382",
-        "686\u001f5\u001f38106\u001f0.79634912",
-        "687\u001f4\u001f13982\u001f0.81583357",
-        "688\u001f0\u001f77354\u001f0.80023193",
-        "689\u001f2\u001f22733\u001f0.61397179",
-        "690\u001f4\u001f33862\u001f0.85228724",
-        "691\u001f8\u001f14314\u001f0.72324091",
-        "692\u001f6\u001f33001\u001f0.85205501",
-        "693\u001f8\u001f15361\u001f0.77072403",
-        "694\u001f7\u001f7280\u001f0.70410164",
-        "695\u001f2\u001f12026\u001f0.72975109",
-        "696\u001f0\u001f61628\u001f0.75794311",
-        "697\u001f4\u001f15715\u001f0.79627083",
-        "698\u001f1\u001f11628\u001f0.82033008",
-        "699\u001f3\u001f70205\u001f0.82522421",
-        "700\u001f7\u001f43405\u001f0.84080811",
-        "701\u001f9\u001f54188\u001f0.74830558",
-        "702\u001f1\u001f23940\u001f0.87048012",
-        "703\u001f7\u001f8385\u001f0.74335444",
-        "704\u001f6\u001f64230\u001f0.91965701",
-        "705\u001f9\u001f14112\u001f0.90217618",
-        "706\u001f5\u001f35228\u001f0.82600263",
-        "707\u001f8\u001f44599\u001f0.82335713",
-        "708\u001f3\u001f2623\u001f0.76377908",
-        "709\u001f9\u001f42710\u001f0.80993302",
-        "710\u001f4\u001f71969\u001f0.74945328",
-        "711\u001f2\u001f53190\u001f0.73421785",
-        "712\u001f8\u001f76936\u001f0.61622764",
-        "713\u001f2\u001f15032\u001f0.83730789",
-        "714\u001f7\u001f73330\u001f0.77609162",
-        "715\u001f8\u001f65734\u001f0.59223326",
-        "716\u001f2\u001f43608\u001f0.7689174",
-        "717\u001f6\u001f1738\u001f0.79334111",
-        "718\u001f5\u001f68158\u001f0.75963559",
-        "719\u001f4\u001f13966\u001f0.89761497",
-        "720\u001f4\u001f19314\u001f0.9049921",
-        "721\u001f9\u001f43471\u001f0.85599906",
-        "722\u001f8\u001f16388\u001f0.82535759",
-        "723\u001f2\u001f58633\u001f0.76368655",
-        "724\u001f5\u001f41400\u001f0.68629545",
-        "725\u001f0\u001f37837\u001f0.76567677",
-        "726\u001f8\u001f23798\u001f0.87502413",
-        "727\u001f6\u001f42901\u001f0.79559331",
-        "728\u001f7\u001f55327\u001f0.79608302",
-        "729\u001f2\u001f12224\u001f0.67853916",
-        "730\u001f8\u001f59226\u001f0.76514258",
-        "731\u001f2\u001f40497\u001f0.88365879",
-        "732\u001f7\u001f12385\u001f0.8194079",
-        "733\u001f7\u001f9199\u001f0.81587956",
-        "734\u001f2\u001f59862\u001f0.82658621",
-        "735\u001f1\u001f23081\u001f0.84102443",
-        "736\u001f8\u001f50879\u001f0.87705508",
-        "737\u001f0\u001f17387\u001f0.65241608",
-        "738\u001f7\u001f38909\u001f0.87434325",
-        "739\u001f5\u001f40683\u001f0.63756946",
-        "740\u001f4\u001f64229\u001f0.7989363",
-        "741\u001f6\u001f67388\u001f0.70975774",
-        "742\u001f0\u001f21126\u001f0.77648726",
-        "743\u001f0\u001f11590\u001f0.76736419",
-        "744\u001f4\u001f74656\u001f0.91024463",
-        "745\u001f1\u001f58354\u001f0.8515086",
-        "746\u001f6\u001f46898\u001f0.76022372",
-        "747\u001f9\u001f2082\u001f0.82007559",
-        "748\u001f1\u001f56604\u001f0.60463269",
-        "749\u001f4\u001f44287\u001f0.72582562",
-        "750\u001f0\u001f37656\u001f0.82821681",
-        "751\u001f3\u001f2138\u001f0.83054939",
-        "752\u001f1\u001f48346\u001f0.80877015",
-        "753\u001f5\u001f372\u001f0.83111624",
-        "754\u001f6\u001f34688\u001f0.78277419",
-        "755\u001f4\u001f14969\u001f0.76261006",
-        "756\u001f8\u001f22373\u001f0.85305871",
-        "757\u001f6\u001f59583\u001f0.79438919",
-        "758\u001f5\u001f34480\u001f0.8237076",
-        "759\u001f9\u001f35309\u001f0.68221734",
-        "760\u001f0\u001f149\u001f0.64697256",
-        "761\u001f9\u001f26637\u001f0.80130302",
-        "762\u001f2\u001f8970\u001f0.80217987",
-        "763\u001f6\u001f73259\u001f0.7109148",
-        "764\u001f6\u001f56646\u001f0.76208548",
-        "765\u001f7\u001f41383\u001f0.75363497",
-        "766\u001f4\u001f32609\u001f0.78919563",
-        "767\u001f4\u001f59489\u001f0.61898385",
-        "768\u001f1\u001f60690\u001f0.72669114",
-        "769\u001f8\u001f24903\u001f0.72568229",
-        "770\u001f7\u001f9255\u001f0.82829068",
-        "771\u001f5\u001f16010\u001f0.74300627",
-        "772\u001f7\u001f52768\u001f0.81176283",
-        "773\u001f9\u001f34898\u001f0.66874622",
-        "774\u001f7\u001f51452\u001f0.85956017",
-        "775\u001f9\u001f36314\u001f0.77248354",
-        "776\u001f9\u001f65135\u001f0.83134374",
-        "777\u001f2\u001f52946\u001f0.83044081",
-        "778\u001f6\u001f513\u001f0.85144372",
-        "779\u001f7\u001f9056\u001f0.87355755",
-        "780\u001f7\u001f41557\u001f0.80880911",
-        "781\u001f8\u001f53138\u001f0.8820062",
-        "782\u001f0\u001f14938\u001f0.89335096",
-        "783\u001f1\u001f13381\u001f0.79989898",
-        "784\u001f0\u001f64772\u001f0.80091713",
-        "785\u001f1\u001f42747\u001f0.83675539",
-        "786\u001f9\u001f16705\u001f0.82024758",
-        "787\u001f2\u001f66373\u001f0.84192619",
-        "788\u001f5\u001f38345\u001f0.7802561",
-        "789\u001f3\u001f71238\u001f0.76929042",
-        "790\u001f8\u001f64369\u001f0.82795082",
-        "791\u001f3\u001f55282\u001f0.77530047",
-        "792\u001f0\u001f57522\u001f0.84969679",
-        "793\u001f4\u001f16080\u001f0.84061033",
-        "794\u001f0\u001f41725\u001f0.85105718",
-        "795\u001f2\u001f23016\u001f0.70787099",
-        "796\u001f4\u001f6031\u001f0.82130689",
-        "797\u001f9\u001f6237\u001f0.73250102",
-        "798\u001f7\u001f26683\u001f0.80270677",
-        "799\u001f7\u001f16589\u001f0.72173354",
-        "800\u001f1\u001f8692\u001f0.72093397",
-        "801\u001f3\u001f14402\u001f0.78997365",
-        "802\u001f4\u001f38804\u001f0.87817475",
-        "803\u001f7\u001f72012\u001f0.85783376",
-        "804\u001f3\u001f38898\u001f0.89449866",
-        "805\u001f9\u001f45136\u001f0.79993701",
-        "806\u001f9\u001f76377\u001f0.77206729",
-        "807\u001f3\u001f22608\u001f0.65493564",
-        "808\u001f6\u001f53473\u001f0.85654723",
-        "809\u001f1\u001f15105\u001f0.71821449",
-        "810\u001f1\u001f40247\u001f0.83906455",
-        "811\u001f4\u001f52687\u001f0.74910309",
-        "812\u001f6\u001f36992\u001f0.76693054",
-        "813\u001f8\u001f65989\u001f0.87083835",
-        "814\u001f0\u001f17598\u001f0.79999874",
-        "815\u001f8\u001f12145\u001f0.6873489",
-        "816\u001f0\u001f8730\u001f0.62475058",
-        "817\u001f1\u001f13969\u001f0.78800212",
-        "818\u001f9\u001f35213\u001f0.52247924",
-        "819\u001f2\u001f48584\u001f0.82552727",
-        "820\u001f7\u001f33040\u001f0.80787304",
-        "821\u001f1\u001f52052\u001f0.65914012",
-        "822\u001f9\u001f18765\u001f0.74537418",
-        "823\u001f3\u001f56454\u001f0.84739127",
-        "824\u001f2\u001f19085\u001f0.78791654",
-        "825\u001f6\u001f29824\u001f0.64332498",
-        "826\u001f0\u001f42485\u001f0.82036409",
-        "827\u001f6\u001f15749\u001f0.73578553",
-        "828\u001f3\u001f71728\u001f0.86052433",
-        "829\u001f9\u001f8127\u001f0.77378192",
-        "830\u001f5\u001f16930\u001f0.76242927",
-        "831\u001f8\u001f7164\u001f0.77268061",
-        "832\u001f7\u001f19075\u001f0.76194467",
-        "833\u001f7\u001f39778\u001f0.73603504",
-        "834\u001f4\u001f16868\u001f0.7595225",
-        "835\u001f9\u001f38926\u001f0.70729273",
-        "836\u001f6\u001f39390\u001f0.79497165",
-        "837\u001f9\u001f39850\u001f0.71531682",
-        "838\u001f4\u001f60804\u001f0.73769013",
-        "839\u001f3\u001f76384\u001f0.857728",
-        "840\u001f9\u001f51045\u001f0.76134606",
-        "841\u001f5\u001f56753\u001f0.78630643",
-        "842\u001f0\u001f57894\u001f0.84664134",
-        "843\u001f7\u001f65558\u001f0.8148038",
-        "844\u001f2\u001f17145\u001f0.78453484",
-        "845\u001f2\u001f18875\u001f0.72709988",
-        "846\u001f3\u001f30026\u001f0.78256215",
-        "847\u001f6\u001f23638\u001f0.89318297",
-        "848\u001f3\u001f38373\u001f0.84771697",
-        "849\u001f2\u001f4492\u001f0.96433738",
-        "850\u001f4\u001f47448\u001f0.74635513",
-        "851\u001f2\u001f23512\u001f0.6352976",
-        "852\u001f3\u001f59833\u001f0.77013951",
-        "853\u001f0\u001f17376\u001f0.80743241",
-        "854\u001f6\u001f2388\u001f0.82216205",
-        "855\u001f1\u001f40342\u001f0.72936071",
-        "856\u001f0\u001f20197\u001f0.80925272",
-        "857\u001f2\u001f4587\u001f0.77947681",
-        "858\u001f1\u001f35442\u001f0.79363166",
-        "859\u001f0\u001f38769\u001f0.88499336",
-        "860\u001f5\u001f64380\u001f0.85584652",
-        "861\u001f9\u001f20762\u001f0.92235634",
-        "862\u001f5\u001f7460\u001f0.71664934",
-        "863\u001f9\u001f34630\u001f0.84194247",
-        "864\u001f3\u001f7562\u001f0.86085812",
-        "865\u001f1\u001f48647\u001f0.8303497",
-        "866\u001f0\u001f57773\u001f0.71827728",
-        "867\u001f8\u001f63264\u001f0.82532032",
-        "868\u001f7\u001f22903\u001f0.87403985",
-        "869\u001f8\u001f35570\u001f0.68762576",
-        "870\u001f5\u001f22442\u001f0.69790697",
-        "871\u001f6\u001f61653\u001f0.91958546",
-        "872\u001f5\u001f40648\u001f0.71683312",
-        "873\u001f8\u001f64135\u001f0.74314101",
-        "874\u001f7\u001f35753\u001f0.86721294",
-        "875\u001f6\u001f18236\u001f0.8280763",
-        "876\u001f1\u001f19757\u001f0.83898933",
-        "877\u001f4\u001f18894\u001f0.81543712",
-        "878\u001f2\u001f72976\u001f0.87246297",
-        "879\u001f9\u001f59339\u001f0.85762768",
-        "880\u001f1\u001f18724\u001f0.78316517",
-        "881\u001f7\u001f32306\u001f0.69474355",
-        "882\u001f2\u001f48576\u001f0.80073305",
-        "883\u001f0\u001f23826\u001f0.75779725",
-        "884\u001f0\u001f6486\u001f0.86082044",
-        "885\u001f2\u001f36785\u001f0.82233794",
-        "886\u001f3\u001f4600\u001f0.87864372",
-        "887\u001f7\u001f35890\u001f0.7210784",
-        "888\u001f9\u001f17454\u001f0.6725028",
-        "889\u001f5\u001f20308\u001f0.61351103",
-        "890\u001f2\u001f74631\u001f0.69942489",
-        "891\u001f8\u001f78048\u001f0.64493307",
-        "892\u001f8\u001f37613\u001f0.81530315",
-        "893\u001f8\u001f18534\u001f0.78353124",
-        "894\u001f6\u001f54088\u001f0.69219599",
-        "895\u001f5\u001f28928\u001f0.8418627",
-        "896\u001f9\u001f50390\u001f0.78046636",
-        "897\u001f7\u001f72024\u001f0.82404998",
-        "898\u001f8\u001f13958\u001f0.95507708",
-        "899\u001f6\u001f63057\u001f0.76662052",
-        "900\u001f2\u001f33464\u001f0.71261312",
-        "901\u001f9\u001f66568\u001f0.86827148",
-        "902\u001f3\u001f37827\u001f0.75615381",
-        "903\u001f4\u001f35440\u001f0.83728285",
-        "904\u001f1\u001f60292\u001f0.776305",
-        "905\u001f8\u001f76456\u001f0.77167521",
-        "906\u001f9\u001f22166\u001f0.78387563",
-        "907\u001f5\u001f38540\u001f0.72484412",
-        "908\u001f4\u001f3830\u001f0.80424275",
-        "909\u001f0\u001f70990\u001f0.62848536",
-        "910\u001f7\u001f60061\u001f0.75798283",
-        "911\u001f8\u001f77453\u001f0.83583542",
-        "912\u001f3\u001f58101\u001f0.76159341",
-        "913\u001f5\u001f53233\u001f0.70901472",
-        "914\u001f9\u001f23873\u001f0.72718101",
-        "915\u001f9\u001f45959\u001f0.83639822",
-        "916\u001f5\u001f9002\u001f0.77085195",
-        "917\u001f0\u001f49614\u001f0.83976757",
-        "918\u001f3\u001f61465\u001f0.81007799",
-        "919\u001f0\u001f40325\u001f0.77076439",
-        "920\u001f4\u001f19008\u001f0.80825124",
-        "921\u001f8\u001f38970\u001f0.70390088",
-        "922\u001f4\u001f60952\u001f0.84415153",
-        "923\u001f5\u001f131\u001f0.80095054",
-        "924\u001f8\u001f49510\u001f0.72127391",
-        "925\u001f1\u001f41875\u001f0.88806907",
-        "926\u001f7\u001f42772\u001f0.87409222",
-        "927\u001f2\u001f62433\u001f0.81296022",
-        "928\u001f8\u001f1345\u001f0.86286386",
-        "929\u001f0\u001f6254\u001f0.84359945",
-        "930\u001f6\u001f13818\u001f0.76078079",
-        "931\u001f3\u001f53121\u001f0.81356255",
-        "932\u001f9\u001f67921\u001f0.84959744",
-        "933\u001f0\u001f58638\u001f0.83831456",
-        "934\u001f5\u001f3941\u001f0.81150703",
-        "935\u001f3\u001f4017\u001f0.8921797",
-        "936\u001f5\u001f57598\u001f0.80928355",
-        "937\u001f7\u001f47801\u001f0.78420328",
-        "938\u001f3\u001f51783\u001f0.86639526",
-        "939\u001f3\u001f14841\u001f0.81449102",
-        "940\u001f2\u001f57760\u001f0.67927535",
-        "941\u001f0\u001f13893\u001f0.71085013",
-        "942\u001f6\u001f7384\u001f0.75437616",
-        "943\u001f2\u001f65649\u001f0.8543089",
-        "944\u001f9\u001f414\u001f0.8869682",
-        "945\u001f6\u001f76841\u001f0.85585018",
-        "946\u001f1\u001f27176\u001f0.68428946",
-        "947\u001f4\u001f66621\u001f0.82299859",
-        "948\u001f2\u001f16628\u001f0.64042349",
-        "949\u001f6\u001f1502\u001f0.77327092",
-        "950\u001f6\u001f52443\u001f0.76408114",
-        "951\u001f7\u001f50575\u001f0.89403813",
-        "952\u001f1\u001f40183\u001f0.74128848",
-        "953\u001f7\u001f44705\u001f0.88933136",
-        "954\u001f7\u001f53334\u001f0.75054477",
-        "955\u001f8\u001f43845\u001f0.8002438",
-        "956\u001f9\u001f27178\u001f0.87250758",
-        "957\u001f5\u001f60476\u001f0.89094894",
-        "958\u001f4\u001f62805\u001f0.88633702",
-        "959\u001f0\u001f35047\u001f0.72772995",
-        "960\u001f3\u001f53521\u001f0.78809787",
-        "961\u001f1\u001f61175\u001f0.76502631",
-        "962\u001f3\u001f51212\u001f0.85465006",
-        "963\u001f6\u001f57566\u001f0.83416616",
-        "964\u001f5\u001f14080\u001f0.88721896",
-        "965\u001f2\u001f12449\u001f0.80940072",
-        "966\u001f7\u001f18912\u001f0.77810386",
-        "967\u001f8\u001f56610\u001f0.81398052",
-        "968\u001f8\u001f53706\u001f0.81107316",
-        "969\u001f9\u001f57842\u001f0.76626627",
-        "970\u001f7\u001f30566\u001f0.81590688",
-        "971\u001f8\u001f61911\u001f0.87368561",
-        "972\u001f4\u001f39617\u001f0.74871471",
-        "973\u001f2\u001f34545\u001f0.89495773",
-        "974\u001f5\u001f45273\u001f0.73690266",
-        "975\u001f6\u001f4490\u001f0.73291397",
-        "976\u001f3\u001f64124\u001f0.83524586",
-        "977\u001f7\u001f69731\u001f0.74288694",
-        "978\u001f4\u001f17666\u001f0.83366125",
-        "979\u001f3\u001f68233\u001f0.85010778",
-        "980\u001f2\u001f20301\u001f0.8143574",
-        "981\u001f4\u001f27713\u001f0.85373695",
-        "982\u001f0\u001f77220\u001f0.66792039",
-        "983\u001f7\u001f32292\u001f0.68130112",
-        "984\u001f5\u001f40228\u001f0.79135396",
-        "985\u001f0\u001f38517\u001f0.83148697",
-        "986\u001f6\u001f41675\u001f0.83891231",
-        "987\u001f2\u001f65380\u001f0.76784924",
-        "988\u001f1\u001f989\u001f0.8743638",
-        "989\u001f1\u001f2127\u001f0.76663493",
-        "990\u001f0\u001f32337\u001f0.71775338",
-        "991\u001f5\u001f11598\u001f0.77909869",
-        "992\u001f7\u001f35266\u001f0.88956774",
-        "993\u001f3\u001f49543\u001f0.87414104",
-        "994\u001f8\u001f47753\u001f0.7951221",
-        "995\u001f6\u001f30530\u001f0.83488511",
-        "996\u001f5\u001f74887\u001f0.81849226",
-        "997\u001f1\u001f9262\u001f0.74575444",
-        "998\u001f2\u001f44830\u001f0.72393392",
-        "999\u001f0\u001f16088\u001f0.78295967",
-        "1000\u001f8\u001f72285\u001f0.83203611",
-        "1001\u001f7\u001f64171\u001f0.85618634",
-        "1002\u001f5\u001f68134\u001f0.83745165",
-        "1003\u001f4\u001f54360\u001f0.8310282",
-        "1004\u001f3\u001f43198\u001f0.81438465",
-        "1005\u001f8\u001f50926\u001f0.77347097",
-        "1006\u001f7\u001f11674\u001f0.82598871",
-        "1007\u001f7\u001f65902\u001f0.88448039",
-        "1008\u001f0\u001f71358\u001f0.8337283",
-        "1009\u001f6\u001f23936\u001f0.81271471",
-        "1010\u001f1\u001f39319\u001f0.80776738",
-        "1011\u001f6\u001f30665\u001f0.79338793",
-        "1012\u001f4\u001f40152\u001f0.8377576",
-        "1013\u001f2\u001f55140\u001f0.84492691",
-        "1014\u001f2\u001f5142\u001f0.8033963",
-        "1015\u001f7\u001f22491\u001f0.78422837",
-        "1016\u001f1\u001f55033\u001f0.75915512",
-        "1017\u001f5\u001f69789\u001f0.86693232",
-        "1018\u001f0\u001f32956\u001f0.875556",
-        "1019\u001f1\u001f35028\u001f0.75163961",
-        "1020\u001f2\u001f63992\u001f0.7131876",
-        "1021\u001f0\u001f37608\u001f0.79217765",
-        "1022\u001f8\u001f4347\u001f0.86939755",
-        "1023\u001f9\u001f70629\u001f0.59450657",
-        "1024\u001f1\u001f67971\u001f0.81814583",
-        "1025\u001f2\u001f7438\u001f0.79620024",
-        "1026\u001f2\u001f63027\u001f0.84354882",
-        "1027\u001f2\u001f42540\u001f0.80785197",
-        "1028\u001f2\u001f40122\u001f0.79298715",
-        "1029\u001f1\u001f56119\u001f0.7895768",
-        "1030\u001f7\u001f17111\u001f0.76005907",
-        "1031\u001f2\u001f13644\u001f0.72774607",
-        "1032\u001f7\u001f39346\u001f0.8073401",
-        "1033\u001f4\u001f17265\u001f0.86099147",
-        "1034\u001f7\u001f41427\u001f0.83120961",
-        "1035\u001f7\u001f73055\u001f0.81800847",
-        "1036\u001f8\u001f31767\u001f0.75136286",
-        "1037\u001f1\u001f6189\u001f0.81420352",
-        "1038\u001f6\u001f45595\u001f0.72271512",
-        "1039\u001f9\u001f57640\u001f0.86523058",
-        "1040\u001f3\u001f30428\u001f0.78275331",
-        "1041\u001f5\u001f8807\u001f0.84616153",
-        "1042\u001f2\u001f52229\u001f0.81067849",
-        "1043\u001f3\u001f2827\u001f0.91756654",
-        "1044\u001f8\u001f67297\u001f0.71903623",
-        "1045\u001f7\u001f50196\u001f0.85892039",
-        "1046\u001f0\u001f67097\u001f0.81896759",
-        "1047\u001f9\u001f66235\u001f0.77983748",
-        "1048\u001f5\u001f44670\u001f0.78184772",
-        "1049\u001f6\u001f38745\u001f0.7789207",
-        "1050\u001f8\u001f18263\u001f0.79385369",
-        "1051\u001f0\u001f19763\u001f0.75018647",
-        "1052\u001f0\u001f31100\u001f0.76983281",
-        "1053\u001f4\u001f59075\u001f0.81412732",
-        "1054\u001f7\u001f72480\u001f0.70474256",
-        "1055\u001f6\u001f37020\u001f0.79994988",
-        "1056\u001f4\u001f16121\u001f0.80123393",
-        "1057\u001f2\u001f10602\u001f0.75505273",
-        "1058\u001f5\u001f42234\u001f0.80527974",
-        "1059\u001f3\u001f26991\u001f0.85834707",
-        "1060\u001f7\u001f48074\u001f0.66911271",
-        "1061\u001f9\u001f2607\u001f0.80678989",
-        "1062\u001f8\u001f47501\u001f0.80987065",
-        "1063\u001f9\u001f38306\u001f0.86671643",
-        "1064\u001f5\u001f74513\u001f0.84725609",
-        "1065\u001f1\u001f60350\u001f0.81290573",
-        "1066\u001f1\u001f16409\u001f0.77170071",
-        "1067\u001f0\u001f24580\u001f0.79384567",
-        "1068\u001f0\u001f41566\u001f0.82904406",
-        "1069\u001f7\u001f28656\u001f0.81348086",
-        "1070\u001f6\u001f59904\u001f0.79413638",
-        "1071\u001f1\u001f35049\u001f0.76777239",
-        "1072\u001f0\u001f50905\u001f0.70109218",
-        "1073\u001f9\u001f77815\u001f0.854497",
-        "1074\u001f5\u001f71647\u001f0.85847554",
-        "1075\u001f7\u001f53013\u001f0.76843413",
-        "1076\u001f0\u001f5640\u001f0.72742675",
-        "1077\u001f0\u001f18399\u001f0.6903088",
-        "1078\u001f9\u001f43574\u001f0.65534709",
-        "1079\u001f4\u001f32870\u001f0.83217686",
-        "1080\u001f0\u001f67544\u001f0.81378675",
-        "1081\u001f4\u001f67377\u001f0.84392249",
-        "1082\u001f2\u001f18309\u001f0.76660969",
-        "1083\u001f1\u001f7232\u001f0.79695283",
-        "1084\u001f1\u001f29869\u001f0.77267595",
-        "1085\u001f7\u001f22992\u001f0.79045446",
-        "1086\u001f3\u001f55148\u001f0.86745411",
-        "1087\u001f7\u001f63931\u001f0.7825757",
-        "1088\u001f4\u001f42653\u001f0.75810227",
-        "1089\u001f0\u001f68841\u001f0.75083253",
-        "1090\u001f1\u001f17586\u001f0.80411425",
-        "1091\u001f8\u001f73080\u001f0.4211723",
-        "1092\u001f7\u001f67114\u001f0.74515353",
-        "1093\u001f0\u001f54521\u001f0.78485821",
-        "1094\u001f5\u001f11082\u001f0.8263582",
-        "1095\u001f0\u001f43564\u001f0.85041617",
-        "1096\u001f6\u001f2562\u001f0.81024109",
-        "1097\u001f0\u001f66219\u001f0.68462942",
-        "1098\u001f3\u001f18284\u001f0.77541143",
-        "1099\u001f4\u001f35199\u001f0.85760941",
-        "1100\u001f5\u001f54164\u001f0.61038617",
-        "1101\u001f4\u001f45483\u001f0.79503819",
-        "1102\u001f4\u001f52335\u001f0.81495743",
-        "1103\u001f9\u001f37023\u001f0.7898809",
-        "1104\u001f6\u001f23314\u001f0.8342045",
-        "1105\u001f5\u001f77792\u001f0.85357979",
-        "1106\u001f5\u001f1400\u001f0.74392853",
-        "1107\u001f9\u001f14101\u001f0.76429911",
-        "1108\u001f2\u001f63170\u001f0.79670105",
-        "1109\u001f8\u001f19979\u001f0.79687107",
-        "1110\u001f2\u001f17303\u001f0.83306803",
-        "1111\u001f1\u001f31703\u001f0.70368117",
-        "1112\u001f5\u001f21412\u001f0.80959947",
-        "1113\u001f9\u001f49440\u001f0.84412029",
-        "1114\u001f4\u001f67810\u001f0.81447881",
-        "1115\u001f3\u001f48784\u001f0.7294862",
-        "1116\u001f0\u001f3852\u001f0.68957793",
-        "1117\u001f2\u001f3181\u001f0.856046",
-        "1118\u001f0\u001f61452\u001f0.83227366",
-        "1119\u001f3\u001f21417\u001f0.82649361",
-        "1120\u001f5\u001f15168\u001f0.77123633",
-        "1121\u001f0\u001f19183\u001f0.81496101",
-        "1122\u001f1\u001f22314\u001f0.72524416",
-        "1123\u001f7\u001f57142\u001f0.76919713",
-        "1124\u001f1\u001f16490\u001f0.8787582",
-        "1125\u001f5\u001f53181\u001f0.83607821",
-        "1126\u001f6\u001f66137\u001f0.87154318",
-        "1127\u001f8\u001f26372\u001f0.72891432",
-        "1128\u001f6\u001f61861\u001f0.82017488",
-        "1129\u001f0\u001f54387\u001f0.8492922",
-        "1130\u001f5\u001f40281\u001f0.75014313",
-        "1131\u001f4\u001f51952\u001f0.76840852",
-        "1132\u001f8\u001f41203\u001f0.71838697",
-        "1133\u001f8\u001f4160\u001f0.86697329",
-        "1134\u001f0\u001f26658\u001f0.78651149",
-        "1135\u001f0\u001f66145\u001f0.72475634",
-        "1136\u001f9\u001f55972\u001f0.60069637",
-        "1137\u001f4\u001f68894\u001f0.76823931",
-        "1138\u001f5\u001f73049\u001f0.85553462",
-        "1139\u001f1\u001f56550\u001f0.79601883",
-        "1140\u001f8\u001f51048\u001f0.70497142",
-        "1141\u001f5\u001f52216\u001f0.791913",
-        "1142\u001f8\u001f36255\u001f0.88222781",
-        "1143\u001f1\u001f45114\u001f0.71210879",
-        "1144\u001f0\u001f68161\u001f0.78957909",
-        "1145\u001f4\u001f66786\u001f0.73829173",
-        "1146\u001f6\u001f66801\u001f0.81860501",
-        "1147\u001f8\u001f37772\u001f0.69290135",
-        "1148\u001f7\u001f46930\u001f0.79183511",
-        "1149\u001f9\u001f41409\u001f0.71289893",
-        "1150\u001f1\u001f36584\u001f0.77823589",
-        "1151\u001f8\u001f32907\u001f0.85266409",
-        "1152\u001f9\u001f68361\u001f0.74517513",
-        "1153\u001f8\u001f37387\u001f0.79514926",
-        "1154\u001f8\u001f10290\u001f0.76138425",
-        "1155\u001f4\u001f17693\u001f0.83007974",
-        "1156\u001f1\u001f1698\u001f0.75028886",
-        "1157\u001f0\u001f14065\u001f0.82701396",
-        "1158\u001f4\u001f51489\u001f0.72525485",
-        "1159\u001f8\u001f49904\u001f0.75889036",
-        "1160\u001f9\u001f32288\u001f0.87450894",
-        "1161\u001f2\u001f37455\u001f0.80456564",
-        "1162\u001f8\u001f49494\u001f0.85679598",
-        "1163\u001f9\u001f34701\u001f0.93499362",
-        "1164\u001f8\u001f25059\u001f0.64484631",
-        "1165\u001f0\u001f23015\u001f0.78234032",
-        "1166\u001f7\u001f38979\u001f0.85053569",
-        "1167\u001f8\u001f77845\u001f0.72917833",
-        "1168\u001f6\u001f3121\u001f0.73220241",
-        "1169\u001f4\u001f23378\u001f0.67793073",
-        "1170\u001f5\u001f32208\u001f0.78020636",
-        "1171\u001f6\u001f59181\u001f0.8345922",
-        "1172\u001f7\u001f7999\u001f0.67441729",
-        "1173\u001f5\u001f56702\u001f0.79110026",
-        "1174\u001f7\u001f18245\u001f0.82592098",
-        "1175\u001f7\u001f57420\u001f0.38121018",
-        "1176\u001f1\u001f58512\u001f0.85876695",
-        "1177\u001f7\u001f15977\u001f0.71370686",
-        "1178\u001f8\u001f44610\u001f0.77997549",
-        "1179\u001f0\u001f16634\u001f0.86362021",
-        "1180\u001f9\u001f69387\u001f0.67255949",
-        "1181\u001f6\u001f73174\u001f0.81426277",
-        "1182\u001f9\u001f67179\u001f0.79105186",
-        "1183\u001f4\u001f11082\u001f0.76056487",
-        "1184\u001f9\u001f49455\u001f0.76583647",
-        "1185\u001f6\u001f53210\u001f0.72976814",
-        "1186\u001f1\u001f9923\u001f0.85113022",
-        "1187\u001f6\u001f40499\u001f0.79106709",
-        "1188\u001f6\u001f16867\u001f0.81576171",
-        "1189\u001f3\u001f12676\u001f0.78461891",
-        "1190\u001f9\u001f19085\u001f0.81109244",
-        "1191\u001f6\u001f52623\u001f0.8498941",
-        "1192\u001f1\u001f3211\u001f0.81554713",
-        "1193\u001f3\u001f38826\u001f0.88933428",
-        "1194\u001f9\u001f20748\u001f0.75664815",
-        "1195\u001f2\u001f68975\u001f0.75303058",
-        "1196\u001f5\u001f63291\u001f0.92184851",
-        "1197\u001f5\u001f11754\u001f0.76266505",
-        "1198\u001f2\u001f10874\u001f0.82952984",
-        "1199\u001f0\u001f50068\u001f0.85126812",
-        "1200\u001f5\u001f37074\u001f0.66152165",
-        "1201\u001f9\u001f15660\u001f0.4985292",
-        "1202\u001f9\u001f50675\u001f0.85293007",
-        "1203\u001f9\u001f4078\u001f0.79640833",
-        "1204\u001f5\u001f35451\u001f0.85264999",
-        "1205\u001f8\u001f71118\u001f0.78453208",
-        "1206\u001f3\u001f24047\u001f0.75053077",
-        "1207\u001f5\u001f16185\u001f0.75847323",
-        "1208\u001f8\u001f57640\u001f0.76582837",
-        "1209\u001f5\u001f40440\u001f0.80325711",
-        "1210\u001f7\u001f33638\u001f0.88319752",
-        "1211\u001f1\u001f53426\u001f0.78921914",
-        "1212\u001f2\u001f54914\u001f0.81741657",
-        "1213\u001f2\u001f52373\u001f0.67221221",
-        "1214\u001f6\u001f38216\u001f0.90010587",
-        "1215\u001f0\u001f15126\u001f0.85188769",
-        "1216\u001f2\u001f5273\u001f0.7754906",
-        "1217\u001f8\u001f43326\u001f0.70417568",
-        "1218\u001f0\u001f61712\u001f0.80782889",
-        "1219\u001f3\u001f43534\u001f0.89875994",
-        "1220\u001f6\u001f46553\u001f0.84314862",
-        "1221\u001f7\u001f15453\u001f0.49173981",
-        "1222\u001f9\u001f49381\u001f0.79415982",
-        "1223\u001f8\u001f37051\u001f0.82231957",
-        "1224\u001f0\u001f70543\u001f0.76274877",
-        "1225\u001f4\u001f14293\u001f0.70749214",
-        "1226\u001f9\u001f37045\u001f0.92138546",
-        "1227\u001f4\u001f21220\u001f0.74352058",
-        "1228\u001f0\u001f70386\u001f0.74886003",
-        "1229\u001f2\u001f4396\u001f0.8369254",
-        "1230\u001f1\u001f5299\u001f0.80866309",
-        "1231\u001f5\u001f10157\u001f0.8233491",
-        "1232\u001f0\u001f49596\u001f0.82248169",
-        "1233\u001f5\u001f4940\u001f0.83991699",
-        "1234\u001f1\u001f76400\u001f0.78175806",
-        "1235\u001f0\u001f61181\u001f0.8099424",
-        "1236\u001f6\u001f12177\u001f0.89548974",
-        "1237\u001f4\u001f5020\u001f0.73552482",
-        "1238\u001f1\u001f61230\u001f0.81501716",
-        "1239\u001f3\u001f48062\u001f0.83817072",
-        "1240\u001f5\u001f11518\u001f0.7667502",
-        "1241\u001f8\u001f34515\u001f0.85708362",
-        "1242\u001f1\u001f70329\u001f0.73187618",
-        "1243\u001f1\u001f44849\u001f0.80835374",
-        "1244\u001f6\u001f67381\u001f0.89312684",
-        "1245\u001f7\u001f17580\u001f0.89366443",
-        "1246\u001f6\u001f35396\u001f0.72411469",
-        "1247\u001f0\u001f23358\u001f0.82786121",
-        "1248\u001f8\u001f42036\u001f0.88917413",
-        "1249\u001f1\u001f35613\u001f0.76380114",
-        "1250\u001f8\u001f32624\u001f0.80200471",
-        "1251\u001f6\u001f38195\u001f0.73422614",
-        "1252\u001f9\u001f41396\u001f0.74762144",
-        "1253\u001f2\u001f1494\u001f0.83783283",
-        "1254\u001f4\u001f53207\u001f0.81785119",
-        "1255\u001f9\u001f48434\u001f0.72920308",
-        "1256\u001f3\u001f76668\u001f0.7841757",
-        "1257\u001f0\u001f7761\u001f0.74290957",
-        "1258\u001f7\u001f45464\u001f0.79053739",
-        "1259\u001f2\u001f51825\u001f0.67977032",
-        "1260\u001f9\u001f75616\u001f0.82197722",
-        "1261\u001f5\u001f9343\u001f0.76263841",
-        "1262\u001f3\u001f12620\u001f0.7137419",
-        "1263\u001f5\u001f63555\u001f0.77766807",
-        "1264\u001f0\u001f19676\u001f0.81754657",
-        "1265\u001f3\u001f18979\u001f0.81970179",
-        "1266\u001f1\u001f39379\u001f0.78035716",
-        "1267\u001f9\u001f55352\u001f0.79258277",
-        "1268\u001f1\u001f52118\u001f0.73454073",
-        "1269\u001f8\u001f67860\u001f0.4263131",
-        "1270\u001f5\u001f65227\u001f0.79035085",
-        "1271\u001f4\u001f7895\u001f0.74145708",
-        "1272\u001f8\u001f67946\u001f0.7276791",
-        "1273\u001f6\u001f57828\u001f0.79449995",
-        "1274\u001f4\u001f43597\u001f0.81042926",
-        "1275\u001f7\u001f16202\u001f0.71016198",
-        "1276\u001f2\u001f69158\u001f0.75880813",
-        "1277\u001f4\u001f2868\u001f0.75346799",
-        "1278\u001f3\u001f34743\u001f0.86716779",
-        "1279\u001f8\u001f37187\u001f0.78544254",
-        "1280\u001f0\u001f28626\u001f0.83128352",
-        "1281\u001f8\u001f22913\u001f0.66500673",
-        "1282\u001f6\u001f26614\u001f0.87274717",
-        "1283\u001f7\u001f12259\u001f0.77919551",
-        "1284\u001f3\u001f24252\u001f0.85576534",
-        "1285\u001f6\u001f17019\u001f0.79942407",
-        "1286\u001f6\u001f18602\u001f0.73340447",
-        "1287\u001f8\u001f7397\u001f0.7304885",
-        "1288\u001f9\u001f2052\u001f0.73048684",
-        "1289\u001f8\u001f71307\u001f0.85708274",
-        "1290\u001f7\u001f23917\u001f0.72076066",
-        "1291\u001f1\u001f8247\u001f0.86055541",
-        "1292\u001f8\u001f13308\u001f0.80841971",
-        "1293\u001f7\u001f41909\u001f0.83007873",
-        "1294\u001f5\u001f11396\u001f0.8155211",
-        "1295\u001f1\u001f4109\u001f0.84818669",
-        "1296\u001f3\u001f53373\u001f0.73202853",
-        "1297\u001f3\u001f25069\u001f0.74435291",
-        "1298\u001f6\u001f23232\u001f0.82553266",
-        "1299\u001f0\u001f61042\u001f0.71965531",
-        "1300\u001f8\u001f18834\u001f0.73355721",
-        "1301\u001f0\u001f4467\u001f0.82793788",
-        "1302\u001f8\u001f1382\u001f0.82689753",
-        "1303\u001f3\u001f62388\u001f0.92038569",
-        "1304\u001f3\u001f7117\u001f0.78691461",
-        "1305\u001f2\u001f16227\u001f0.79763339",
-        "1306\u001f2\u001f36152\u001f0.69311215",
-        "1307\u001f3\u001f67379\u001f0.77945137",
-        "1308\u001f6\u001f6362\u001f0.83149675",
-        "1309\u001f5\u001f26189\u001f0.63869046",
-        "1310\u001f6\u001f28490\u001f0.77119387",
-        "1311\u001f3\u001f73023\u001f0.8382891",
-        "1312\u001f6\u001f33045\u001f0.62892638",
-        "1313\u001f3\u001f17054\u001f0.79746443",
-        "1314\u001f4\u001f66250\u001f0.73539931",
-        "1315\u001f0\u001f12673\u001f0.80548253",
-        "1316\u001f8\u001f38832\u001f0.77466635",
-        "1317\u001f4\u001f16779\u001f0.88419321",
-        "1318\u001f6\u001f67599\u001f0.80971328",
-        "1319\u001f2\u001f11039\u001f0.76699703",
-        "1320\u001f7\u001f11526\u001f0.9046762",
-        "1321\u001f9\u001f62754\u001f0.75894836",
-        "1322\u001f0\u001f22313\u001f0.7433046",
-        "1323\u001f3\u001f15852\u001f0.8434699",
-        "1324\u001f0\u001f47013\u001f0.86866053",
-        "1325\u001f2\u001f24985\u001f0.8230997",
-        "1326\u001f3\u001f59981\u001f0.88329251",
-        "1327\u001f3\u001f40184\u001f0.79296306",
-        "1328\u001f4\u001f9903\u001f0.81396011",
-        "1329\u001f9\u001f56788\u001f0.73689249",
-        "1330\u001f4\u001f38563\u001f0.89097888",
-        "1331\u001f2\u001f77623\u001f0.83751551",
-        "1332\u001f6\u001f62470\u001f0.83160263",
-        "1333\u001f0\u001f65474\u001f0.68175749",
-        "1334\u001f1\u001f35457\u001f0.7890807",
-        "1335\u001f6\u001f25811\u001f0.75275729",
-        "1336\u001f6\u001f53644\u001f0.76347895",
-        "1337\u001f5\u001f32494\u001f0.7787962",
-        "1338\u001f1\u001f13132\u001f0.81305801",
-        "1339\u001f9\u001f65802\u001f0.8173898",
-        "1340\u001f1\u001f39752\u001f0.84665779",
-        "1341\u001f9\u001f40936\u001f0.83981433",
-        "1342\u001f7\u001f67858\u001f0.7697599",
-        "1343\u001f3\u001f67227\u001f0.73413414",
-        "1344\u001f1\u001f63367\u001f0.83135604",
-        "1345\u001f7\u001f62640\u001f0.48203771",
-        "1346\u001f0\u001f38624\u001f0.81267724",
-        "1347\u001f2\u001f41958\u001f0.70907797",
-        "1348\u001f7\u001f23795\u001f0.93330786",
-        "1349\u001f4\u001f45218\u001f0.80290862",
-        "1350\u001f3\u001f46065\u001f0.81577097",
-        "1351\u001f8\u001f69868\u001f0.81982725",
-        "1352\u001f3\u001f33127\u001f0.88395294",
-        "1353\u001f9\u001f38088\u001f0.82691583",
-        "1354\u001f5\u001f48627\u001f0.80693864",
-        "1355\u001f0\u001f36809\u001f0.79705521",
-        "1356\u001f3\u001f45827\u001f0.65506053",
-        "1357\u001f2\u001f23893\u001f0.70962132",
-        "1358\u001f4\u001f69984\u001f0.76824822",
-        "1359\u001f1\u001f58144\u001f0.80493746",
-        "1360\u001f6\u001f50981\u001f0.79855491",
-        "1361\u001f5\u001f23995\u001f0.86554005",
-        "1362\u001f8\u001f37866\u001f0.84929009",
-        "1363\u001f2\u001f4579\u001f0.85242752",
-        "1364\u001f1\u001f37615\u001f0.80153957",
-        "1365\u001f3\u001f30130\u001f0.8203889",
-        "1366\u001f6\u001f32901\u001f0.83600657",
-        "1367\u001f9\u001f35330\u001f0.79212184",
-        "1368\u001f3\u001f25815\u001f0.775819",
-        "1369\u001f5\u001f352\u001f0.70788913",
-        "1370\u001f9\u001f49505\u001f0.82474761",
-        "1371\u001f4\u001f68783\u001f0.68066141",
-        "1372\u001f8\u001f38754\u001f0.79620033",
-        "1373\u001f3\u001f947\u001f0.78165108",
-        "1374\u001f2\u001f66360\u001f0.78208658",
-        "1375\u001f7\u001f29162\u001f0.84360554",
-        "1376\u001f5\u001f36779\u001f0.68006867",
-        "1377\u001f8\u001f72998\u001f0.6986328",
-        "1378\u001f8\u001f59886\u001f0.86649276",
-        "1379\u001f4\u001f67089\u001f0.89375136",
-        "1380\u001f8\u001f71714\u001f0.68075829",
-        "1381\u001f9\u001f61827\u001f0.78331286",
-        "1382\u001f8\u001f48570\u001f0.78253819",
-        "1383\u001f8\u001f41102\u001f0.83591698",
-        "1384\u001f4\u001f21919\u001f0.85551968",
-        "1385\u001f8\u001f32091\u001f0.76989609",
-        "1386\u001f0\u001f24097\u001f0.82353771",
-        "1387\u001f7\u001f3558\u001f0.78904797",
-        "1388\u001f2\u001f27472\u001f0.73401107",
-        "1389\u001f1\u001f25508\u001f0.81830793",
-        "1390\u001f3\u001f34450\u001f0.81934772",
-        "1391\u001f1\u001f53201\u001f0.76672488",
-        "1392\u001f5\u001f27608\u001f0.77639851",
-        "1393\u001f2\u001f21341\u001f0.66664557",
-        "1394\u001f0\u001f45325\u001f0.78561937",
-        "1395\u001f6\u001f59327\u001f0.75959658",
-        "1396\u001f3\u001f61235\u001f0.83395547",
-        "1397\u001f7\u001f42464\u001f0.69282585",
-        "1398\u001f9\u001f35892\u001f0.82633364",
-        "1399\u001f9\u001f20878\u001f0.82515088",
-        "1400\u001f4\u001f37289\u001f0.76545362",
-        "1401\u001f2\u001f1538\u001f0.82372548",
-        "1402\u001f5\u001f71731\u001f0.7548256",
-        "1403\u001f0\u001f65002\u001f0.81222364",
-        "1404\u001f2\u001f37981\u001f0.70253259",
-        "1405\u001f4\u001f36619\u001f0.8647041",
-        "1406\u001f7\u001f58161\u001f0.83946332",
-        "1407\u001f7\u001f16063\u001f0.78388224",
-        "1408\u001f1\u001f17428\u001f0.70541697",
-        "1409\u001f1\u001f71289\u001f0.84454296",
-        "1410\u001f9\u001f40902\u001f0.7753694",
-        "1411\u001f3\u001f47023\u001f0.63152651",
-        "1412\u001f1\u001f60697\u001f0.66192988",
-        "1413\u001f2\u001f992\u001f0.79364492",
-        "1414\u001f8\u001f7620\u001f0.83107334",
-        "1415\u001f0\u001f54916\u001f0.81436971",
-        "1416\u001f1\u001f58091\u001f0.82596946",
-        "1417\u001f5\u001f53018\u001f0.76089836",
-        "1418\u001f4\u001f46036\u001f0.84417854",
-        "1419\u001f2\u001f65405\u001f0.84498364",
-        "1420\u001f9\u001f30874\u001f0.83240113",
-        "1421\u001f8\u001f9358\u001f0.83128744",
-        "1422\u001f8\u001f78164\u001f0.65894789",
-        "1423\u001f3\u001f50496\u001f0.77494869",
-        "1424\u001f3\u001f62088\u001f0.81240856",
-        "1425\u001f5\u001f36094\u001f0.77732201",
-        "1426\u001f8\u001f8733\u001f0.77793569",
-        "1427\u001f8\u001f75483\u001f0.84485857",
-        "1428\u001f6\u001f24723\u001f0.86153614",
-        "1429\u001f8\u001f32658\u001f0.65734457",
-        "1430\u001f9\u001f31868\u001f0.8379712",
-        "1431\u001f3\u001f50022\u001f0.83578983",
-        "1432\u001f3\u001f2568\u001f0.74394092",
-        "1433\u001f1\u001f33794\u001f0.83097718",
-        "1434\u001f9\u001f44897\u001f0.78765886",
-        "1435\u001f7\u001f37376\u001f0.79213429",
-        "1436\u001f9\u001f54455\u001f0.78492909",
-        "1437\u001f2\u001f50082\u001f0.88378933",
-        "1438\u001f5\u001f72472\u001f0.81066936",
-        "1439\u001f4\u001f30026\u001f0.76574535",
-        "1440\u001f0\u001f53557\u001f0.85978697",
-        "1441\u001f7\u001f4139\u001f0.76025477",
-        "1442\u001f1\u001f66182\u001f0.86776838",
-        "1443\u001f3\u001f58102\u001f0.83847298",
-        "1444\u001f2\u001f76177\u001f0.77112173",
-        "1445\u001f6\u001f54798\u001f0.81266796",
-        "1446\u001f2\u001f43736\u001f0.77584378",
-        "1447\u001f8\u001f15098\u001f0.70069928",
-        "1448\u001f7\u001f28281\u001f0.83586035",
-        "1449\u001f1\u001f61663\u001f0.85797706",
-        "1450\u001f5\u001f64933\u001f0.91588543",
-        "1451\u001f2\u001f53278\u001f0.74503971",
-        "1452\u001f5\u001f15692\u001f0.80602123",
-        "1453\u001f1\u001f61283\u001f0.9419885",
-        "1454\u001f2\u001f66255\u001f0.8081736",
-        "1455\u001f3\u001f2603\u001f0.81706783",
-        "1456\u001f1\u001f78112\u001f0.8350804",
-        "1457\u001f5\u001f32457\u001f0.81418122",
-        "1458\u001f2\u001f72921\u001f0.76167327",
-        "1459\u001f4\u001f72906\u001f0.81237222",
-        "1460\u001f4\u001f30547\u001f0.84687658",
-        "1461\u001f6\u001f47612\u001f0.75733303",
-        "1462\u001f2\u001f59249\u001f0.88998272",
-        "1463\u001f9\u001f54776\u001f0.87451671",
-        "1464\u001f0\u001f68008\u001f0.8024086",
-        "1465\u001f8\u001f21574\u001f0.78822874",
-        "1466\u001f5\u001f77797\u001f0.69246339",
-        "1467\u001f4\u001f43899\u001f0.65659735",
-        "1468\u001f0\u001f51743\u001f0.66517201",
-        "1469\u001f2\u001f15994\u001f0.8168471",
-        "1470\u001f6\u001f31168\u001f0.81964857",
-        "1471\u001f4\u001f1525\u001f0.91723269",
-        "1472\u001f7\u001f38016\u001f0.74914381",
-        "1473\u001f5\u001f33502\u001f0.81328452",
-        "1474\u001f6\u001f38989\u001f0.7488679",
-        "1475\u001f5\u001f8879\u001f0.81641753",
-        "1476\u001f8\u001f56972\u001f0.70420326",
-        "1477\u001f9\u001f55588\u001f0.8706415",
-        "1478\u001f7\u001f53114\u001f0.83563768",
-        "1479\u001f7\u001f48743\u001f0.8220321",
-        "1480\u001f6\u001f25939\u001f0.71900765",
-        "1481\u001f7\u001f29566\u001f0.68779807",
-        "1482\u001f7\u001f5935\u001f0.84410114",
-        "1483\u001f0\u001f16869\u001f0.9043239",
-        "1484\u001f0\u001f38559\u001f0.74418084",
-        "1485\u001f9\u001f58614\u001f0.76286617",
-        "1486\u001f2\u001f61586\u001f0.74824866",
-        "1487\u001f7\u001f62192\u001f0.81227537",
-        "1488\u001f9\u001f17875\u001f0.84589617",
-        "1489\u001f7\u001f61463\u001f0.86217876",
-        "1490\u001f6\u001f48604\u001f0.94535305",
-        "1491\u001f5\u001f17976\u001f0.75172431",
-        "1492\u001f0\u001f30879\u001f0.85798082",
-        "1493\u001f7\u001f44633\u001f0.70672877",
-        "1494\u001f4\u001f50870\u001f0.74281292",
-        "1495\u001f9\u001f17376\u001f0.81856774",
-        "1496\u001f4\u001f3802\u001f0.69630523",
-        "1497\u001f5\u001f78300\u001f0.44353645",
-        "1498\u001f7\u001f65802\u001f0.66916258",
-        "1499\u001f7\u001f70633\u001f0.81794254",
-        "1500\u001f2\u001f64503\u001f0.76101466",
-        "1501\u001f5\u001f53643\u001f0.88197896",
-        "1502\u001f8\u001f5255\u001f0.75101806",
-        "1503\u001f9\u001f36579\u001f0.86820208",
-        "1504\u001f6\u001f53128\u001f0.86583983",
-        "1505\u001f6\u001f34534\u001f0.78290483",
-        "1506\u001f7\u001f23234\u001f0.87107966",
-        "1507\u001f4\u001f13833\u001f0.86615052",
-        "1508\u001f4\u001f54996\u001f0.84300156",
-        "1509\u001f6\u001f58449\u001f0.81379373",
-        "1510\u001f3\u001f4500\u001f0.79681036",
-        "1511\u001f4\u001f13944\u001f0.85172257",
-        "1512\u001f5\u001f6171\u001f0.6673237",
-        "1513\u001f8\u001f65107\u001f0.81382283",
-        "1514\u001f4\u001f3997\u001f0.79861471",
-        "1515\u001f1\u001f65703\u001f0.73570009",
-        "1516\u001f6\u001f34504\u001f0.79563455",
-        "1517\u001f4\u001f969\u001f0.75090976",
-        "1518\u001f2\u001f49685\u001f0.86094685",
-        "1519\u001f0\u001f19916\u001f0.76269055",
-        "1520\u001f3\u001f36775\u001f0.80097048",
-        "1521\u001f8\u001f13600\u001f0.83163154",
-        "1522\u001f4\u001f28546\u001f0.59750199",
-        "1523\u001f3\u001f17872\u001f0.84822247",
-        "1524\u001f6\u001f69670\u001f0.71297",
-        "1525\u001f0\u001f15931\u001f0.71817455",
-        "1526\u001f9\u001f65623\u001f0.65472931",
-        "1527\u001f1\u001f53261\u001f0.88757214",
-        "1528\u001f4\u001f70047\u001f0.78985468",
-        "1529\u001f7\u001f69440\u001f0.7340142",
-        "1530\u001f5\u001f16919\u001f0.71192018",
-        "1531\u001f8\u001f12177\u001f0.78232844",
-        "1532\u001f7\u001f26902\u001f0.80956257",
-        "1533\u001f0\u001f46434\u001f0.80079381",
-        "1534\u001f0\u001f43440\u001f0.83361596",
-        "1535\u001f4\u001f35925\u001f0.82028957",
-        "1536\u001f3\u001f69541\u001f0.67492955",
-        "1537\u001f2\u001f15244\u001f0.66954852",
-        "1538\u001f0\u001f36832\u001f0.85755145",
-        "1539\u001f1\u001f23486\u001f0.81026196",
-        "1540\u001f0\u001f54102\u001f0.80626057",
-        "1541\u001f9\u001f48030\u001f0.84794026",
-        "1542\u001f5\u001f73223\u001f0.60086617",
-        "1543\u001f6\u001f4023\u001f0.83811246",
-        "1544\u001f6\u001f4429\u001f0.90856411",
-        "1545\u001f3\u001f52826\u001f0.74563799",
-        "1546\u001f9\u001f26647\u001f0.92860283",
-        "1547\u001f4\u001f42862\u001f0.74214242",
-        "1548\u001f5\u001f55123\u001f0.90508144",
-        "1549\u001f7\u001f69783\u001f0.7120087",
-        "1550\u001f8\u001f39551\u001f0.8185946",
-        "1551\u001f1\u001f52624\u001f0.790919",
-        "1552\u001f6\u001f57929\u001f0.7562896",
-        "1553\u001f4\u001f66601\u001f0.80844103",
-        "1554\u001f4\u001f19324\u001f0.77420675",
-        "1555\u001f6\u001f70231\u001f0.74332858",
-        "1556\u001f4\u001f39411\u001f0.83263557",
-        "1557\u001f8\u001f64122\u001f0.75676972",
-        "1558\u001f2\u001f31015\u001f0.79931034",
-        "1559\u001f3\u001f38891\u001f0.78320527",
-        "1560\u001f3\u001f55964\u001f0.75275407",
-        "1561\u001f9\u001f35346\u001f0.87079357",
-        "1562\u001f5\u001f7227\u001f0.82497158",
-        "1563\u001f8\u001f30609\u001f0.83545816",
-        "1564\u001f8\u001f9141\u001f0.71370347",
-        "1565\u001f8\u001f7169\u001f0.74402651",
-        "1566\u001f3\u001f65396\u001f0.8958212",
-        "1567\u001f9\u001f37448\u001f0.80201112",
-        "1568\u001f3\u001f67277\u001f0.74134962",
-        "1569\u001f7\u001f76012\u001f0.79526965",
-        "1570\u001f1\u001f26306\u001f0.86559853",
-        "1571\u001f2\u001f49475\u001f0.77410027",
-        "1572\u001f4\u001f74089\u001f0.75185122",
-        "1573\u001f7\u001f42903\u001f0.78512965",
-        "1574\u001f9\u001f32440\u001f0.75665595",
-        "1575\u001f3\u001f68032\u001f0.70232111",
-        "1576\u001f5\u001f46820\u001f0.74441493",
-        "1577\u001f9\u001f17885\u001f0.75596525",
-        "1578\u001f8\u001f69013\u001f0.71283014",
-        "1579\u001f4\u001f19031\u001f0.77328783",
-        "1580\u001f2\u001f59620\u001f0.79251884",
-        "1581\u001f2\u001f67604\u001f0.78233071",
-        "1582\u001f8\u001f37372\u001f0.85040914",
-        "1583\u001f2\u001f19001\u001f0.76824379",
-        "1584\u001f5\u001f56514\u001f0.76784761",
-        "1585\u001f5\u001f4411\u001f0.78109911",
-        "1586\u001f7\u001f49722\u001f0.74251937",
-        "1587\u001f6\u001f6651\u001f0.71037746",
-        "1588\u001f2\u001f64230\u001f0.75007101",
-        "1589\u001f0\u001f70746\u001f0.89217356",
-        "1590\u001f3\u001f71351\u001f0.74703764",
-        "1591\u001f0\u001f24984\u001f0.88593283",
-        "1592\u001f4\u001f23503\u001f0.82381893",
-        "1593\u001f1\u001f20664\u001f0.66686285",
-        "1594\u001f3\u001f4160\u001f0.80805316",
-        "1595\u001f2\u001f62636\u001f0.83821452",
-        "1596\u001f8\u001f10440\u001f0.46019414",
-        "1597\u001f7\u001f22059\u001f0.7729043",
-        "1598\u001f3\u001f32708\u001f0.85161538",
-        "1599\u001f8\u001f30151\u001f0.79857053",
-        "1600\u001f1\u001f30156\u001f0.77427838",
-        "1601\u001f6\u001f63050\u001f0.84208565",
-        "1602\u001f2\u001f71414\u001f0.79509929",
-        "1603\u001f5\u001f20912\u001f0.83346712",
-        "1604\u001f4\u001f10237\u001f0.83044335",
-        "1605\u001f8\u001f61317\u001f0.91579609",
-        "1606\u001f9\u001f49199\u001f0.77382309",
-        "1607\u001f0\u001f52200\u001f0.44077122",
-        "1608\u001f3\u001f27881\u001f0.68595655",
-        "1609\u001f2\u001f75542\u001f0.79371775",
-        "1610\u001f8\u001f46980\u001f0.43985467",
-        "1611\u001f2\u001f56038\u001f0.743821",
-        "1612\u001f2\u001f30964\u001f0.80262802",
-        "1613\u001f2\u001f45431\u001f0.78586088",
-        "1614\u001f8\u001f15917\u001f0.76096847",
-        "1615\u001f4\u001f61307\u001f0.81771145",
-        "1616\u001f7\u001f4377\u001f0.88015163",
-        "1617\u001f4\u001f57203\u001f0.78405338",
-        "1618\u001f4\u001f15237\u001f0.76848375",
-        "1619\u001f0\u001f23312\u001f0.84971611",
-        "1620\u001f1\u001f51956\u001f0.84600003",
-        "1621\u001f6\u001f27280\u001f0.76340802",
-        "1622\u001f9\u001f62885\u001f0.82640431",
-        "1623\u001f8\u001f77052\u001f0.86056043",
-        "1624\u001f9\u001f49241\u001f0.95325903",
-        "1625\u001f3\u001f63554\u001f0.70021563",
-        "1626\u001f5\u001f58277\u001f0.81210118",
-        "1627\u001f2\u001f907\u001f0.82941261",
-        "1628\u001f2\u001f19843\u001f0.87081427",
-        "1629\u001f8\u001f21282\u001f0.81608911",
-        "1630\u001f5\u001f56605\u001f0.84609428",
-        "1631\u001f8\u001f57608\u001f0.84382675",
-        "1632\u001f8\u001f57775\u001f0.78833785",
-        "1633\u001f3\u001f3724\u001f0.71977929",
-        "1634\u001f3\u001f40220\u001f0.73115058",
-        "1635\u001f4\u001f64190\u001f0.63138134",
-        "1636\u001f7\u001f41667\u001f0.82445693",
-        "1637\u001f1\u001f47037\u001f0.84778749",
-        "1638\u001f8\u001f28655\u001f0.78567431",
-        "1639\u001f1\u001f61067\u001f0.79590503",
-        "1640\u001f6\u001f3572\u001f0.77875892",
-        "1641\u001f3\u001f25829\u001f0.84138218",
-        "1642\u001f2\u001f37726\u001f0.72404737",
-        "1643\u001f2\u001f49474\u001f0.76914814",
-        "1644\u001f2\u001f45176\u001f0.72111386",
-        "1645\u001f6\u001f63094\u001f0.7600423",
-        "1646\u001f0\u001f43693\u001f0.78702098",
-        "1647\u001f1\u001f76008\u001f0.83914553",
-        "1648\u001f5\u001f14102\u001f0.64899941",
-        "1649\u001f0\u001f75658\u001f0.77356593",
-        "1650\u001f6\u001f5112\u001f0.66153794",
-        "1651\u001f4\u001f28415\u001f0.70613303",
-        "1652\u001f4\u001f56899\u001f0.87625359",
-        "1653\u001f4\u001f22650\u001f0.77624094",
-        "1654\u001f4\u001f62952\u001f0.83481265",
-        "1655\u001f5\u001f62369\u001f0.7870344",
-        "1656\u001f6\u001f1776\u001f0.77469233",
-        "1657\u001f4\u001f72832\u001f0.81485327",
-        "1658\u001f7\u001f43524\u001f0.82794162",
-        "1659\u001f3\u001f8240\u001f0.74367548",
-        "1660\u001f6\u001f11631\u001f0.83113296",
-        "1661\u001f7\u001f23123\u001f0.77155539",
-        "1662\u001f1\u001f66139\u001f0.74417535",
-        "1663\u001f0\u001f39733\u001f0.81070533",
-        "1664\u001f3\u001f53652\u001f0.8108896",
-        "1665\u001f9\u001f36138\u001f0.71264784",
-        "1666\u001f8\u001f42674\u001f0.92154283",
-        "1667\u001f5\u001f0\u001f0.46941204",
-        "1668\u001f6\u001f9998\u001f0.8657673",
-        "1669\u001f9\u001f24229\u001f0.70863345",
-        "1670\u001f3\u001f53135\u001f0.71267335",
-        "1671\u001f0\u001f8383\u001f0.73879847",
-        "1672\u001f4\u001f23416\u001f0.8279968",
-        "1673\u001f3\u001f48332\u001f0.72036001",
-        "1674\u001f2\u001f74232\u001f0.90005733",
-        "1675\u001f7\u001f41582\u001f0.83624699",
-        "1676\u001f4\u001f46774\u001f0.6654499",
-        "1677\u001f1\u001f14258\u001f0.85350803",
-        "1678\u001f6\u001f63201\u001f0.82899802",
-        "1679\u001f9\u001f46845\u001f0.72323042",
-        "1680\u001f2\u001f49365\u001f0.84641867",
-        "1681\u001f7\u001f13949\u001f0.8201886",
-        "1682\u001f9\u001f12666\u001f0.87635033",
-        "1683\u001f8\u001f53177\u001f0.73663948",
-        "1684\u001f0\u001f19105\u001f0.7405417",
-        "1685\u001f7\u001f66759\u001f0.75700379",
-        "1686\u001f9\u001f30490\u001f0.73707106",
-        "1687\u001f1\u001f17095\u001f0.90127228",
-        "1688\u001f8\u001f42370\u001f0.92034906",
-        "1689\u001f8\u001f46344\u001f0.86005523",
-        "1690\u001f6\u001f56891\u001f0.83464829",
-        "1691\u001f7\u001f33768\u001f0.87167719",
-        "1692\u001f8\u001f55308\u001f0.75429834",
-        "1693\u001f7\u001f23859\u001f0.82222004",
-        "1694\u001f3\u001f5493\u001f0.90285873",
-        "1695\u001f1\u001f14166\u001f0.74897834",
-        "1696\u001f2\u001f50930\u001f0.91176343",
-        "1697\u001f6\u001f2539\u001f0.80617154",
-        "1698\u001f5\u001f52483\u001f0.79581272",
-        "1699\u001f0\u001f36786\u001f0.8780795",
-        "1700\u001f5\u001f53267\u001f0.68286107",
-        "1701\u001f7\u001f4420\u001f0.83286646",
-        "1702\u001f7\u001f71100\u001f0.67539654",
-        "1703\u001f6\u001f51603\u001f0.8566044",
-        "1704\u001f1\u001f55275\u001f0.80258443",
-        "1705\u001f4\u001f14385\u001f0.76622278",
-        "1706\u001f6\u001f3067\u001f0.8853934",
-        "1707\u001f8\u001f59910\u001f0.67767475",
-        "1708\u001f6\u001f66472\u001f0.84517513",
-        "1709\u001f0\u001f22461\u001f0.81925592",
-        "1710\u001f3\u001f654\u001f0.82689854",
-        "1711\u001f5\u001f64932\u001f0.84408376",
-        "1712\u001f9\u001f43679\u001f0.78797652",
-        "1713\u001f2\u001f67924\u001f0.817267",
-        "1714\u001f5\u001f36173\u001f0.76484337",
-        "1715\u001f1\u001f14776\u001f0.9395735",
-        "1716\u001f5\u001f60003\u001f0.76175408",
-        "1717\u001f0\u001f50869\u001f0.79503523",
-        "1718\u001f3\u001f63113\u001f0.74453784",
-        "1719\u001f7\u001f5220\u001f0.46047534",
-        "1720\u001f6\u001f17979\u001f0.7639727",
-        "1721\u001f7\u001f28859\u001f0.74076307",
-        "1722\u001f4\u001f35415\u001f0.78058934",
-        "1723\u001f5\u001f66662\u001f0.76810979",
-        "1724\u001f1\u001f58507\u001f0.65551628",
-        "1725\u001f9\u001f5578\u001f0.83026174",
-        "1726\u001f6\u001f36166\u001f0.80708409",
-        "1727\u001f1\u001f42010\u001f0.80784281",
-        "1728\u001f3\u001f5960\u001f0.78423449",
-        "1729\u001f7\u001f29679\u001f0.84365276",
-        "1730\u001f3\u001f34971\u001f0.76196106",
-        "1731\u001f8\u001f13604\u001f0.76451473",
-        "1732\u001f7\u001f67239\u001f0.75669669",
-        "1733\u001f6\u001f2263\u001f0.73614677",
-        "1734\u001f6\u001f50979\u001f0.70199478",
-        "1735\u001f4\u001f51244\u001f0.76321439",
-        "1736\u001f3\u001f41735\u001f0.85293062",
-        "1737\u001f7\u001f14309\u001f0.77479217",
-        "1738\u001f3\u001f69079\u001f0.85153184",
-        "1739\u001f2\u001f17723\u001f0.79329423",
-        "1740\u001f5\u001f49516\u001f0.84428695",
-        "1741\u001f0\u001f2928\u001f0.90602858",
-        "1742\u001f9\u001f75231\u001f0.87937093",
-        "1743\u001f0\u001f26065\u001f0.8081798",
-        "1744\u001f4\u001f62239\u001f0.77129092",
-        "1745\u001f2\u001f2522\u001f0.8832024",
-        "1746\u001f5\u001f54630\u001f0.83495869",
-        "1747\u001f7\u001f36967\u001f0.84760042",
-        "1748\u001f5\u001f18918\u001f0.73936551",
-        "1749\u001f8\u001f52500\u001f0.7707772",
-        "1750\u001f6\u001f1628\u001f0.72014346",
-        "1751\u001f2\u001f22466\u001f0.87606824",
-        "1752\u001f8\u001f37673\u001f0.86899116",
-        "1753\u001f3\u001f44634\u001f0.68529461",
-        "1754\u001f3\u001f72080\u001f0.77070261",
-        "1755\u001f3\u001f37134\u001f0.76368166",
-        "1756\u001f1\u001f58647\u001f0.74625129",
-        "1757\u001f7\u001f71777\u001f0.74589973",
-        "1758\u001f0\u001f66842\u001f0.69106122",
-        "1759\u001f9\u001f42682\u001f0.6956464",
-        "1760\u001f2\u001f5724\u001f0.80875976",
-        "1761\u001f8\u001f37819\u001f0.73216462",
-        "1762\u001f2\u001f5169\u001f0.65674689",
-        "1763\u001f6\u001f18253\u001f0.74971071",
-        "1764\u001f6\u001f65981\u001f0.7370629",
-        "1765\u001f4\u001f66211\u001f0.81353879",
-        "1766\u001f2\u001f58141\u001f0.74837775",
-        "1767\u001f8\u001f64801\u001f0.79609713",
-        "1768\u001f2\u001f47890\u001f0.73212902",
-        "1769\u001f0\u001f22462\u001f0.84559362",
-        "1770\u001f4\u001f72364\u001f0.89788742",
-        "1771\u001f6\u001f47508\u001f0.83327351",
-        "1772\u001f3\u001f39992\u001f0.67445372",
-        "1773\u001f0\u001f11889\u001f0.9185915",
-        "1774\u001f4\u001f46818\u001f0.78533549",
-        "1775\u001f9\u001f21485\u001f0.85548388",
-        "1776\u001f7\u001f66546\u001f0.80700008",
-        "1777\u001f1\u001f15991\u001f0.83678461",
-        "1778\u001f3\u001f60762\u001f0.84449586",
-        "1779\u001f7\u001f20404\u001f0.85723275",
-        "1780\u001f9\u001f64252\u001f0.78561659",
-        "1781\u001f6\u001f66002\u001f0.76143729",
-        "1782\u001f4\u001f51657\u001f0.7309473",
-        "1783\u001f2\u001f5844\u001f0.87701095",
-        "1784\u001f9\u001f31877\u001f0.80902147",
-        "1785\u001f4\u001f45888\u001f0.85629629",
-        "1786\u001f1\u001f18539\u001f0.73596645",
-        "1787\u001f0\u001f8977\u001f0.75413946",
-        "1788\u001f1\u001f40179\u001f0.72534391",
-        "1789\u001f2\u001f24038\u001f0.82741303",
-        "1790\u001f6\u001f56141\u001f0.85929413",
-        "1791\u001f7\u001f11658\u001f0.71582399",
-        "1792\u001f3\u001f66583\u001f0.89957553",
-        "1793\u001f5\u001f70163\u001f0.95594239",
-        "1794\u001f5\u001f27290\u001f0.86867919",
-        "1795\u001f0\u001f42560\u001f0.73670651",
-        "1796\u001f6\u001f54468\u001f0.75490851",
-        "1797\u001f9\u001f45444\u001f0.73129592",
-        "1798\u001f4\u001f388\u001f0.8181229",
-        "1799\u001f2\u001f41167\u001f0.71846776",
-        "1800\u001f2\u001f1236\u001f0.83670466",
-        "1801\u001f1\u001f12388\u001f0.78204947",
-        "1802\u001f4\u001f35786\u001f0.76898814",
-        "1803\u001f2\u001f1675\u001f0.87595673",
-        "1804\u001f3\u001f405\u001f0.86337597",
-        "1805\u001f5\u001f73073\u001f0.79023412",
-        "1806\u001f7\u001f60008\u001f0.85318813",
-        "1807\u001f6\u001f66784\u001f0.87034396",
-        "1808\u001f8\u001f60029\u001f0.6124826",
-        "1809\u001f0\u001f38704\u001f0.68980333",
-        "1810\u001f0\u001f24114\u001f0.79889166",
-        "1811\u001f1\u001f34036\u001f0.89059106",
-        "1812\u001f8\u001f59300\u001f0.82827668",
-        "1813\u001f2\u001f37729\u001f0.79206783",
-        "1814\u001f2\u001f20040\u001f0.85868708",
-        "1815\u001f2\u001f1032\u001f0.88046386",
-        "1816\u001f4\u001f68228\u001f0.83284443",
-        "1817\u001f3\u001f58573\u001f0.78573795",
-        "1818\u001f7\u001f9916\u001f0.71632946",
-        "1819\u001f0\u001f29893\u001f0.87469068",
-        "1820\u001f0\u001f74039\u001f0.84872079",
-        "1821\u001f6\u001f17398\u001f0.79052264",
-        "1822\u001f9\u001f61217\u001f0.79450846",
-        "1823\u001f9\u001f60347\u001f0.88750553",
-        "1824\u001f9\u001f903\u001f0.78200795",
-        "1825\u001f9\u001f38656\u001f0.8351752",
-        "1826\u001f0\u001f49338\u001f0.72139583",
-        "1827\u001f3\u001f18307\u001f0.6694113",
-        "1828\u001f3\u001f60662\u001f0.62884011",
-        "1829\u001f2\u001f48049\u001f0.82626478",
-        "1830\u001f7\u001f62150\u001f0.83614811",
-        "1831\u001f4\u001f25544\u001f0.67550388",
-        "1832\u001f2\u001f76474\u001f0.77140539",
-        "1833\u001f7\u001f17656\u001f0.84511611",
-        "1834\u001f7\u001f14967\u001f0.80052968",
-        "1835\u001f8\u001f62613\u001f0.79280876",
-        "1836\u001f1\u001f72866\u001f0.82690058",
-        "1837\u001f4\u001f52759\u001f0.85201053",
-        "1838\u001f8\u001f7406\u001f0.76531882",
-        "1839\u001f9\u001f60118\u001f0.83129635",
-        "1840\u001f2\u001f30350\u001f0.82967269",
-        "1841\u001f6\u001f31870\u001f0.7228883",
-        "1842\u001f1\u001f50128\u001f0.76391355",
-        "1843\u001f5\u001f20679\u001f0.69597981",
-        "1844\u001f2\u001f13358\u001f0.71086826",
-        "1845\u001f0\u001f37806\u001f0.83743094",
-        "1846\u001f8\u001f21291\u001f0.77676273",
-        "1847\u001f0\u001f38442\u001f0.70462511",
-        "1848\u001f2\u001f43039\u001f0.85428751",
-        "1849\u001f6\u001f28966\u001f0.8755351",
-        "1850\u001f1\u001f17388\u001f0.83298787",
-        "1851\u001f2\u001f57604\u001f0.86440286",
-        "1852\u001f4\u001f72516\u001f0.67297631",
-        "1853\u001f4\u001f55684\u001f0.82597144",
-        "1854\u001f6\u001f18600\u001f0.820867",
-        "1855\u001f3\u001f10991\u001f0.83559522",
-        "1856\u001f0\u001f34763\u001f0.89020508",
-        "1857\u001f8\u001f69200\u001f0.84976657",
-        "1858\u001f6\u001f47334\u001f0.69247617",
-        "1859\u001f3\u001f42515\u001f0.84161713",
-        "1860\u001f4\u001f31703\u001f0.80338089",
-        "1861\u001f6\u001f10702\u001f0.80003234",
-        "1862\u001f2\u001f49419\u001f0.71303532",
-        "1863\u001f7\u001f16310\u001f0.89091346",
-        "1864\u001f2\u001f12279\u001f0.67023042",
-        "1865\u001f1\u001f64382\u001f0.81337317",
-        "1866\u001f0\u001f22631\u001f0.76001394",
-        "1867\u001f3\u001f32172\u001f0.8305398",
-        "1868\u001f2\u001f13637\u001f0.72211169",
-        "1869\u001f7\u001f60581\u001f0.81897382",
-        "1870\u001f8\u001f29538\u001f0.7863516",
-        "1871\u001f9\u001f76382\u001f0.92397591",
-        "1872\u001f8\u001f65408\u001f0.75457376",
-        "1873\u001f3\u001f30393\u001f0.72533943",
-        "1874\u001f7\u001f20346\u001f0.73830506",
-        "1875\u001f9\u001f50114\u001f0.70641563",
-        "1876\u001f6\u001f14170\u001f0.84059285",
-        "1877\u001f4\u001f66632\u001f0.86568923",
-        "1878\u001f1\u001f9151\u001f0.91713163",
-        "1879\u001f1\u001f27052\u001f0.69428017",
-        "1880\u001f6\u001f31869\u001f0.86591947",
-        "1881\u001f0\u001f43031\u001f0.72036039",
-        "1882\u001f0\u001f66761\u001f0.79562618",
-        "1883\u001f1\u001f53275\u001f0.79588816",
-        "1884\u001f5\u001f53202\u001f0.80590629",
-        "1885\u001f7\u001f30450\u001f0.871801",
-        "1886\u001f5\u001f58155\u001f0.88624405",
-        "1887\u001f7\u001f54745\u001f0.772361",
-        "1888\u001f6\u001f18972\u001f0.79368383",
-        "1889\u001f9\u001f18986\u001f0.78274429",
-        "1890\u001f5\u001f63164\u001f0.89124543",
-        "1891\u001f9\u001f33471\u001f0.76018739",
-        "1892\u001f6\u001f77233\u001f0.87964988",
-        "1893\u001f3\u001f2669\u001f0.73207824",
-        "1894\u001f4\u001f65720\u001f0.83314039",
-        "1895\u001f3\u001f26109\u001f0.8621938",
-        "1896\u001f7\u001f75561\u001f0.72645266",
-        "1897\u001f2\u001f58607\u001f0.80712201",
-        "1898\u001f0\u001f53531\u001f0.78487406",
-        "1899\u001f6\u001f30955\u001f0.94104073",
-        "1900\u001f4\u001f15120\u001f0.80442124",
-        "1901\u001f2\u001f19218\u001f0.65125465",
-        "1902\u001f2\u001f32145\u001f0.7574563",
-        "1903\u001f2\u001f10356\u001f0.85193203",
-        "1904\u001f5\u001f41987\u001f0.79764281",
-        "1905\u001f7\u001f52219\u001f0.73460657",
-        "1906\u001f3\u001f29585\u001f0.78142052",
-        "1907\u001f2\u001f56161\u001f0.7838646",
-        "1908\u001f0\u001f74302\u001f0.86840032",
-        "1909\u001f7\u001f61582\u001f0.82610683",
-        "1910\u001f1\u001f58512\u001f0.75696204",
-        "1911\u001f0\u001f54748\u001f0.73025986",
-        "1912\u001f9\u001f44827\u001f0.80624998",
-        "1913\u001f7\u001f57460\u001f0.6951314",
-        "1914\u001f8\u001f20414\u001f0.76446568",
-        "1915\u001f8\u001f10186\u001f0.68748695",
-        "1916\u001f8\u001f13192\u001f0.83938648",
-        "1917\u001f4\u001f2802\u001f0.81960519",
-        "1918\u001f5\u001f37534\u001f0.84542392",
-        "1919\u001f3\u001f66585\u001f0.76773941",
-        "1920\u001f4\u001f29924\u001f0.67613314",
-        "1921\u001f5\u001f43351\u001f0.68729574",
-        "1922\u001f4\u001f46632\u001f0.79576875",
-        "1923\u001f6\u001f61275\u001f0.91825113",
-        "1924\u001f5\u001f46466\u001f0.74853385",
-        "1925\u001f5\u001f33330\u001f0.79158851",
-        "1926\u001f9\u001f58267\u001f0.78758512",
-        "1927\u001f8\u001f1628\u001f0.67163365",
-        "1928\u001f1\u001f77836\u001f0.70463473",
-        "1929\u001f1\u001f37953\u001f0.79602793",
-        "1930\u001f1\u001f42144\u001f0.79744784",
-        "1931\u001f7\u001f21036\u001f0.87064609",
-        "1932\u001f0\u001f50522\u001f0.79705301",
-        "1933\u001f0\u001f39996\u001f0.83107141",
-        "1934\u001f7\u001f8271\u001f0.77398478",
-        "1935\u001f6\u001f62517\u001f0.87569664",
-        "1936\u001f7\u001f31023\u001f0.83775611",
-        "1937\u001f4\u001f58143\u001f0.76181979",
-        "1938\u001f4\u001f7115\u001f0.7743269",
-        "1939\u001f3\u001f7854\u001f0.75401591",
-        "1940\u001f9\u001f61668\u001f0.90092728",
-        "1941\u001f6\u001f10957\u001f0.72850501",
-        "1942\u001f4\u001f60778\u001f0.78874072",
-        "1943\u001f6\u001f57577\u001f0.72182647",
-        "1944\u001f2\u001f70584\u001f0.72863012",
-        "1945\u001f0\u001f67834\u001f0.76439589",
-        "1946\u001f5\u001f67971\u001f0.81354279",
-        "1947\u001f7\u001f50238\u001f0.82261676",
-        "1948\u001f8\u001f38948\u001f0.83469994",
-        "1949\u001f3\u001f44827\u001f0.76271906",
-        "1950\u001f3\u001f42119\u001f0.80052984",
-        "1951\u001f0\u001f35230\u001f0.73461611",
-        "1952\u001f0\u001f11058\u001f0.72896179",
-        "1953\u001f1\u001f52148\u001f0.86168637",
-        "1954\u001f0\u001f58257\u001f0.74745359",
-        "1955\u001f3\u001f66116\u001f0.76155064",
-        "1956\u001f6\u001f41132\u001f0.84953379",
-        "1957\u001f2\u001f42171\u001f0.82161221",
-        "1958\u001f8\u001f61906\u001f0.75868551",
-        "1959\u001f0\u001f42230\u001f0.79775886",
-        "1960\u001f1\u001f34440\u001f0.76810725",
-        "1961\u001f0\u001f22808\u001f0.77047156",
-        "1962\u001f3\u001f60173\u001f0.89377777",
-        "1963\u001f0\u001f238\u001f0.69527432",
-        "1964\u001f0\u001f57383\u001f0.71462478",
-        "1965\u001f1\u001f45621\u001f0.77311081",
-        "1966\u001f4\u001f67988\u001f0.86403242",
-        "1967\u001f7\u001f9073\u001f0.8159348",
-        "1968\u001f0\u001f71209\u001f0.7960464",
-        "1969\u001f7\u001f7260\u001f0.63955095",
-        "1970\u001f5\u001f61161\u001f0.87222554",
-        "1971\u001f6\u001f56649\u001f0.87839782",
-        "1972\u001f3\u001f10568\u001f0.81477812",
-        "1973\u001f9\u001f58451\u001f0.78698489",
-        "1974\u001f9\u001f43554\u001f0.69345544",
-        "1975\u001f5\u001f35715\u001f0.84994268",
-        "1976\u001f0\u001f51831\u001f0.7255071",
-        "1977\u001f6\u001f60626\u001f0.86817519",
-        "1978\u001f3\u001f52659\u001f0.80302472",
-        "1979\u001f9\u001f43732\u001f0.78690606",
-        "1980\u001f1\u001f58441\u001f0.74227224",
-        "1981\u001f3\u001f66425\u001f0.73392749",
-        "1982\u001f9\u001f59769\u001f0.76546689",
-        "1983\u001f2\u001f20880\u001f0.50352073",
-        "1984\u001f7\u001f71387\u001f0.78726795",
-        "1985\u001f3\u001f21617\u001f0.79656015",
-        "1986\u001f7\u001f34476\u001f0.73933375",
-        "1987\u001f0\u001f8994\u001f0.89454184",
-        "1988\u001f8\u001f54389\u001f0.87993735",
-        "1989\u001f2\u001f32140\u001f0.77684221",
-        "1990\u001f6\u001f71978\u001f0.76783318",
-        "1991\u001f8\u001f76811\u001f0.79328515",
-        "1992\u001f1\u001f39992\u001f0.85421242",
-        "1993\u001f4\u001f16856\u001f0.78604397",
-        "1994\u001f3\u001f68337\u001f0.73016573",
-        "1995\u001f1\u001f61851\u001f0.84086142",
-        "1996\u001f6\u001f30941\u001f0.77305233",
-        "1997\u001f9\u001f10697\u001f0.73161159",
-        "1998\u001f4\u001f52654\u001f0.80153335",
-        "1999\u001f7\u001f15927\u001f0.79188768"))),
-    "kmeans_clusters" -> Pinned(Seq("cluster" -> "INTEGER", "n_vectors" -> "BIGINT", "inertia" -> "DOUBLE"),
-      Map(
-      1 -> Seq(
-        "0\u001f48\u001f44.2759",
-        "1\u001f61\u001f56.6913",
-        "2\u001f56\u001f51.2521",
-        "3\u001f65\u001f59.9139",
-        "4\u001f71\u001f66.2904",
-        "5\u001f77\u001f72.817",
-        "6\u001f52\u001f48.4282",
-        "7\u001f70\u001f65.6425"),
-      2 -> Seq(
-        "0\u001f66\u001f61.8013",
-        "1\u001f65\u001f60.6479",
-        "2\u001f78\u001f72.6064",
-        "3\u001f53\u001f48.3911",
-        "4\u001f61\u001f56.6374",
-        "5\u001f59\u001f54.6703",
-        "6\u001f63\u001f59.1605",
-        "7\u001f55\u001f51.1006"),
-      3 -> Seq(
-        "0\u001f240\u001f227.9349",
-        "1\u001f254\u001f242.3886",
-        "2\u001f254\u001f242.0285",
-        "3\u001f238\u001f226.4319",
-        "4\u001f233\u001f221.1974",
-        "5\u001f255\u001f243.0264",
-        "6\u001f261\u001f248.9513",
-        "7\u001f265\u001f253.2759"))))
+  lazy val byName: Map[String, Pinned] = {
+    val in = getClass.getResourceAsStream("/graft/pinned_oracles.tsv")
+    require(in != null, "graft/pinned_oracles.tsv missing from classpath — run graft.tools.PinGen")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Pinned]
+      var name: String = null
+      var cols: Seq[(String, String)] = Nil
+      var rows = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[String]]
+      def flush(): Unit = if (name != null) {
+        out(name) = Pinned(cols, rows.toMap)
+        rows = scala.collection.mutable.LinkedHashMap.empty
+      }
+      src.getLines().foreach {
+        case l if l.startsWith("#Q ") =>
+          flush()
+          val Array(_, n, colSpec) = l.split(" ", 3)
+          name = n
+          cols = colSpec.split(",").toSeq.map { c =>
+            val Array(cn, ct) = c.split(":", 2); cn -> ct
+          }
+        case l if l.nonEmpty =>
+          val i = l.indexOf(Sep.toInt)
+          val tier = l.substring(0, i).toInt
+          rows(tier) = rows.getOrElse(tier, Vector.empty) :+ l.substring(i + 1)
+        case _ => ()
+      }
+      flush()
+      out.toMap
+    } finally src.close()
+  }
 }

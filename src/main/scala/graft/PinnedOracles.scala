@@ -89,6 +89,7 @@ object PinnedOracles {
         case DoubleType  => java.lang.Double.toString(row.getDouble(i))
         case LongType    => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
+        case BooleanType => row.getBoolean(i).toString
         case StringType  =>
           val s = row.getString(i)
           require(!s.exists(c => c == Sep || c == '\n' || c == '\r'),
@@ -104,6 +105,7 @@ object PinnedOracles {
     case LongType    => "BIGINT"
     case IntegerType => "INTEGER"
     case StringType  => "VARCHAR"
+    case BooleanType => "BOOLEAN"
     case other       => sys.error(s"unpinnable column type $other")
   }
 }

@@ -26,7 +26,17 @@ object PinGen {
   val targets: Seq[String] = Seq(
     "bpe_train", "hmm_random_model", "hmm_model_from_distributions",
     "hmm_stationary", "approx_stats",
-    "knn_ivf", "knn_pq", "knn_ivf_pq", "pq_quantize", "kmeans_clusters")
+    "knn_ivf", "knn_pq", "knn_ivf_pq", "pq_quantize", "kmeans_clusters",
+    // round-10 second wave: per-sequence DP dumps from the supervised
+    // (integer-count ⇒ deterministic) model, exact-integer BPE encode,
+    // and the cell-bounded semantic dedup. NOT pinned by policy:
+    // soft-EM dumps (hmm_baumwelch/train_cli/quality_lr: treeAggregate
+    // fold order is not bitwise-stable), hmm_viterbi/posterior
+    // (10k-30k rows per tier), hmm_nbest (its hyphen-joined path
+    // strings average ~130 chars × 4500 tier-3 rows — the pin would
+    // outweigh every other fixture combined)
+    "hmm_forward", "hmm_backward", "hmm_likelihood",
+    "hmm_predict", "hmm_decode_events", "bpe_apply", "semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +63,14 @@ object PinGen {
         val collapsed =
           if (byTier.values.toSet.size == 1) Map(1 -> byTier(1)) else byTier
         (name, cols, collapsed)
+      }.filter { case (name, _, rows) =>
+        // size guard: a pinned VALUES relation beyond ~8000 rows / 400 KB
+        // per tier stops being a reasonable oracle artifact
+        val maxRows = rows.values.map(_.size).max
+        val maxChars = rows.values.map(_.map(_.length + 8).sum).max
+        val tooBig = maxRows > 8000 || maxChars > 400000
+        System.err.println(f"[pingen] $name%-30s maxRows=$maxRows%5d maxKB=${maxChars / 1024}%4d${if (tooBig) "  SKIP (too big to pin)" else ""}")
+        !tooBig
       }
 
     args.headOption match {
@@ -64,33 +82,17 @@ object PinGen {
           }
         }
       case Some(out) =>
+        // resource format parsed by PinnedOracleData (see its docs)
         val sb = new StringBuilder
-        sb ++= "package graft\n\n"
-        sb ++= "// GENERATED by graft.tools.PinGen — do not edit by hand.\n"
-        sb ++= "// Regenerate after any Spark version bump (see PinnedOracles docs).\n"
-        sb ++= "object PinnedOracleData {\n"
-        sb ++= "  import PinnedOracles.Pinned\n\n"
-        sb ++= "  val byName: Map[String, Pinned] = Map(\n"
-        sb ++= captured.map { case (name, cols, rows) =>
-          val colsSrc = cols.map { case (n, t) => s""""$n" -> "$t"""" }.mkString("Seq(", ", ", ")")
-          val rowsSrc = rows.toSeq.sortBy(_._1).map { case (tier, rs) =>
-            val rsSrc = rs.map(r => "\"" + escape(r) + "\"").mkString(",\n        ")
-            s"$tier -> Seq(\n        $rsSrc)"
-          }.mkString("Map(\n      ", ",\n      ", ")")
-          s"""    "$name" -> Pinned($colsSrc,\n      $rowsSrc)"""
-        }.mkString(",\n")
-        sb ++= ")\n}\n"
+        captured.foreach { case (name, cols, rows) =>
+          sb ++= s"#Q $name ${cols.map { case (n, t) => s"$n:$t" }.mkString(",")}\n"
+          rows.toSeq.sortBy(_._1).foreach { case (tier, rs) =>
+            rs.foreach(r => sb ++= s"$tier${graft.PinnedOracles.Sep}$r\n")
+          }
+        }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-        println(s"[pingen] wrote $out")
+        println(s"[pingen] wrote $out (${sb.length / 1024} KB)")
     }
     spark.stop()
-  }
-
-  /** Scala string-literal escape; non-printable / non-ASCII → \\uXXXX. */
-  private def escape(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c >= ' ' && c < 127 => c.toString
-    case c => f"\\u${c.toInt}%04x"
   }
 }
