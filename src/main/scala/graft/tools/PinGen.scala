@@ -22,7 +22,10 @@ object PinGen {
     2 -> "/root/testdata/sf0.01",
     3 -> "/root/testdata/sf0.1")
 
-  /** Queries whose outputs are deterministic by construction. */
+  /** Queries whose outputs are deterministic by construction.
+    * knn_ivf's pin captures the DEFAULT index knobs — running the
+    * driver with SPARK_GRAFT_IVF_CLUSTERS/_NPROBE set changes the
+    * query output and would (correctly) fail its pinned oracle. */
   val targets: Seq[String] = Seq(
     "bpe_train", "hmm_random_model", "hmm_model_from_distributions",
     "hmm_stationary", "approx_stats",
