@@ -86,7 +86,12 @@ object PinnedOracles {
     schema.fields.zipWithIndex.map { case (f, i) =>
       require(!row.isNullAt(i), s"null in pinned output column ${f.name}")
       f.dataType match {
-        case DoubleType  => java.lang.Double.toString(row.getDouble(i))
+        case DoubleType  =>
+          val d = row.getDouble(i)
+          // NaN/Infinity render as bare tokens a VALUES relation can't
+          // parse — the oracle SQL would error at the gate, not here
+          require(!d.isNaN && !d.isInfinite, s"non-finite double in pinned output column ${f.name}: $d")
+          java.lang.Double.toString(d)
         case LongType    => row.getLong(i).toString
         case IntegerType => row.getInt(i).toString
         case BooleanType => row.getBoolean(i).toString

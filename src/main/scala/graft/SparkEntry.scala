@@ -55,6 +55,13 @@ object SparkEntry {
     "hmm_viterbi"   -> HmmQueries.viterbi _,
     "hmm_nbest"     -> ((s: SparkSession, d: String) => HmmQueries.nbest(s, d)),
     "hmm_posterior" -> HmmQueries.posterior _,
+    // digest companions: extend the driver's exact-hash signal to the
+    // decode outputs whose full row sets are too large to pin (10k-30k
+    // rows/tier) — one order-independent content-digest row per tier,
+    // pinned via the same PinGen/tsv mechanism as the other literals
+    "hmm_viterbi_digest"   -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.viterbi(s, d))),
+    "hmm_posterior_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.posterior(s, d))),
+    "hmm_nbest_digest"     -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.nbest(s, d))),
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_viterbi_train" -> HmmQueries.viterbiTrain _,
     "hmm_predict"   -> HmmQueries.predict _,
@@ -173,6 +180,11 @@ object SparkEntry {
     // rows-only: append mode withholds the watermark-open tail by
     // design; StreamingSpec proves emitted == batch ∩ closed exactly
     "stream_session_window" -> ((s: SparkSession, d: String) => StreamingJobs.sessionWindowStream(s, d)),
+    // digest companion (see the hmm_*_digest entries above): the
+    // watermark-closed session set is deterministic for a finite
+    // corpus, so its content digest pins exactly
+    "stream_session_window_digest" -> ((s: SparkSession, d: String) =>
+      operators.RelationDigest.digest(StreamingJobs.sessionWindowStream(s, d))),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */

@@ -9,6 +9,13 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // GRAFT_EXCLUDE_PINNED=1: drop pinned-literal-oracle queries from the
+    // dump AND from oracle_sql.json — pins are captured against the
+    // driver testdata tiers, so a gate over any OTHER corpus (the
+    // ScaleUp self-scaled tier) must compare only recomputable oracles
+    val pinned: Set[String] =
+      if (sys.env.get("GRAFT_EXCLUDE_PINNED").contains("1")) PinnedOracleData.byName.keySet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +41,7 @@ object Verify {
           "timestamp encoding misread; refusing to dump plausible wrong answers")
     }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !pinned.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -55,6 +62,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => !pinned.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

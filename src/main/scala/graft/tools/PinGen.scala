@@ -34,12 +34,16 @@ object PinGen {
     // (integer-count ⇒ deterministic) model, exact-integer BPE encode,
     // and the cell-bounded semantic dedup. NOT pinned by policy:
     // soft-EM dumps (hmm_baumwelch/train_cli/quality_lr: treeAggregate
-    // fold order is not bitwise-stable), hmm_viterbi/posterior
-    // (10k-30k rows per tier), hmm_nbest (its hyphen-joined path
-    // strings average ~130 chars × 4500 tier-3 rows — the pin would
-    // outweigh every other fixture combined)
+    // fold order is not bitwise-stable)
     "hmm_forward", "hmm_backward", "hmm_likelihood",
-    "hmm_predict", "hmm_decode_events", "bpe_apply", "semantic_dedup")
+    "hmm_predict", "hmm_decode_events", "bpe_apply", "semantic_dedup",
+    // round-11: digest companions — the full viterbi/posterior/nbest/
+    // session-window row sets stay unpinnable by artifact size
+    // (10k-30k rows per tier), but their 1-row RelationDigest
+    // companions pin at ~zero cost and carry the same exact-content
+    // signal (order-independent combiners, see RelationDigest docs)
+    "hmm_viterbi_digest", "hmm_posterior_digest", "hmm_nbest_digest",
+    "stream_session_window_digest")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,10 +82,13 @@ object PinGen {
 
     args.headOption match {
       case Some("--dump") | None =>
+        // data rows use the same Sep character as the resource format so
+        // the stability-diff filter (^(###|\d+\x1f)) matches them — a tab
+        // here made the local[4]-vs-local[32] diff compare headers only
         captured.foreach { case (name, cols, rows) =>
           println(s"### $name ${cols.map { case (n, t) => s"$n:$t" }.mkString(",")}")
           rows.toSeq.sortBy(_._1).foreach { case (tier, rs) =>
-            rs.foreach(r => println(s"$tier\t$r"))
+            rs.foreach(r => println(s"$tier${PinnedOracles.Sep}$r"))
           }
         }
       case Some(out) =>

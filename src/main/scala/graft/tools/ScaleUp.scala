@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Self-scaled correctness tier: writes a corpus K× the base SF by
+  * unioning K key-remapped copies of every table, preserving
+  * referential integrity (each copy's foreign keys shift by the same
+  * per-entity offset, so joins land inside their own copy; copy 0 is
+  * the identity, so the base corpus is a subset).
+  *
+  * Motivation (round-11 verdict): two real bugs in this project's
+  * history were invisible below a magnitude threshold (bucketed_join's
+  * 4dp sum drift appeared only at sf0.1; q2_min_cost's half-boundary
+  * round flip only at sf0.001). This tool manufactures the next
+  * magnitude tier (sf0.1 × 10 ≈ sf1: 6M lineitem rows) without driver
+  * support; the oracled gate then runs over it unchanged:
+  *
+  * {{{
+  * sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sfx1 10"
+  * GRAFT_EXCLUDE_PINNED=1 SPARK_GRAFT_CPUS=32 \
+  *   sbt -batch "runMain graft.Verify /tmp/graft_sfx1 /tmp/verify_sfx1"
+  * python3 tools/check.py /tmp/graft_sfx1 /tmp/verify_sfx1
+  * }}}
+  *
+  * Pinned-literal oracles are excluded (GRAFT_EXCLUDE_PINNED): pins are
+  * captured against the driver corpus per tier, and this corpus is a
+  * different one that merely lands in tier 3's lineitem-count range.
+  *
+  * Dedup semantics at this tier are deliberately adversarial: document
+  * text is replicated verbatim K times under distinct doc_ids, so every
+  * content group becomes a K-clique of exact duplicates — a realistic
+  * stress of the LSH banding, PPJoin, and connected-components paths
+  * (the oracle recomputes over the same corpus, so the compare stays
+  * exact).
+  *
+  * Scale shape: one scan per table crossJoined with a broadcast
+  * K-row copy index — no per-copy rescan, no shuffle (writes are
+  * scan-partitioned).
+  */
+object ScaleUp {
+
+  // per-entity key offsets; one copy's id space never collides with
+  // another's at any supported K (offsets ≫ base cardinality × K)
+  private val CustOff  = 10000000L // also events.user_id (same id space)
+  private val SuppOff  = 10000000L
+  private val PartOff  = 10000000L
+  private val OrderOff = 100000000L
+  private val EventOff = 1000000000L
+  private val DocOff   = 10000000L
+  private val VecOff   = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val base   = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out    = args.lift(1).getOrElse("/tmp/graft_sfx1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copyIdx = broadcast(spark.range(copies).toDF("copy_i"))
+
+    def scaled(df: DataFrame, keyOffsets: (String, Long)*): DataFrame = {
+      val shifted = keyOffsets.foldLeft(df.crossJoin(copyIdx)) {
+        case (d, (c, off)) => d.withColumn(c, col(c) + col("copy_i") * off)
+      }
+      shifted.drop("copy_i")
+    }
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[scaleup] $name written")
+    }
+
+    // fixed dims: one copy (25 nations / 5 regions are the TPC-H
+    // constants every copy's foreign keys point into)
+    write("region", Tables.region(spark, base))
+    write("nation", Tables.nation(spark, base))
+
+    write("customer", scaled(Tables.customer(spark, base), "c_custkey" -> CustOff))
+    write("supplier", scaled(Tables.supplier(spark, base), "s_suppkey" -> SuppOff))
+    write("part", scaled(Tables.part(spark, base), "p_partkey" -> PartOff))
+    write("orders", scaled(Tables.orders(spark, base),
+      "o_orderkey" -> OrderOff, "o_custkey" -> CustOff))
+    write("lineitem", scaled(Tables.lineitem(spark, base),
+      "l_orderkey" -> OrderOff, "l_partkey" -> PartOff, "l_suppkey" -> SuppOff))
+    // events read through Tables.events so ts is normalized to a µs
+    // TimestampType instant regardless of the base's physical encoding
+    write("events", scaled(Tables.events(spark, base),
+      "event_id" -> EventOff, "user_id" -> CustOff))
+    write("documents", scaled(Tables.documents(spark, base), "doc_id" -> DocOff))
+    write("embeddings", scaled(Tables.embeddings(spark, base), "vec_id" -> VecOff))
+
+    System.err.println(s"[scaleup] done: $out = $base x $copies")
+    spark.stop()
+  }
+}

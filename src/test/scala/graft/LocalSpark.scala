@@ -4,13 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all Spark-backed specs. */
 object LocalSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // snapshot hygiene keys before ANY spec can touch the conf: every
+    // conf access goes through spark.conf, which forces this initializer
+    // first, so the snapshot can never baseline already-polluted values
+    snapshot = Some(hygieneKeys.map(k =>
+      k -> scala.util.Try(s.conf.get(k)).toOption.flatMap(Option(_))).toMap)
+    s
+  }
+
+  @volatile private var snapshot: Option[Map[String, Option[String]]] = None
 
   val sfDir = "/root/testdata/sf0.001"
 
@@ -51,14 +61,11 @@ object LocalSpark {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
-  /** Pristine values of the hygiene keys, captured the first time the
-    * shared session is touched (forces `spark`). null-valued keys (no
-    * non-null default) snapshot as None. */
-  lazy val pristineConf: Map[String, Option[String]] = {
-    val conf = spark.conf
-    hygieneKeys.map(k =>
-      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
-  }
+  /** Pristine values of the hygiene keys, captured eagerly inside the
+    * `spark` initializer (so it is always taken before any spec can
+    * mutate the session conf — suite ordering is not fixed). null-valued
+    * keys (no non-null default) snapshot as None. */
+  def pristineConf: Map[String, Option[String]] = { spark; snapshot.get }
 
   /** Fail loudly (with the offending keys) if a prior suite left the shared
     * session in a non-pristine state. Call from beforeAll of plan-sensitive

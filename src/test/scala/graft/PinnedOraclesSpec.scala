@@ -14,11 +14,11 @@ import graft.LocalSpark.{sfDir, spark}
   */
 class PinnedOraclesSpec extends AnyFunSuite {
 
-  test("every pinned oracle matches a fresh distributed recompute at sf0.001") {
-    val diffs = PinnedOracleData.byName.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+  private def recomputeDiffs(tier: Int, dir: String): Seq[String] =
+    PinnedOracleData.byName.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
+      val df = SparkEntry.queries(name)(spark, dir)
       val live = df.collect().map(r => PinnedOracles.renderRow(r, df.schema)).toSeq
-      val pinned = pin.rowsFor(1)
+      val pinned = pin.rowsFor(tier)
       if (live == pinned) None
       else {
         val firstBad = live.zipAll(pinned, "<missing>", "<missing>")
@@ -28,9 +28,23 @@ class PinnedOraclesSpec extends AnyFunSuite {
           s"pinned='${pinned.lift(firstBad).getOrElse("")}'")
       }
     }
+
+  test("every pinned oracle matches a fresh distributed recompute at sf0.001") {
+    val diffs = recomputeDiffs(1, sfDir)
     assert(diffs.isEmpty,
       "pinned oracles drifted (regenerate with graft.tools.PinGen after " +
         s"confirming the cause is a deliberate version/knob change):\n${diffs.mkString("\n")}")
+  }
+
+  // Tier-2/3 pins are normally exercised only by the driver gate; this
+  // opt-in sweep (used by the verify skill's pin-regeneration recipe)
+  // recomputes tier 2 locally so a tier-specific drift fails here with a
+  // row diff instead of as an opaque driver hash mismatch.
+  test("tier-2 pins match a recompute at sf0.01 (opt-in: GRAFT_PIN_TIER2=1)") {
+    assume(sys.env.get("GRAFT_PIN_TIER2").contains("1"),
+      "set GRAFT_PIN_TIER2=1 to run the tier-2 pin sweep")
+    val diffs = recomputeDiffs(2, "/root/testdata/sf0.01")
+    assert(diffs.isEmpty, s"tier-2 pinned oracles drifted:\n${diffs.mkString("\n")}")
   }
 
   test("pinned SQL embeds the tier discriminator iff the result is corpus-dependent") {
