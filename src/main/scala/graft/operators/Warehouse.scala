@@ -32,7 +32,13 @@ object Warehouse {
       df.groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          sum(col("o_totalprice")).as("s"),
+          // DECIMAL partial sums: a double sum drifts with accumulation
+          // order (merged-partial vs direct recompute flipped 2dp at the
+          // sfx1 tier's 7e10 magnitude, and ANY dp is a coin flip when
+          // the sum lands near a rounding boundary); decimal addition is
+          // exact and associative, so partial-merge ≡ recompute
+          // bit-exactly at any scale
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
     val base  = partials(orders.filter(col("o_orderkey") % 5 =!= 0))
@@ -41,13 +47,13 @@ object Warehouse {
       .groupBy("o_orderpriority")
       .agg(
         sum(col("n")).as("n_orders"),
-        // 2dp before the avg: merged-partial and direct sums differ in
-        // accumulation order (~1e-4 at 1e9 magnitude); rounding first
-        // makes the avg inputs identical on both engines
-        round(sum(col("s")), 2).as("sum_price"),
+        sum(col("s")).cast("double").as("sum_price"),
         min(col("lo")).as("min_price"),
         max(col("hi")).as("max_price"))
-      .withColumn("avg_price", round(col("sum_price") / col("n_orders"), 6))
+      // floor-pattern quotient rounding (CLAUDE.md): same IEEE op
+      // sequence on both engines, no decimal-string detour
+      .withColumn("avg_price",
+        floor(col("sum_price") * lit(1e6) / col("n_orders") + lit(0.5)) / lit(1e6))
       .orderBy("o_orderpriority")
   }
 
@@ -55,13 +61,13 @@ object Warehouse {
     """WITH a AS (
       |  SELECT o_orderpriority,
       |    CAST(count(*) AS BIGINT) AS n_orders,
-      |    round(sum(o_totalprice), 2) AS sum_price,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |    min(o_totalprice) AS min_price,
       |    max(o_totalprice) AS max_price
       |  FROM orders GROUP BY o_orderpriority
       |)
       |SELECT o_orderpriority, n_orders, sum_price, min_price, max_price,
-      |  round(sum_price / n_orders, 6) AS avg_price
+      |  floor(sum_price * 1e6 / n_orders + 0.5) / 1e6 AS avg_price
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
   /** Hourly event counts per type with the gaps filled: the grid is

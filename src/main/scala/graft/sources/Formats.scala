@@ -98,17 +98,24 @@ object Formats {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
-        // 2dp, not 4: these sums reach ~6e9 at sf0.1, where the two
-        // engines' accumulation orders differ by ~1e-4 — 4dp rounding
-        // flips the last digit (observed), 2dp has 50x headroom
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        // DECIMAL sum, not double: this sum passes through a bucket
+        // exchange, so the engines' accumulation orders differ and the
+        // double sum drifts with magnitude (~1e-2 at the sfx1 tier's
+        // 6e10 sums — flipped 2dp there, and any dp is a coin flip
+        // whenever the sum lands within the drift of a rounding
+        // boundary). Decimal addition is exact and associative, so the
+        // sum is bit-identical across engines AND partitionings at any
+        // scale; one final cast to DOUBLE keeps the output schema.
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -42,11 +42,22 @@ object StreamingJobs {
       spark: SparkSession, dir: String, glob: String,
       maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Two corpus layouts: the driver testdata stores each table as ONE
+    // file ($dir/events.parquet — pathGlobFilter on the leaf name), but
+    // any Spark-written corpus (ScaleUp's ~sf1 tier, production data)
+    // stores it as a DIRECTORY of part files, whose leaf names the glob
+    // can never match — stream the directory itself in that case.
+    val asDir = new java.io.File(dir, glob)
+    val (readPath, filterOpt) =
+      if (!glob.exists(c => c == '*' || c == '?' || c == '{') && asDir.isDirectory)
+        (asDir.getPath, None)
+      else (dir, Some(glob))
     // NOTE: probing requires at least one matched file at stream start (a
     // behavior change vs a declared schema, which would start and emit
     // nothing) — acceptable for finite corpora; fail with a clear message
     val probed =
-      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      try filterOpt.fold(spark.read)(g => spark.read.option("pathGlobFilter", g))
+        .parquet(readPath).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
@@ -56,7 +67,7 @@ object StreamingJobs {
     val r0 = spark.readStream.schema(probed)
     val r1 = maxFilesPerTrigger.fold(r0)(m => r0.option("maxFilesPerTrigger", m.toString))
     graft.sources.Tables.normalizeEventTs(
-      r1.option("pathGlobFilter", glob).parquet(dir))
+      filterOpt.fold(r1)(g => r1.option("pathGlobFilter", g)).parquet(readPath))
   }
 
   /** The streaming transform, defined once so batch parity tests run

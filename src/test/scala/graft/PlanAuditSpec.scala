@@ -65,6 +65,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // queries whose plan embeds an eagerly-built memoized relation (the
+  // shared LSH verified-pairs / CC label loop): the printed plan of a
+  // loop-built DataFrame depends on which loop-intermediate cache
+  // entries exist when its executedPlan is first forced, so the
+  // fingerprint is construction-order-dependent across suites — same
+  // class as the eager-execution entries in `skip`, excluded here for
+  // the same reason (their scale shape is asserted by DedupSpec's own
+  // candidate-count/plan tests instead).
+  private val fpSkip = Set(
+    "contam_minhash", "dedup_incremental", "dedup_minhash_lsh", "semantic_dedup")
+
+  test("per-query plan fingerprints match the committed snapshot") {
+    LocalSpark.assertSessionHygiene("PlanAuditSpec/fingerprints")
+    val names = SparkEntry.queries.keys.toSeq.filterNot(skip).filterNot(fpSkip).sorted
+    // cache-warm canonical state: constructing a query's DataFrame
+    // registers its memoized persisted relations (sequences, shingles,
+    // models) with the shared CacheManager, which rewrites later plans
+    // to InMemoryTableScan. One warm-up construction pass makes the
+    // fingerprints independent of which suites ran before this one.
+    names.foreach(n => SparkEntry.queries(n)(spark, sfDir))
+    val current = names.map(n =>
+      n -> graft.plans.PlanFingerprint.of(SparkEntry.queries(n)(spark, sfDir)))
+    val path = java.nio.file.Paths.get(
+      sys.props("user.dir"), "src", "test", "resources", "graft", "plan_fingerprints.tsv")
+    if (sys.env.get("GRAFT_PLAN_FP_REGEN").contains("1")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path,
+        current.map { case (n, f) => s"$n\t$f" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"regenerated $path (${current.size} fingerprints)")
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        s"no fingerprint snapshot at $path — regenerate with GRAFT_PLAN_FP_REGEN=1 sbt test")
+      val want = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(path)).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, f) = l.split("\t", 2); n -> f
+        }.toMap
+      val cur = current.toMap
+      val added   = (cur.keySet -- want.keySet).toSeq.sorted
+      val removed = (want.keySet -- cur.keySet).toSeq.sorted
+      val changed = (cur.keySet & want.keySet).toSeq.sorted
+        .filter(k => cur(k) != want(k))
+        .map(k => s"$k\n  snapshot: ${want(k)}\n  current:  ${cur(k)}")
+      assert(added.isEmpty && removed.isEmpty && changed.isEmpty,
+        s"plan fingerprints drifted from the committed snapshot " +
+          s"(GRAFT_PLAN_FP_REGEN=1 after verifying the new plan is intended).\n" +
+          (if (added.nonEmpty) s"new queries (add to snapshot): $added\n" else "") +
+          (if (removed.nonEmpty) s"gone from queries: $removed\n" else "") +
+          changed.mkString("\n"))
+    }
+  }
+
   test("headline scans push filters and prune columns") {
     val q1 = graft.operators.Relational.q1Agg(spark, sfDir)
       .queryExecution.executedPlan.toString
