@@ -43,14 +43,16 @@ import graft.sources.Tables
 object ScaleUp {
 
   // per-entity key offsets; one copy's id space never collides with
-  // another's at any supported K (offsets ≫ base cardinality × K)
-  private val CustOff  = 10000000L // also events.user_id (same id space)
-  private val SuppOff  = 10000000L
-  private val PartOff  = 10000000L
-  private val OrderOff = 100000000L
-  private val EventOff = 1000000000L
-  private val DocOff   = 10000000L
-  private val VecOff   = 10000000L
+  // another's at any supported K (offsets ≫ base cardinality × K).
+  // Public: ScaleInvariants derives closed-form expected outputs from
+  // these same constants.
+  val CustOff  = 10000000L // also events.user_id (same id space)
+  val SuppOff  = 10000000L
+  val PartOff  = 10000000L
+  val OrderOff = 100000000L
+  val EventOff = 1000000000L
+  val DocOff   = 10000000L
+  val VecOff   = 10000000L
 
   def main(args: Array[String]): Unit = {
     val base   = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -64,7 +66,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, base, out, copies)
+    spark.stop()
+  }
 
+  /** Session-injected body so specs can build small scaled corpora. */
+  def scale(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
     val copyIdx = broadcast(spark.range(copies).toDF("copy_i"))
 
     def scaled(df: DataFrame, keyOffsets: (String, Long)*): DataFrame = {
@@ -99,6 +106,5 @@ object ScaleUp {
     write("embeddings", scaled(Tables.embeddings(spark, base), "vec_id" -> VecOff))
 
     System.err.println(s"[scaleup] done: $out = $base x $copies")
-    spark.stop()
   }
 }
