@@ -86,7 +86,20 @@ object Dedup {
     * exact verification touches candidates only. Result is identical
     * to the naive all-pairs join.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  // The verified pair relation feeds three queries (dedup_ngram_jaccard,
+  // dedup_groups, triangle_count) — memoized and persisted per
+  // (session, dir, threshold) like the minhashLsh/embedding candidate
+  // caches, so the PPJoin build runs once per dataset instead of once
+  // per caller (the pair set is tiny next to the corpus; at scale,
+  // recomputing an exact similarity join per consumer is the waste).
+  private val ngramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    ngramCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$threshold",
+      _ => ngramJaccardCompute(spark, dir, threshold).persist())
+
+  private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingled(spark, dir)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

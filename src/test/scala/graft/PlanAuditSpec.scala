@@ -74,7 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // the same reason (their scale shape is asserted by DedupSpec's own
   // candidate-count/plan tests instead).
   private val fpSkip = Set(
-    "contam_minhash", "dedup_incremental", "dedup_minhash_lsh", "semantic_dedup")
+    "contam_minhash", "dedup_incremental", "dedup_minhash_lsh", "semantic_dedup",
+    "dedup_ngram_jaccard") // r11: PPJoin pair relation memoized like minhashLsh
 
   test("per-query plan fingerprints match the committed snapshot") {
     LocalSpark.assertSessionHygiene("PlanAuditSpec/fingerprints")
