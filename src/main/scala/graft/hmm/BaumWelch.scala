@@ -3,31 +3,83 @@ package graft.hmm
 import org.apache.spark.rdd.RDD
 
 /** Fixed-size dense sufficient statistics for one EM iteration:
-  * K + K² + K·M doubles — the commutative-associative payload that
+  * K + K² + K·M cells — the commutative-associative payload that
   * replaces the reference's shuffled MapWritable stripes
   * (BaumWelchMapper → Combiner → Reducer).
+  *
+  * Accumulation is 2^-36 FIXED POINT (long), not double: quantized
+  * addition is exact and associative, so the aggregated statistics —
+  * and with them the entire training trajectory — are bitwise
+  * identical under ANY partitioning, task order, and treeAggregate
+  * combine shape. Double sums made the soft-EM trainers this
+  * library's only parallelism-nondeterministic outputs (r11); with
+  * fixed-point stats they pin like every other query. Cost of the
+  * quantization: each E-step term is rounded once to the nearest
+  * 2^-36 (error ≤ 2^-37 per term, orders of magnitude below EM's own
+  * convergence tolerance and the M-step's normalization).
+  *
+  * Capacity: a cell overflows at 2^63 · 2^-36 ≈ 1.3e8 expected-count
+  * mass — ~100× the total observation count of the largest test tier,
+  * and guarded by addExact (loud failure, never silent wraparound).
+  * A corpus beyond that lowers [[HmmSuffStats.ScaleBits]]: capacity
+  * doubles per bit dropped while per-term error stays ≪ any
+  * statistical noise floor (2^-21 at the 10^13-observation extreme).
   */
 final class HmmSuffStats(val numStates: Int, val numSymbols: Int) extends Serializable {
-  val pi = new Array[Double](numStates)
-  val a: Array[Array[Double]] = Array.ofDim[Double](numStates, numStates)
-  val b: Array[Array[Double]] = Array.ofDim[Double](numStates, numSymbols)
-  var logLik = 0.0
+  import HmmSuffStats.fx
+  val pi = new Array[Long](numStates)
+  val a: Array[Array[Long]] = Array.ofDim[Long](numStates, numStates)
+  val b: Array[Array[Long]] = Array.ofDim[Long](numStates, numSymbols)
+  private var logLikFx = 0L
+  // hard-EM degenerate case (a zero-probability event on the decoded
+  // path): -Inf saturates a sticky flag instead of poisoning the sum
+  private var logLikNegInf = false
   var nSeq = 0L
+
+  def addPi(i: Int, x: Double): Unit = pi(i) = Math.addExact(pi(i), fx(x))
+  def addA(q: Int, r: Int, x: Double): Unit = a(q)(r) = Math.addExact(a(q)(r), fx(x))
+  def addB(i: Int, sym: Int, x: Double): Unit = b(i)(sym) = Math.addExact(b(i)(sym), fx(x))
+
+  /** One PER-SEQUENCE log-likelihood contribution (the per-step log
+    * sum stays in the sequence-local double loop, so quantization
+    * error is per sequence, not per observation). */
+  def addLogLik(x: Double): Unit =
+    if (x == Double.NegativeInfinity) logLikNegInf = true
+    else logLikFx = Math.addExact(logLikFx, fx(x))
+
+  def logLik: Double =
+    if (logLikNegInf) Double.NegativeInfinity
+    else logLikFx.toDouble / HmmSuffStats.Scale
+
+  /** Double views of the stripes (tests / diagnostics; the M-step
+    * normalizes the raw longs so the model stays a deterministic
+    * function of exact integers). */
+  def piDouble: Array[Double] = pi.map(_.toDouble / HmmSuffStats.Scale)
+  def aDouble: Array[Array[Double]] = a.map(_.map(_.toDouble / HmmSuffStats.Scale))
+  def bDouble: Array[Array[Double]] = b.map(_.map(_.toDouble / HmmSuffStats.Scale))
 
   def merge(o: HmmSuffStats): HmmSuffStats = {
     var i = 0
     while (i < numStates) {
-      pi(i) += o.pi(i)
+      pi(i) = Math.addExact(pi(i), o.pi(i))
       var j = 0
-      while (j < numStates) { a(i)(j) += o.a(i)(j); j += 1 }
+      while (j < numStates) { a(i)(j) = Math.addExact(a(i)(j), o.a(i)(j)); j += 1 }
       j = 0
-      while (j < numSymbols) { b(i)(j) += o.b(i)(j); j += 1 }
+      while (j < numSymbols) { b(i)(j) = Math.addExact(b(i)(j), o.b(i)(j)); j += 1 }
       i += 1
     }
-    logLik += o.logLik
+    logLikFx = Math.addExact(logLikFx, o.logLikFx)
+    logLikNegInf ||= o.logLikNegInf
     nSeq += o.nSeq
     this
   }
+}
+
+object HmmSuffStats {
+  /** Fixed-point fraction bits; see the capacity note on the class. */
+  val ScaleBits: Int = 36
+  val Scale: Double = (1L << ScaleBits).toDouble
+  @inline def fx(x: Double): Long = Math.round(x * Scale)
 }
 
 /** Distributed Baum-Welch EM — the Spark-first reshape of the whole
@@ -224,13 +276,18 @@ object BaumWelch {
     * optionally adding `pseudoCount` to every cell first (Viterbi
     * training's Laplace smoothing; soft EM passes 0). A row with
     * zero mass (state never visited) keeps the previous model's row
-    * rather than dividing by zero.
+    * rather than dividing by zero. Normalization runs on the raw
+    * fixed-point longs (sum exact in long, one correctly-rounded
+    * long→double conversion per cell), so the model is a
+    * deterministic function of the exact integer statistics.
     */
   private def mStep(stats: HmmSuffStats, prev: HmmModel, pseudoCount: Double = 0.0): HmmModel = {
-    def normRow(row: Array[Double], fallback: Array[Double]): Array[Double] = {
-      val smoothed = row.map(_ + pseudoCount)
-      val s = smoothed.sum
-      if (s > 0) smoothed.map(_ / s) else fallback.clone()
+    val pcFx = HmmSuffStats.fx(pseudoCount)
+    def normRow(row: Array[Long], fallback: Array[Double]): Array[Double] = {
+      var s = 0L
+      var i = 0
+      while (i < row.length) { s = Math.addExact(s, Math.addExact(row(i), pcFx)); i += 1 }
+      if (s > 0) row.map(c => (c + pcFx).toDouble / s.toDouble) else fallback.clone()
     }
     HmmModel(
       prev.numStates, prev.numSymbols,

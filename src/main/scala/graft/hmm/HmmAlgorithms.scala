@@ -200,13 +200,13 @@ object HmmAlgorithms {
     val beta = backwardScaled(m, obs, scale)
     // π stripe: γ_0
     var i = 0
-    while (i < k) { stats.pi(i) += alpha(0)(i) * beta(0)(i) * scale(0); i += 1 }
+    while (i < k) { stats.addPi(i, alpha(0)(i) * beta(0)(i) * scale(0)); i += 1 }
     // emission stripe: Σ_t γ_t(i) at symbol o_t
     var t = 0
     while (t < timeLen) {
       val sym = obs(t)
       i = 0
-      while (i < k) { stats.b(i)(sym) += alpha(t)(i) * beta(t)(i) * scale(t); i += 1 }
+      while (i < k) { stats.addB(i, sym, alpha(t)(i) * beta(t)(i) * scale(t)); i += 1 }
       t += 1
     }
     // transition stripe: Σ_t ξ_t(q,r)
@@ -218,15 +218,19 @@ object HmmAlgorithms {
         val aq = alpha(t)(q)
         var r = 0
         while (r < k) {
-          stats.a(q)(r) += aq * m.a(q)(r) * m.b(r)(symNext) * beta(t + 1)(r)
+          stats.addA(q, r, aq * m.a(q)(r) * m.b(r)(symNext) * beta(t + 1)(r))
           r += 1
         }
         q += 1
       }
       t += 1
     }
+    // per-sequence log-likelihood in a sequence-local double sum
+    // (deterministic: fixed left-to-right order), quantized once
+    var ll = 0.0
     t = 0
-    while (t < timeLen) { stats.logLik += math.log(scale(t)); t += 1 }
+    while (t < timeLen) { ll += math.log(scale(t)); t += 1 }
+    stats.addLogLik(ll)
     stats.nSeq += 1
   }
 
@@ -248,16 +252,19 @@ object HmmAlgorithms {
     if (obs.isEmpty) return
     val path = viterbi(m, obs)
     def ln(x: Double) = if (x <= 0) Double.NegativeInfinity else math.log(x)
-    stats.pi(path(0)) += 1.0
-    stats.b(path(0))(obs(0)) += 1.0
-    stats.logLik += ln(m.pi(path(0))) + ln(m.b(path(0))(obs(0)))
+    stats.addPi(path(0), 1.0)
+    stats.addB(path(0), obs(0), 1.0)
+    // hard counts of 1.0 are exact in fixed point, so Viterbi
+    // training keeps its integer-count determinism unchanged
+    var ll = ln(m.pi(path(0))) + ln(m.b(path(0))(obs(0)))
     var t = 1
     while (t < obs.length) {
-      stats.a(path(t - 1))(path(t)) += 1.0
-      stats.b(path(t))(obs(t)) += 1.0
-      stats.logLik += ln(m.a(path(t - 1))(path(t))) + ln(m.b(path(t))(obs(t)))
+      stats.addA(path(t - 1), path(t), 1.0)
+      stats.addB(path(t), obs(t), 1.0)
+      ll += ln(m.a(path(t - 1))(path(t))) + ln(m.b(path(t))(obs(t)))
       t += 1
     }
+    stats.addLogLik(ll)
     stats.nSeq += 1
   }
 }

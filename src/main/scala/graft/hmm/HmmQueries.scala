@@ -313,8 +313,10 @@ object HmmQueries {
 
   /** Distributed Baum-Welch from a seeded random init; dumps the
     * trained model (named long form) plus one row per iteration
-    * loglik. Values rounded 4dp: double sums across a treeAggregate
-    * are order-sensitive.
+    * loglik. Values rounded 4dp for artifact readability; since r11
+    * the fixed-point E-step (HmmSuffStats) makes the full-precision
+    * trajectory bitwise partitioning-independent, so the dump carries
+    * a pinned-literal oracle.
     */
   def baumWelch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -337,9 +339,9 @@ object HmmQueries {
     * iteration of the hard-EM objective Σ log P(O, path*).
     *
     * Hard counts are integers → the model is FP-deterministic across
-    * partitionings (spec-asserted); the loglik rows are still
-    * order-sensitive double sums, so the dump keeps hmm_baumwelch's
-    * 4dp rounding.
+    * partitionings (spec-asserted); since r11 the loglik rows are too
+    * (per-sequence quantized fixed-point sums), so the dump pins like
+    * hmm_baumwelch's. 4dp rounding kept for artifact readability.
     */
   def viterbiTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -446,8 +448,8 @@ object HmmQueries {
 
   /** CLI training driver surface (reference BaumWelchDriver.java CLI):
     * trains on the events table via TrainHmm.run and dumps the written
-    * named-model directory. Rows-only check: treeAggregate sums are
-    * order-sensitive at full precision.
+    * named-model directory. Pinned-literal oracle since r11 (the
+    * fixed-point E-step makes the trained model deterministic).
     */
   def trainCli(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("graft_train_cli", dir)

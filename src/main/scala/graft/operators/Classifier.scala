@@ -25,12 +25,19 @@ import graft.sources.Tables
 object Classifier {
 
   /** Per-partition Newton accumulator: gradient, Hessian (packed
-    * row-major), log-loss, count.
+    * row-major), log-loss, count — accumulated in the same 2^-36
+    * fixed point as [[graft.hmm.HmmSuffStats]], so the aggregate (and
+    * with it the trained weights) is bitwise identical under any
+    * partitioning and treeAggregate combine order. Per-term rounding
+    * error ≤ 2^-37 — far below the 1e-6·n ridge; overflow guarded by
+    * addExact (margin features are O(10), so cells stay ~10 orders of
+    * magnitude under the 2^27-mass ceiling at test-tier counts).
     */
   private final class NewtonAcc(dim: Int) extends Serializable {
-    val grad = new Array[Double](dim)
-    val hess = new Array[Double](dim * dim)
-    var loss = 0.0
+    import graft.hmm.HmmSuffStats.{Scale, fx}
+    val grad = new Array[Long](dim)
+    val hess = new Array[Long](dim * dim)
+    private var lossFx = 0L
     var n = 0L
     def add(w: Array[Double], x: Array[Double], y: Double): this.type = {
       var z = 0.0
@@ -38,25 +45,32 @@ object Classifier {
       while (i < dim) { z += w(i) * x(i); i += 1 }
       val p = 1.0 / (1.0 + math.exp(-z))
       val eps = 1e-12
-      loss -= y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps)
+      lossFx = Math.addExact(lossFx,
+        fx(-(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))))
       val d = p - y
       val s = math.max(p * (1 - p), 1e-9)
       i = 0
       while (i < dim) {
-        grad(i) += d * x(i)
+        grad(i) = Math.addExact(grad(i), fx(d * x(i)))
         var j = 0
-        while (j < dim) { hess(i * dim + j) += s * x(i) * x(j); j += 1 }
+        while (j < dim) {
+          hess(i * dim + j) = Math.addExact(hess(i * dim + j), fx(s * x(i) * x(j)))
+          j += 1
+        }
         i += 1
       }
       n += 1
       this
     }
+    def loss: Double = lossFx.toDouble / Scale
+    def gradDouble: Array[Double] = grad.map(_.toDouble / Scale)
+    def hessDouble: Array[Double] = hess.map(_.toDouble / Scale)
     def merge(o: NewtonAcc): this.type = {
       var i = 0
-      while (i < grad.length) { grad(i) += o.grad(i); i += 1 }
+      while (i < grad.length) { grad(i) = Math.addExact(grad(i), o.grad(i)); i += 1 }
       i = 0
-      while (i < hess.length) { hess(i) += o.hess(i); i += 1 }
-      loss += o.loss
+      while (i < hess.length) { hess(i) = Math.addExact(hess(i), o.hess(i)); i += 1 }
+      lossFx = Math.addExact(lossFx, o.lossFx)
       n += o.n
       this
     }
@@ -141,9 +155,9 @@ object Classifier {
         depth = 2)
       bc.destroy()
       losses(e) = acc.loss / n
-      val h = acc.hess.clone()
+      val h = acc.hessDouble
       for (i <- 0 until dim) h(i * dim + i) += ridge * n
-      val step = solve(h, acc.grad, dim)
+      val step = solve(h, acc.gradDouble, dim)
       w = w.indices.map(i => w(i) - step(i)).toArray
     }
     data.unpersist()
@@ -155,8 +169,9 @@ object Classifier {
     new java.util.concurrent.ConcurrentHashMap[String, TrainResult]()
 
   /** Driver query: per-document smooth quality score against the
-    * rule label it was distilled from. Deterministic to ~1e-9
-    * (treeAggregate combine order; one memoized model per process).
+    * rule label it was distilled from. Bitwise deterministic since
+    * r11 (fixed-point Newton accumulation; one memoized model per
+    * process) — carries a pinned-literal oracle.
     */
   def qualityLr(spark: SparkSession, dir: String): DataFrame =
     qualityLrFor(Tables.documents(spark, dir), Some(dir))

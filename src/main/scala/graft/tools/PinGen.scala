@@ -32,9 +32,7 @@ object PinGen {
     "knn_ivf", "knn_pq", "knn_ivf_pq", "pq_quantize", "kmeans_clusters",
     // round-10 second wave: per-sequence DP dumps from the supervised
     // (integer-count ⇒ deterministic) model, exact-integer BPE encode,
-    // and the cell-bounded semantic dedup. NOT pinned by policy:
-    // soft-EM dumps (hmm_baumwelch/train_cli/quality_lr: treeAggregate
-    // fold order is not bitwise-stable)
+    // and the cell-bounded semantic dedup
     "hmm_forward", "hmm_backward", "hmm_likelihood",
     "hmm_predict", "hmm_decode_events", "bpe_apply", "semantic_dedup",
     // round-11: digest companions — the full viterbi/posterior/nbest/
@@ -43,7 +41,15 @@ object PinGen {
     // companions pin at ~zero cost and carry the same exact-content
     // signal (order-independent combiners, see RelationDigest docs)
     "hmm_viterbi_digest", "hmm_posterior_digest", "hmm_nbest_digest",
-    "stream_session_window_digest")
+    "stream_session_window_digest",
+    // round-11 second wave: the soft-EM/IRLS trainers accumulate in
+    // 2^-36 fixed point (HmmSuffStats/NewtonAcc) — exact associative
+    // sums make the training trajectory bitwise partitioning-
+    // independent, retiring the old "treeAggregate fold order" pin
+    // exclusion. Determinism is spec-proved (DeterministicTrainingSpec)
+    // AND empirically re-verified by the local[4]/local[32] dump diff.
+    "hmm_baumwelch", "hmm_viterbi_train", "hmm_train_cli",
+    "hmm_checkpoint_resume", "quality_lr")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

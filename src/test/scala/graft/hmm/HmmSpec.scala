@@ -108,17 +108,19 @@ class HmmSpec extends AnyFunSuite {
       // M-step identical to BaumWelch.mStep via public fit on a local context is
       // exercised in VerifySpec; here re-normalize manually
       def norm(r: Array[Double]) = { val s = r.sum; r.map(_ / s) }
-      model = HmmModel(2, 3, norm(stats.pi), stats.a.map(norm), stats.b.map(norm))
+      model = HmmModel(2, 3, norm(stats.piDouble), stats.aDouble.map(norm), stats.bDouble.map(norm))
       model.validate(1e-9)
     }
   }
 
   test("suff-stats merge is exact elementwise addition") {
     val s1 = new HmmSuffStats(2, 3); val s2 = new HmmSuffStats(2, 3)
-    s1.pi(0) = 1.5; s2.pi(0) = 0.25; s1.a(1)(0) = 2.0; s2.b(0)(2) = 3.0
-    s1.logLik = -5.0; s2.logLik = -7.0; s1.nSeq = 2; s2.nSeq = 3
+    // all values exactly representable in 2^-36 fixed point, so the
+    // double views must round-trip exactly
+    s1.addPi(0, 1.5); s2.addPi(0, 0.25); s1.addA(1, 0, 2.0); s2.addB(0, 2, 3.0)
+    s1.addLogLik(-5.0); s2.addLogLik(-7.0); s1.nSeq = 2; s2.nSeq = 3
     val mg = s1.merge(s2)
-    assert(mg.pi(0) == 1.75 && mg.a(1)(0) == 2.0 && mg.b(0)(2) == 3.0)
+    assert(mg.piDouble(0) == 1.75 && mg.aDouble(1)(0) == 2.0 && mg.bDouble(0)(2) == 3.0)
     assert(mg.logLik == -12.0 && mg.nSeq == 5)
   }
 
