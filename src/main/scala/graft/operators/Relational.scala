@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,27 +26,60 @@ object Relational {
   /** TPC-H Q1-style pricing summary: filter + groupBy + 7 aggregates. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // DECIMAL sums, not double: the sf×100 magnitude gate caught the
+    // 4dp-rounded double sums flipping their last digit at ~3e11
+    // (exchange fold-order drift; any dp is a coin flip near a
+    // boundary — CLAUDE.md). Inputs are exact at 2dp, so decimal
+    // accumulation is exact and associative; one final correctly-
+    // rounded cast to DOUBLE agrees bit-for-bit with DuckDB at any
+    // scale. Averages are quotients of those exact sums, rounded with
+    // the floor pattern (identical IEEE op sequence on both engines).
+    val qtyD   = col("l_quantity").cast("decimal(18,2)")
+    val priceD = col("l_extendedprice").cast("decimal(18,2)")
+    val discD  = col("l_discount").cast("decimal(3,2)")
+    val taxD   = col("l_tax").cast("decimal(3,2)")
+    val one2   = lit(BigDecimal(1)).cast("decimal(3,2)")
+    def floor4(x: Column) = floor(x * lit(10000.0) + lit(0.5)) / lit(10000.0)
     li.filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(qtyD).as("sq"),
+        sum(priceD).as("sp"),
+        sum(priceD * (one2 - discD)).as("sdp"),
+        sum(priceD * (one2 - discD) * (one2 + taxD)).as("sc"),
+        sum(discD).as("sd"),
         count(lit(1)).as("count_order"))
+      // product sums carry scale 4/6; re-round to scale 2 (exact
+      // half-up decimal arithmetic, identical in both engines) BEFORE
+      // the double cast: decimal→double is single-rounding only while
+      // the unscaled value fits 2^53, and scale 6 blows that at ~3e10
+      // (1-ulp cross-engine flip observed at the ×10 tier)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sp").cast("double").as("sum_base_price"),
+        col("sdp").cast("decimal(38,2)").cast("double").as("sum_disc_price"),
+        col("sc").cast("decimal(38,2)").cast("double").as("sum_charge"),
+        floor4(col("sq").cast("double") / col("count_order")).as("avg_qty"),
+        floor4(col("sd").cast("double") / col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+      |           (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE)
+      |    AS sum_charge,
+      |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+      |    AS avg_qty,
+      |  floor(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+      |    AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -113,13 +146,19 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      // exact decimal revenue (sf×100 gate: 4dp double sums flip at
+      // ~2e9 per-nation magnitude; decimal sum + one DOUBLE cast is
+      // bit-identical cross-engine at any scale)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("decimal(38,2)").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5MultiJoinSql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -22,18 +22,19 @@ object RelationalExtras {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        // 2dp: the grand-total row sums to ~3e10 at sf0.1, where
-        // engine accumulation orders differ by ~1e-4 (see Formats
-        // bucketedJoin note); 4dp is flip-prone at that magnitude
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        // exact decimal sums (sf×100 magnitude rule): the grand-total
+        // row reaches ~3e12 at the ×100 tier, where ANY dp rounding of
+        // a double sum is a boundary coin flip; decimal accumulation +
+        // one DOUBLE cast is bit-identical cross-engine at any scale
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n_rows,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_price
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -47,13 +48,13 @@ object RelationalExtras {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 4).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n_rows,
-      |  round(sum(l_quantity), 4) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -715,12 +716,16 @@ object RelationalExtras {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      // exact decimal sum (sf×100 magnitude rule): price and discount
+      // are exact at 2dp, so the product sum is exact integer
+      // arithmetic; one DOUBLE cast agrees cross-engine at any scale
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(3,2)"))
+          .cast("decimal(38,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
   val q6ForecastSql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -767,12 +772,15 @@ object RelationalExtras {
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#3"  && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("decimal(38,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q19DisjunctSql: String =
-    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
@@ -915,9 +923,15 @@ object RelationalExtras {
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
     li.join(avgQ, "l_partkey")
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      // exact decimal sum, then the /7 quotient rounds with the floor
+      // pattern (sf×100 rule: the sum reaches 4e10 there, and a
+      // round()ed double-sum quotient is a boundary coin flip)
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
+      .select(col("n_lines"),
+        (floor(col("sp").cast("double") / lit(7.0) * lit(100.0) + lit(0.5)) / lit(100.0))
+          .as("avg_yearly"))
   }
 
   val q17SmallQtySql: String =
@@ -926,7 +940,8 @@ object RelationalExtras {
       |  FROM lineitem GROUP BY l_partkey
       |)
       |SELECT count(*) AS n_lines,
-      |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 100 + 0.5) / 100
+      |    AS avg_yearly
       |FROM lineitem JOIN a USING (l_partkey)
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 

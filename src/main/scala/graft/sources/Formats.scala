@@ -105,17 +105,20 @@ object Formats {
         // whenever the sum lands within the drift of a rounding
         // boundary). Decimal addition is exact and associative, so the
         // sum is bit-identical across engines AND partitionings at any
-        // scale; one final cast to DOUBLE keeps the output schema.
+        // scale; re-round to scale 2 before the DOUBLE cast so the
+        // unscaled value stays inside 2^53, where decimal→double is a
+        // single correctly-rounded step on both engines (the scale-6
+        // q1 sum_charge flipped 1 ulp at the ×10 tier without this).
         sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-          .cast("double").as("revenue"))
+          .cast("decimal(38,2)").cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
