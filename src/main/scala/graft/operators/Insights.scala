@@ -146,8 +146,10 @@ object Insights {
         count(lit(1)).as("n_orders"),
         round(min(col("o_totalprice")), 4).as("lo"),
         round(max(col("o_totalprice")), 4).as("hi"),
-        // whole-bucket revenue sums reach ~1e9 at sf0.1: 2dp (CLAUDE.md)
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // exact decimal sum (per-decile totals reach corpus magnitude
+        // — the CLAUDE.md decimal rule, scale-2 native so the double
+        // cast stays single-rounding)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy("decile")
   }
 
@@ -161,7 +163,7 @@ object Insights {
       |  count(*) AS n_orders,
       |  round(min(o_totalprice), 4) AS lo,
       |  round(max(o_totalprice), 4) AS hi,
-      |  round(sum(o_totalprice), 2) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
   /** Per-user EWMA smoothing of event values at two horizons

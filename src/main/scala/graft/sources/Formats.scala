@@ -56,9 +56,9 @@ object Formats {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        // 2dp at ~1e10 magnitude (see bucketedJoin note)
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        // exact decimal sums (whole-corpus magnitude — CLAUDE.md rule)
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy("l_returnflag")
   }
 
@@ -124,8 +124,8 @@ object Formats {
 
   val sinkPartitionedSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_price
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Small-file compaction — the table-maintenance pass every
