@@ -83,6 +83,18 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
+    // The driver's capture keeps only the LAST 2000 chars of stdout,
+    // and the full line above is ~11 KB — BENCH_r8–r11 all landed
+    // "parsed": null because the tail window started mid-line. Emit a
+    // line that FITS the window as the very last thing this program
+    // prints (after session shutdown): summary totals, the 25 slowest
+    // query medians (the informative end of the profile), and a
+    // pointer to the full per-query file.
+    val topQs = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$topQs,"queries_truncated_to":25,$gc,"runs":$runs,"n_errors":${errors.size},"sf":"$sfDir","full_json":"$outPath"}"""
+    println(compact)
     if (errors.nonEmpty) {
       System.err.println(s"bench: ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
       sys.exit(1)

@@ -79,7 +79,23 @@ object HmmSuffStats {
   /** Fixed-point fraction bits; see the capacity note on the class. */
   val ScaleBits: Int = 36
   val Scale: Double = (1L << ScaleBits).toDouble
-  @inline def fx(x: Double): Long = Math.round(x * Scale)
+  /** Single-term range bound: Math.round alone would silently clamp a
+    * term beyond ±2^63·2^-36 to Long.MaxValue (and map NaN to 0) —
+    * addExact guards only the ADDITIONS, so conversion must fail
+    * loudly too. 2^62 leaves one addition of headroom above any legal
+    * term.
+    */
+  val MaxAbsScaled: Double = (1L << 62).toDouble
+  @inline def fx(x: Double): Long = {
+    val scaled = x * Scale
+    // NaN fails this comparison too (!(NaN < b) is true) — a NaN term
+    // is a numerically broken sequence and must poison the run, not
+    // contribute Math.round(NaN) == 0 silently.
+    if (!(Math.abs(scaled) < MaxAbsScaled))
+      throw new ArithmeticException(
+        s"fixed-point term out of range (NaN or |x| >= 2^${62 - ScaleBits}): x=$x")
+    Math.round(scaled)
+  }
 }
 
 /** Distributed Baum-Welch EM — the Spark-first reshape of the whole

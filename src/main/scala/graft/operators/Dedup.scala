@@ -58,11 +58,40 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Stable per-session cache-key prefix: a counter minted once per
+    * session OBJECT (identity-keyed WeakHashMap — the boxed-Long value
+    * holds no reference back to the session, so the entry is
+    * collectable). Unique for the JVM's lifetime, unlike
+    * identityHashCode, which can collide across sessions.
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val sessionIdGen = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionKey(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) { id = sessionIdGen.incrementAndGet(); sessionIds.put(spark, id) }
+    id.toString
+  }
+
+  /** Session-scoped memoization for the five persisted-relation caches
+    * below. Keyed by (session, dir, params): a persisted DataFrame is
+    * bound to its SparkContext — a dir-only key would hand a later
+    * session a plan on a stopped context. Entries whose context has
+    * STOPPED are swept on every access (their persisted blocks died
+    * with the context; before r12 they leaked plan trees for the JVM's
+    * lifetime in a session-cycling JVM). Each cache stays a separate
+    * map: a builder may memoize a sub-relation (ngram → shingle), and
+    * nested computeIfAbsent on one ConcurrentHashMap risks a
+    * same-bin recursive-update failure.
+    */
+  private def memo(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+    cache.computeIfAbsent(s"${sessionKey(spark)}|$key", _ => build)
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    // keyed by (session, dir): a persisted DataFrame is bound to its
-    // SparkContext — a dir-only key would hand a later session a plan
-    // on a stopped context.
-    shingleCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir", _ =>
+    memo(shingleCache, spark, dir)(
       Tables.documents(spark, dir)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -96,8 +125,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    ngramCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$threshold",
-      _ => ngramJaccardCompute(spark, dir, threshold).persist())
+    memo(ngramCache, spark, s"$dir|$threshold")(
+      ngramJaccardCompute(spark, dir, threshold).persist())
 
   private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -290,8 +319,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
-    lshCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$threshold",
-      _ => minhashLshCompute(spark, dir, threshold).persist())
+    memo(lshCache, spark, s"$dir|$threshold")(
+      minhashLshCompute(spark, dir, threshold).persist())
 
   private[graft] def minhashLshCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val docs = shingleArrays(spark, dir)
@@ -856,9 +885,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def embeddingCandidates(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    cellCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$threshold",
-      _ => embeddingCandidatesFor(spark,
+    memo(cellCache, spark, s"$dir|$threshold")(
+      embeddingCandidatesFor(spark,
         Tables.embeddings(spark, dir).select(
           col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
         threshold))
@@ -913,7 +941,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    semCache.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir|$threshold", _ =>
+    memo(semCache, spark, s"$dir|$threshold")(
       semanticDedupFor(spark,
         Tables.embeddings(spark, dir).select(
           col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),

@@ -25,7 +25,11 @@ object RelationalExtras {
         // exact decimal sums (sf×100 magnitude rule): the grand-total
         // row reaches ~3e12 at the ×100 tier, where ANY dp rounding of
         // a double sum is a boundary coin flip; decimal accumulation +
-        // one DOUBLE cast is bit-identical cross-engine at any scale
+        // one DOUBLE cast is bit-identical cross-engine WHILE the
+        // final unscaled decimal fits 2^53 (~9e13 at scale 2 — about
+        // 30× past the verified ×100 tier; beyond that DuckDB's
+        // decimal→double double-rounds and a larger tier must be
+        // re-verified, CLAUDE.md refinement 1)
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)

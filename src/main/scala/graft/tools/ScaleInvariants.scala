@@ -292,8 +292,13 @@ object ScaleInvariants {
         .unionByName(pairs.select(col("b_id").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val cloneDeg = (lit(kL - 1) + lit(kL) * col("deg"))
+      // cloneDeg·(cloneDeg−1) is a product of consecutive integers —
+      // always even, so >>1 is exact integer halving. Keeping the whole
+      // term in LONG (ANSI overflow-guarded) preserves the "exact
+      // census" claim; `/ lit(2)` would detour through double and lose
+      // integer exactness past 2^53.
       val r = degs.agg(
-        sum(lit(kL) * cloneDeg * (cloneDeg - 1) / lit(2)).cast("long").as("w"),
+        sum(lit(kL) * shiftright(cloneDeg * (cloneDeg - 1), 1)).as("w"),
         count(lit(1)).as("n")).first()
       (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
     } finally pairs.unpersist()

@@ -57,6 +57,41 @@ class DeterministicTrainingSpec extends AnyFunSuite {
     assert(outs(0) == outs(1))
   }
 
+  test("fixed-point conversion fails LOUDLY on NaN and out-of-range terms") {
+    // Math.round alone would map NaN -> 0 (a broken sequence silently
+    // contributing nothing) and clamp a huge term to Long.MaxValue
+    // (silent saturation addExact never sees). The fx guard closes
+    // both holes.
+    intercept[ArithmeticException](HmmSuffStats.fx(Double.NaN))
+    intercept[ArithmeticException](HmmSuffStats.fx(Double.PositiveInfinity))
+    intercept[ArithmeticException](HmmSuffStats.fx(1e30))
+    intercept[ArithmeticException](HmmSuffStats.fx(-1e30))
+    val s = new HmmSuffStats(1, 1)
+    intercept[ArithmeticException](s.addLogLik(Double.NaN))
+    // legal extremes still convert
+    assert(HmmSuffStats.fx(0.0) == 0L)
+    assert(HmmSuffStats.fx(1.0) == (1L << HmmSuffStats.ScaleBits))
+  }
+
+  test("cell capacity overflow fails LOUDLY at the ~1.3e8 mass ceiling") {
+    // capacity = 2^63 * 2^-36 ≈ 1.34e8 expected-count mass per cell.
+    // Drive a cell deliberately to the boundary: each maximal legal
+    // term carries just under 2^26 mass (fx bound 2^62), so the THIRD
+    // addition must cross 2^63 and addExact must throw — loud failure,
+    // never silent wraparound.
+    val capacityMass = math.pow(2, 63 - HmmSuffStats.ScaleBits)
+    assert(capacityMass > 1.3e8 && capacityMass < 1.4e8)
+    val term = math.pow(2, 62 - HmmSuffStats.ScaleBits) * 0.999
+    val s = new HmmSuffStats(1, 1)
+    s.addPi(0, term)
+    s.addPi(0, term) // ~0.999 * capacity: still legal
+    intercept[ArithmeticException](s.addPi(0, term))
+    // dropping ScaleBits doubles capacity per bit while per-term
+    // quantization error stays negligible: at 32 bits, capacity covers
+    // the 10^9-mass tier with error 2^-33 per term
+    assert(math.pow(2, 63 - 32) > 2e9)
+  }
+
   test("fixed-point quantization error is bounded by design") {
     // a cell receiving 10k terms of ~1.0 mass drifts < 10k * 2^-37
     // from the real sum — far below EM's epsilon and the 4dp dumps
