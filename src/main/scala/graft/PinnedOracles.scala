@@ -33,9 +33,10 @@ object PinnedOracles {
 
   /** Corpus-tier discriminator: documents/embeddings have equal row
     * counts at sf0.001 and sf0.01, so lineitem's row count keys the
-    * tier (1 = sf0.001, 2 = sf0.01, 3 = sf0.1). */
+    * tier (1 = sf0.001, 2 = sf0.01, 3 = sf0.1, 4 = the ScaleUp ×10
+    * self-scaled corpus at ~6M rows — the round-12 scaled pin tier). */
   val tierSql: String =
-    "SELECT CASE WHEN count(*) < 20000 THEN 1 WHEN count(*) < 200000 THEN 2 ELSE 3 END AS tier FROM lineitem"
+    "SELECT CASE WHEN count(*) < 20000 THEN 1 WHEN count(*) < 200000 THEN 2 WHEN count(*) < 2000000 THEN 3 ELSE 4 END AS tier FROM lineitem"
 
   /** One pinned result set: column name → DuckDB type, and per-tier
     * rendered rows ([[Sep]]-joined, in the query's own output order).
@@ -44,6 +45,12 @@ object PinnedOracles {
 
     def rowsFor(tier: Int): Seq[String] =
       if (rows.size == 1) rows.head._2 else rows(tier)
+
+    /** Whether this pin can oracle a corpus in `tier` — always for a
+      * corpus-independent (collapsed) capture, else only if that
+      * tier's rows were captured (a tier-4 capture can be absent when
+      * it blew PinGen's size guard). */
+    def hasTier(tier: Int): Boolean = rows.size == 1 || rows.contains(tier)
 
     /** DuckDB SQL reproducing this result at whatever SF the driver
       * points its views at. */

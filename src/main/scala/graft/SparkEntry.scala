@@ -62,6 +62,15 @@ object SparkEntry {
     "hmm_viterbi_digest"   -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.viterbi(s, d))),
     "hmm_posterior_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.posterior(s, d))),
     "hmm_nbest_digest"     -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.nbest(s, d))),
+    // round-12 second digest wave: these outputs ARE row-pinned at the
+    // driver tiers, but their ×10 (tier-4, ScaleUp sfx1) row sets blow
+    // the pin size guard — the 1-row digests carry the exact-content
+    // signal to the scaled tier at O(1) artifact cost
+    "hmm_forward_digest"    -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.forward(s, d))),
+    "hmm_backward_digest"   -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.backward(s, d))),
+    "hmm_likelihood_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.likelihood(s, d))),
+    "hmm_predict_digest"    -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.predict(s, d))),
+    "hmm_decode_events_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(HmmQueries.decodeEvents(s, d))),
     "hmm_baumwelch" -> HmmQueries.baumWelch _,
     "hmm_viterbi_train" -> HmmQueries.viterbiTrain _,
     "hmm_predict"   -> HmmQueries.predict _,
@@ -93,8 +102,11 @@ object SparkEntry {
     "curate_corpus" -> Curation.curateCorpus _,
     "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
     "bpe_apply"     -> ((s: SparkSession, d: String) => Bpe.bpeApply(s, d)),
+    // tier-4 digest companions (see the hmm_*_digest block above)
+    "bpe_apply_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(Bpe.bpeApply(s, d))),
     "pii_scrub"    -> TextAnalysis.piiScrub _,
     "quality_lr"   -> Classifier.qualityLr _,
+    "quality_lr_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(Classifier.qualityLr(s, d))),
     "bm25_topk"    -> ((s: SparkSession, d: String) => Search.bm25TopK(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> Dedup.exact _,
@@ -104,6 +116,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s: SparkSession, d: String) => Dedup.simhash(s, d, oracleHash = true)),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingDedup(s, d)),
     "semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "semantic_dedup_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(Dedup.semanticDedup(s, d))),
     "contam_minhash"      -> ((s: SparkSession, d: String) => Dedup.contamMinhash(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
@@ -113,6 +126,7 @@ object SparkEntry {
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
     "pq_quantize"  -> ((s: SparkSession, d: String) => Similarity.pqQuantize(s, d)),
+    "pq_quantize_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(Similarity.pqQuantize(s, d))),
     "label_centroids" -> Similarity.labelCentroids _,
     // §2.7 multimodal plumbing (decode layer is a documented stub)
     "media_meta"        -> Multimodal.mediaMeta _,

@@ -9,13 +9,20 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    // GRAFT_EXCLUDE_PINNED=1: drop pinned-literal-oracle queries from the
-    // dump AND from oracle_sql.json — pins are captured against the
-    // driver testdata tiers, so a gate over any OTHER corpus (the
-    // ScaleUp self-scaled tier) must compare only recomputable oracles
+    // GRAFT_EXCLUDE_PINNED=1: drop ALL pinned-literal-oracle queries from
+    // the dump AND from oracle_sql.json — for a gate over a corpus no
+    // pin tier was captured against.
+    // GRAFT_PIN_TIER=<n>: drop only the pins that LACK a capture for
+    // corpus tier n (round 12: the ScaleUp sfx1 corpus is pin tier 4,
+    // so its gate runs with GRAFT_PIN_TIER=4 and includes every pin
+    // with a tier-4 capture — the scaled-tier coverage the r11 verdict
+    // asked for).
     val pinned: Set[String] =
       if (sys.env.get("GRAFT_EXCLUDE_PINNED").contains("1")) PinnedOracleData.byName.keySet
-      else Set.empty
+      else sys.env.get("GRAFT_PIN_TIER").map(_.trim.toInt) match {
+        case Some(t) => PinnedOracleData.byName.collect { case (n, p) if !p.hasTier(t) => n }.toSet
+        case None    => Set.empty
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +69,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => !pinned.contains(k) }
+      .filter { case (k, _) => only.forall(_.contains(k)) && !pinned.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

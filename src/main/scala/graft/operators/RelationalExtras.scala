@@ -436,8 +436,25 @@ object RelationalExtras {
 
   /** Core of [[rangeJoin]] over any ((o_orderkey, lo: date),
     * (d: date)) pair of relations; intervals are [lo, lo + 7 days).
+    *
+    * Hot-bucket defense (`saltBuckets > 1`): the default path
+    * broadcasts the interval side, so bucket skew cannot serialize
+    * anything — work stays scan-partitioned on the probe. When the
+    * interval side is too large to broadcast the join shuffles on
+    * `bucket`, and a corpus that concentrates its dates into few weeks
+    * would turn the hot week into one straggler partition. The salted
+    * path splits every bucket `saltBuckets` ways — probe rows take
+    * salt = xxhash64(d) mod S (deterministic, so results stay
+    * oracle-stable), the interval side replicates each bucket row S
+    * ways — bounding any partition at ~1/S of the hot bucket. Residual
+    * limitation, by construction: probe rows with the SAME date always
+    * share a salt, so a corpus concentrated on one single DAY needs a
+    * row-unique salt column instead (pass such a corpus through
+    * [[graft.operators.SkewJoin.saltedJoin]] with an explicit salt
+    * expression).
     */
-  private[graft] def rangeJoinFor(intervals: DataFrame, probe: DataFrame): DataFrame = {
+  private[graft] def rangeJoinFor(intervals: DataFrame, probe: DataFrame,
+      saltBuckets: Int = 1): DataFrame = {
     val anchor = to_date(lit("1970-01-01"))
     val iv = intervals
       .withColumn("hi", date_add(col("lo"), 7))
@@ -445,9 +462,15 @@ object RelationalExtras {
       .withColumn("bucket", explode(sequence(
         floor(datediff(col("lo"), anchor) / 7).cast("long"),
         floor(datediff(date_sub(col("hi"), 1), anchor) / 7).cast("long"))))
-    probe
+    val bucketedProbe = probe
       .withColumn("bucket", floor(datediff(col("d"), anchor) / 7).cast("long"))
-      .join(broadcast(iv), "bucket")
+    val matched =
+      if (saltBuckets <= 1) bucketedProbe.join(broadcast(iv), "bucket")
+      else bucketedProbe
+        .withColumn("salt", pmod(xxhash64(col("d")), lit(saltBuckets.toLong)).cast("int"))
+        .join(iv.withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))),
+          Seq("bucket", "salt"))
+    matched
       .filter(col("d") >= col("lo") && col("d") < col("hi"))
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_shipped"))

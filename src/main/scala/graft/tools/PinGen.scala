@@ -16,11 +16,21 @@ import graft.PinnedOracles
   */
 object PinGen {
 
-  /** tier → SF dir (must match PinnedOracles.tierSql's thresholds). */
+  /** tier → SF dir (must match PinnedOracles.tierSql's thresholds).
+    * Tier 4 is the ScaleUp ×10 self-scaled corpus — ephemeral (lives
+    * in /tmp), so it joins the capture only when present; the
+    * resource-write mode refuses to emit a tsv without it unless
+    * GRAFT_PIN_NO_SFX1=1 says so explicitly, because silently dropping
+    * tier 4 on a fresh host would un-verify the scaled tier. Rebuild
+    * with: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1
+    * /tmp/graft_sfx1 10" (ScaleUp is a map-only deterministic
+    * transform, so a rebuild reproduces the same content). */
+  val Sfx1Dir: String = sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")
   val tiers: Seq[(Int, String)] = Seq(
     1 -> "/root/testdata/sf0.001",
     2 -> "/root/testdata/sf0.01",
-    3 -> "/root/testdata/sf0.1")
+    3 -> "/root/testdata/sf0.1") ++
+    (if (new java.io.File(Sfx1Dir).isDirectory) Seq(4 -> Sfx1Dir) else Nil)
 
   /** Queries whose outputs are deterministic by construction.
     * knn_ivf's pin captures the DEFAULT index knobs — running the
@@ -49,7 +59,15 @@ object PinGen {
     // exclusion. Determinism is spec-proved (DeterministicTrainingSpec)
     // AND empirically re-verified by the local[4]/local[32] dump diff.
     "hmm_baumwelch", "hmm_viterbi_train", "hmm_train_cli",
-    "hmm_checkpoint_resume", "quality_lr")
+    "hmm_checkpoint_resume", "quality_lr",
+    // round-12: tier-4 (ScaleUp sfx1) coverage — the per-sequence DP
+    // dumps, bpe_apply, semantic_dedup, quality_lr and pq_quantize all
+    // blow the row-pin size guard at 10× corpus, so each gets a 1-row
+    // digest companion that pins at every tier including 4
+    "hmm_forward_digest", "hmm_backward_digest", "hmm_likelihood_digest",
+    "hmm_predict_digest", "hmm_decode_events_digest",
+    "bpe_apply_digest", "semantic_dedup_digest", "quality_lr_digest",
+    "pq_quantize_digest")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,18 +90,32 @@ object PinGen {
           System.err.println(s"[pingen] $name tier $tier: ${rows.size} rows")
           tier -> rows
         }.toMap
-        // corpus-independent results (seeded models) collapse to one tier
+        // corpus-independent results (seeded models) collapse to one
+        // tier — decided over ALL captured tiers including the scaled
+        // one, so "collapsed" really means corpus-independent
         val collapsed =
           if (byTier.values.toSet.size == 1) Map(1 -> byTier(1)) else byTier
         (name, cols, collapsed)
-      }.filter { case (name, _, rows) =>
+      }.flatMap { case (name, cols, rows) =>
         // size guard: a pinned VALUES relation beyond ~8000 rows / 400 KB
-        // per tier stops being a reasonable oracle artifact
+        // per tier stops being a reasonable oracle artifact. Driver
+        // tiers (1-3) over the limit drop the whole query; an oversized
+        // tier-4 capture drops ONLY tier 4 (the query keeps its driver
+        // pins; Pinned.hasTier(4) = false then excludes it from the
+        // sfx1 gate).
+        def sizeOf(rs: Seq[String]) = (rs.size, rs.map(_.length + 8).sum)
+        val (oversized, kept) = rows.partition { case (_, rs) =>
+          val (n, chars) = sizeOf(rs); n > 8000 || chars > 400000
+        }
         val maxRows = rows.values.map(_.size).max
         val maxChars = rows.values.map(_.map(_.length + 8).sum).max
-        val tooBig = maxRows > 8000 || maxChars > 400000
-        System.err.println(f"[pingen] $name%-30s maxRows=$maxRows%5d maxKB=${maxChars / 1024}%4d${if (tooBig) "  SKIP (too big to pin)" else ""}")
-        !tooBig
+        val driverTierTooBig = oversized.keys.exists(_ <= 3)
+        val note =
+          if (driverTierTooBig) "  SKIP (driver tier too big to pin)"
+          else if (oversized.nonEmpty) s"  tier ${oversized.keys.mkString(",")} too big — pinned for driver tiers only"
+          else ""
+        System.err.println(f"[pingen] $name%-30s maxRows=$maxRows%5d maxKB=${maxChars / 1024}%4d$note")
+        if (driverTierTooBig) None else Some((name, cols, kept))
       }
 
     args.headOption match {
@@ -98,6 +130,11 @@ object PinGen {
           }
         }
       case Some(out) =>
+        // A tsv written without the scaled tier would silently retire
+        // the sfx1 pin coverage — refuse unless told explicitly.
+        require(tiers.exists(_._1 == 4) || sys.env.get("GRAFT_PIN_NO_SFX1").contains("1"),
+          s"$Sfx1Dir missing: rebuild it with graft.tools.ScaleUp (or set " +
+            "GRAFT_PIN_NO_SFX1=1 to knowingly write a tsv without tier-4 pins)")
         // resource format parsed by PinnedOracleData (see its docs)
         val sb = new StringBuilder
         captured.foreach { case (name, cols, rows) =>

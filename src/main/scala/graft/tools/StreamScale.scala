@@ -1,0 +1,91 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Scaled-tier streaming characterization (round-12 verdict item 2):
+  * runs every streaming entry against a (normally ×10 ScaleUp) corpus
+  * and books, per query, the numbers the specs can only assert at
+  * test scale — wall time, input-row throughput, microbatch count,
+  * and the state-store row trajectory (max + final
+  * `stateOperators.numRowsTotal`), the quantity whose growth with
+  * event density is the scaled tier's real risk (stream_join's
+  * interval-join state horizon, session-window open sessions).
+  *
+  * A StreamingQueryListener sees every progress event of the queries
+  * the entries run internally (they all `processAllAvailable` over
+  * the finite directory and stop), so no per-entry instrumentation is
+  * needed. Listener events post asynchronously; a short drain pause
+  * after each entry keeps attribution per-query.
+  *
+  * Output: one JSON line per query + a `total` line (stdout, also
+  * appended to STREAM_SCALE_OUT when set).
+  *
+  * {{{
+  * SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.StreamScale /tmp/graft_sfx1"
+  * }}}
+  */
+object StreamScale {
+
+  val streamingEntries: Seq[String] = Seq(
+    "stream_session_agg", "stream_enrich", "stream_join", "stream_upsert",
+    "stream_topk", "stream_dedup", "stream_sessionize", "stream_session_window")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft_sfx1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class Batch(inputRows: Long, stateRows: Option[Long])
+    val batches = ArrayBuffer.empty[Batch]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batches.synchronized {
+          batches += Batch(e.progress.numInputRows,
+            e.progress.stateOperators.headOption.map(_.numRowsTotal))
+        }
+    }
+    spark.streams.addListener(listener)
+
+    val sb = new StringBuilder
+    var totalWall = 0.0
+    streamingEntries.foreach { name =>
+      batches.synchronized(batches.clear())
+      val t0 = System.nanoTime()
+      val out = graft.SparkEntry.queries(name)(spark, dir)
+      val rows = out.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      totalWall += wall
+      Thread.sleep(1000) // drain async listener events
+      val (nBatches, inputRows, maxState, lastState) = batches.synchronized {
+        (batches.size,
+          batches.map(_.inputRows).sum,
+          batches.flatMap(_.stateRows).maxOption.getOrElse(-1L),
+          batches.flatMap(_.stateRows).lastOption.getOrElse(-1L))
+      }
+      val line =
+        s"""{"query":"$name","wall_sec":${math.round(wall * 100) / 100.0},""" +
+          s""""out_rows":$rows,"input_rows":$inputRows,""" +
+          s""""rows_per_sec":${if (wall > 0) math.round(inputRows / wall) else 0},""" +
+          s""""batches":$nBatches,"state_rows_max":$maxState,"state_rows_final":$lastState}"""
+      println(line); sb ++= line + "\n"
+    }
+    val totalLine = s"""{"query":"total","wall_sec":${math.round(totalWall * 100) / 100.0},"sf_dir":"$dir"}"""
+    println(totalLine); sb ++= totalLine + "\n"
+    sys.env.get("STREAM_SCALE_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), sb.toString)
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+}

@@ -15,7 +15,9 @@ import graft.LocalSpark.{sfDir, spark}
 class PinnedOraclesSpec extends AnyFunSuite {
 
   private def recomputeDiffs(tier: Int, dir: String): Seq[String] =
-    PinnedOracleData.byName.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
+    PinnedOracleData.byName.toSeq.sortBy(_._1)
+      .filter(_._2.hasTier(tier)) // a pin may lack a tier-4 capture (size guard)
+      .flatMap { case (name, pin) =>
       val df = SparkEntry.queries(name)(spark, dir)
       val live = df.collect().map(r => PinnedOracles.renderRow(r, df.schema)).toSeq
       val pinned = pin.rowsFor(tier)
@@ -45,6 +47,20 @@ class PinnedOraclesSpec extends AnyFunSuite {
       "set GRAFT_PIN_TIER2=1 to run the tier-2 pin sweep")
     val diffs = recomputeDiffs(2, "/root/testdata/sf0.01")
     assert(diffs.isEmpty, s"tier-2 pinned oracles drifted:\n${diffs.mkString("\n")}")
+  }
+
+  // Tier 4 = the ScaleUp ×10 self-scaled corpus (ephemeral, /tmp) —
+  // the round-12 scaled pin tier that runs the trainer family and the
+  // ANN stack through an exact-content check at 10× the driver's
+  // largest SF. Opt-in like tier 2; additionally requires the corpus
+  // (rebuild: graft.tools.ScaleUp, deterministic map-only transform).
+  test("tier-4 pins match a recompute on the sfx1 corpus (opt-in: GRAFT_PIN_SFX1=1)") {
+    assume(sys.env.get("GRAFT_PIN_SFX1").contains("1"),
+      "set GRAFT_PIN_SFX1=1 to run the tier-4 pin sweep")
+    val dir = sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")
+    assume(new java.io.File(dir).isDirectory, s"$dir missing — run graft.tools.ScaleUp first")
+    val diffs = recomputeDiffs(4, dir)
+    assert(diffs.isEmpty, s"tier-4 pinned oracles drifted:\n${diffs.mkString("\n")}")
   }
 
   test("pinned SQL embeds the tier discriminator iff the result is corpus-dependent") {

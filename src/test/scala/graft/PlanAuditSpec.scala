@@ -75,21 +75,27 @@ class PlanAuditSpec extends AnyFunSuite {
   // candidate-count/plan tests instead).
   private val fpSkip = Set(
     "contam_minhash", "dedup_incremental", "dedup_minhash_lsh", "semantic_dedup",
-    "dedup_ngram_jaccard") // r11: PPJoin pair relation memoized like minhashLsh
+    "dedup_ngram_jaccard", // r11: PPJoin pair relation memoized like minhashLsh
+    "semantic_dedup_digest") // r12: digest embeds the same loop-built lineage as its base
 
-  test("per-query plan fingerprints match the committed snapshot") {
-    LocalSpark.assertSessionHygiene("PlanAuditSpec/fingerprints")
+  /** Snapshot-compare (or regen with GRAFT_PLAN_FP_REGEN=1) the plan
+    * fingerprints of every auditable query at `dir` against the
+    * committed tsv `fileName`. Shared by the base-tier test and the
+    * opt-in sfx1-tier test — broadcast-vs-SMJ choices and codegen
+    * spans are size-dependent, so each tier gets its own snapshot.
+    */
+  private def compareOrRegen(dir: String, fileName: String): Unit = {
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).filterNot(fpSkip).sorted
     // cache-warm canonical state: constructing a query's DataFrame
     // registers its memoized persisted relations (sequences, shingles,
     // models) with the shared CacheManager, which rewrites later plans
     // to InMemoryTableScan. One warm-up construction pass makes the
     // fingerprints independent of which suites ran before this one.
-    names.foreach(n => SparkEntry.queries(n)(spark, sfDir))
+    names.foreach(n => SparkEntry.queries(n)(spark, dir))
     val current = names.map(n =>
-      n -> graft.plans.PlanFingerprint.of(SparkEntry.queries(n)(spark, sfDir)))
+      n -> graft.plans.PlanFingerprint.of(SparkEntry.queries(n)(spark, dir)))
     val path = java.nio.file.Paths.get(
-      sys.props("user.dir"), "src", "test", "resources", "graft", "plan_fingerprints.tsv")
+      sys.props("user.dir"), "src", "test", "resources", "graft", fileName)
     if (sys.env.get("GRAFT_PLAN_FP_REGEN").contains("1")) {
       java.nio.file.Files.createDirectories(path.getParent)
       java.nio.file.Files.write(path,
@@ -110,12 +116,46 @@ class PlanAuditSpec extends AnyFunSuite {
         .filter(k => cur(k) != want(k))
         .map(k => s"$k\n  snapshot: ${want(k)}\n  current:  ${cur(k)}")
       assert(added.isEmpty && removed.isEmpty && changed.isEmpty,
-        s"plan fingerprints drifted from the committed snapshot " +
+        s"plan fingerprints drifted from the committed snapshot $fileName " +
           s"(GRAFT_PLAN_FP_REGEN=1 after verifying the new plan is intended).\n" +
           (if (added.nonEmpty) s"new queries (add to snapshot): $added\n" else "") +
           (if (removed.nonEmpty) s"gone from queries: $removed\n" else "") +
           changed.mkString("\n"))
     }
+  }
+
+  test("per-query plan fingerprints match the committed snapshot") {
+    LocalSpark.assertSessionHygiene("PlanAuditSpec/fingerprints")
+    compareOrRegen(sfDir, "plan_fingerprints.tsv")
+  }
+
+  // Scaled-tier plan audit (round-12 verdict item 3): join-strategy
+  // choices are size-dependent, so the base-tier snapshot can't attest
+  // that the INTENDED strategies survive ×1000 file-size growth. This
+  // opt-in test (needs the ScaleUp corpus) snapshots every fingerprint
+  // at sfx1 AND pins the three strategy invariants the r11 verdict
+  // called out by name.
+  test("sfx1-tier plan fingerprints and strategy invariants hold (opt-in: GRAFT_PLAN_SFX1=1)") {
+    assume(sys.env.get("GRAFT_PLAN_SFX1").contains("1"),
+      "set GRAFT_PLAN_SFX1=1 to run the sfx1 plan audit")
+    val dir = sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")
+    assume(new java.io.File(dir).isDirectory, s"$dir missing — run graft.tools.ScaleUp first")
+    LocalSpark.assertSessionHygiene("PlanAuditSpec/sfx1")
+    compareOrRegen(dir, "plan_fingerprints_sfx1.tsv")
+    // q5's dimension tables must still broadcast at 10× fact size
+    val q5 = SparkEntry.queries("q5_multi_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), s"q5 dims no longer broadcast at sfx1:\n${q5.take(1500)}")
+    // the bucketed join must stay exchange-free after the SMJ
+    val bkt = graft.sources.Formats.bucketedJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(bkt.contains("SortMergeJoin") && !bkt.split("SortMergeJoin").last.contains("Exchange"),
+      s"bucketed join lost its zero-exchange shape at sfx1:\n${bkt.take(1500)}")
+    // the salted skew join must keep its salt key in the join
+    val skew = SparkEntry.queries("skew_join_salted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(skew.contains("_salt") && !skew.contains("CartesianProduct"),
+      s"skew_join_salted lost its salt key at sfx1:\n${skew.take(1500)}")
   }
 
   test("headline scans push filters and prune columns") {

@@ -75,6 +75,47 @@ class SkewSpec extends AnyFunSuite {
     graft.LocalSpark.assertSessionHygiene("SkewSpec AQE test")
   }
 
+  // range_join hot-bucket defense (r11 verdict watch item): a corpus
+  // whose dates concentrate into ONE epoch week turns the bucket
+  // equi-join's hot bucket into a single straggler partition on the
+  // non-broadcast path. The salted variant must (a) return exactly the
+  // broadcast path's rows, (b) spread the hot bucket across the salt
+  // space, and (c) actually shuffle on (bucket, salt) when broadcast
+  // is off — visible in the executed plan.
+  test("salted range join defends a planted hot week and matches the broadcast path") {
+    import graft.operators.RelationalExtras.rangeJoinFor
+    // 90 intervals all overlapping the same week; 70k probe dates
+    // uniform over that week's 7 days
+    val intervals = spark.range(90).select(
+      col("id").as("o_orderkey"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 3).cast("int")).as("lo"))
+    val probe = spark.range(70000).select(
+      date_add(to_date(lit("2024-01-01")), (col("id") % 7).cast("int")).as("d"))
+    val expected = rangeJoinFor(intervals, probe).collect().toSeq
+    assert(expected.nonEmpty && expected.map(_.getLong(1)).sum > 70000L,
+      "planted corpus degenerate: every interval should match tens of thousands of probe rows")
+    graft.LocalSpark.withSessionConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val salts = 8
+      val salted = rangeJoinFor(intervals, probe, saltBuckets = salts)
+      val got = salted.collect().toSeq
+      assert(got == expected, "salted range join diverged from the broadcast path")
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("salt"), s"no salt key in the executed join plan:\n${plan.take(2000)}")
+      // the hot week's probe mass must spread: 7 distinct dates hash
+      // into >=4 of 8 salts, and no salt group may hold more than ~2
+      // dates' worth (2/7 ~ 29%; 45% leaves hash-collision headroom)
+      val groups = probe
+        .withColumn("salt", pmod(xxhash64(col("d")), lit(salts.toLong)).cast("int"))
+        .groupBy("salt").count().collect().map(_.getLong(1))
+      assert(groups.length >= 4, s"hot week used only ${groups.length}/$salts salt buckets")
+      assert(groups.max <= (70000 * 0.45).toLong,
+        s"largest salted slice ${groups.max} still holds >45% of the hot bucket")
+    }
+    graft.LocalSpark.assertSessionHygiene("SkewSpec salted range join test")
+  }
+
   test("withSessionConf restores null-default keys and survives a crashing body") {
     val conf = spark.conf
     // adaptive.autoBroadcastJoinThreshold has a NULL default: restoring it
