@@ -16,4 +16,46 @@ package object functions {
   /** L2 norm of a float-array column. */
   def arrayNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(arrayDot(a, a))
+
+  /** Space-joined n-gram array over a token-array column, TOTAL in the
+    * token count: documents shorter than `n` yield `array()` instead
+    * of evaluating `sequence(0, size - n)` with a negative stop.
+    *
+    * The CASE guard must live INSIDE the expression, not in an
+    * upstream `.filter(size(w) >= n)`: when the gram array feeds an
+    * `explode`, `InferFiltersFromGenerate` adds
+    * `isnotnull(grams) AND size(grams) > 0`, and `FilterExec`
+    * evaluates null-intolerant conjuncts BEFORE the original guard —
+    * so the un-guarded transform runs on short documents and
+    * `slice(w, 0, n)` throws (round-12 fuzz finding F3: a 1-token
+    * document crashed ngram_top; the generator corpus never produced
+    * one).
+    */
+  def ngramsExpr(w: String, n: Int): String =
+    s"CASE WHEN size($w) >= $n THEN " +
+      s"transform(sequence(0, size($w) - $n), i -> concat_ws(' ', slice($w, i + 1, $n))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  /** n-gram array computed directly from a raw text column, with the
+    * token array bound as a LAMBDA variable (a transform over a
+    * one-element array). Use this — not a `split(...).as("w")`
+    * projection + [[ngramsExpr]] — whenever the gram array feeds an
+    * `explode`.
+    *
+    * Why: `InferFiltersFromGenerate` clones the generator input into a
+    * `size(...) > 0` filter, and predicate pushdown SUBSTITUTES column
+    * aliases into that clone — `slice(w, ...)` becomes
+    * `slice(split(text), ...)` inside the lambda, and interpreted
+    * higher-order functions re-evaluate it per element: O(n²) per
+    * document in the FILTER, invisible at normal document lengths
+    * (round-12 fuzz finding F2b: a megabyte doc wedged an executor
+    * core for 20+ minutes). Alias substitution cannot rewrite a
+    * lambda-bound variable, so this form tokenizes exactly once per
+    * row under ANY plan transformation.
+    */
+  def ngramsFromTextExpr(textCol: String, n: Int): String =
+    s"element_at(transform(array(split($textCol, ' ')), w0 -> " +
+      s"CASE WHEN size(w0) >= $n THEN transform(sequence(0, size(w0) - $n), " +
+      s"i -> concat_ws(' ', slice(w0, i + 1, $n))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
 }

@@ -111,8 +111,12 @@ object Bpe {
       val top = dict
         .filter(size(col("tokens")) >= 2)
         .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(tokens) - 2), " +
-            "i -> struct(tokens[i] AS l, tokens[i + 1] AS r))")).as("p"))
+          // total in size(tokens): InferFiltersFromGenerate can run
+          // this before the >= 2 filter (see functions.ngramsExpr)
+          "CASE WHEN size(tokens) >= 2 THEN " +
+            "transform(sequence(0, size(tokens) - 2), " +
+            "i -> struct(tokens[i] AS l, tokens[i + 1] AS r)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))

@@ -51,14 +51,11 @@ object Curation {
     */
   def ngramTopFor(docs: DataFrame, k: Int = 25): DataFrame =
     docs
-      // tokenize ONCE as a column — Catalyst does not hoist a
-      // loop-invariant split() out of a lambda, and sub-2-token docs
-      // must be filtered BEFORE sequence(0, size-2) goes negative
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
+      // lambda-bound tokenization (ngramsFromTextExpr): total in doc
+      // length AND immune to InferFiltersFromGenerate re-splitting —
+      // sub-2-token docs yield array() and fall out of the explode
       .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(w) - 2), " +
-          "i -> concat_ws(' ', slice(w, i + 1, 2))))").as("bgs"))
+        s"array_distinct(${_root_.graft.functions.ngramsFromTextExpr("text", 2)})").as("bgs"))
       .select(explode(col("bgs")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_docs"))
@@ -70,8 +67,10 @@ object Curation {
       |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
       |  WHERE len(str_split(text, ' ')) >= 2
       |), bg AS (
-      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
-      |  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM t
       |)
       |SELECT bigram, count(*) AS n_docs
       |FROM bg GROUP BY bigram
@@ -107,15 +106,37 @@ object Curation {
       |     THEN '40' ELSE '20' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Most-frequent-token count in O(n log n) per document: the count
+    * of the most common token equals the longest equal-run in the
+    * SORTED token array, found by one linear lambda pass. Replaces the
+    * O(distinct·words) `transform(array_distinct(w), d ->
+    * size(filter(w, ...)))` scan, which the round-12 fuzz gate proved
+    * is a real 100 TB hazard: a single megabyte document with ~140k
+    * distinct tokens turns the per-row expression into 2e10 string
+    * compares and wedges an executor core for hours (fuzz finding F1).
+    * The VALUE is unchanged (max multiplicity is independent of the
+    * algorithm and of either engine's sort collation — any total
+    * order makes equal tokens adjacent), so oracles and pins hold.
+    */
+  private[graft] def topWordCountExpr(w: String): String =
+    s"aggregate(array_sort($w), " +
+      "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+      "(a, x) -> named_struct(" +
+      "'prev', x, " +
+      "'run',  IF(a.prev <=> x, a.run + 1L, 1L), " +
+      "'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1L, 1L))), " +
+      "a -> a.best)"
+
   /** Gopher-style repetition / quality signals, per document:
     * word count, mean word length, duplicate-bigram fraction, and
     * top-word fraction (the rules large-corpus filters use to drop
     * boilerplate and degenerate repetition).
     *
     * Scale: pure array-lambda expressions — zero shuffle, zero UDFs;
-    * the O(distinct·words) top-word pass is per-document CPU bounded
-    * by document length, which beats an explode + per-doc groupBy
-    * (two shuffles over every token in the corpus) at any scale.
+    * per-document cost is O(n log n) in document length (sorted-run
+    * top-word scan, see [[topWordCountExpr]]), which beats an explode
+    * + per-doc groupBy (two shuffles over every token in the corpus)
+    * at any scale.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     textRepetitionFor(Tables.documents(spark, dir))
@@ -128,8 +149,7 @@ object Curation {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("w"), expr(
-        "transform(sequence(0, size(w) - 2), " +
-          "i -> concat_ws(' ', slice(w, i + 1, 2)))").as("bgs"))
+        _root_.graft.functions.ngramsExpr("w", 2)).as("bgs"))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
@@ -137,7 +157,7 @@ object Curation {
           .cast("double") / size(col("w")), 4).as("mean_word_len"),
         round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double") / size(col("bgs")), 4)
           .as("dup_bigram_frac"),
-        round(expr("array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))")
+        round(expr(topWordCountExpr("w"))
           .cast("double") / size(col("w")), 4).as("top_word_frac"))
       .orderBy("doc_id")
 
@@ -149,17 +169,22 @@ object Curation {
       |  SELECT doc_id, w,
       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bgs
       |  FROM t
+      |), tw AS (
+      |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, tok, count(*) AS cnt FROM (
+      |      SELECT doc_id, unnest(w) AS tok FROM t)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id
       |)
       |SELECT doc_id,
       |  CAST(len(w) AS BIGINT) AS n_words,
-      |  round(CAST(list_sum(list_transform(w, x -> strlen(x))) AS DOUBLE) / len(w), 4)
+      |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4)
       |    AS mean_word_len,
       |  round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4)
       |    AS dup_bigram_frac,
-      |  round(CAST(list_max(list_transform(list_distinct(w),
-      |    d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+      |  round(CAST(tw.top_cnt AS DOUBLE) / len(w), 4)
       |    AS top_word_frac
-      |FROM bg ORDER BY doc_id""".stripMargin
+      |FROM bg JOIN tw USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Token-budget chunk packing: documents are laid out sequentially
     * into fixed-size token chunks (the layout step before writing
@@ -245,10 +270,8 @@ object Curation {
       docs: DataFrame, n: Int, isBench: org.apache.spark.sql.Column,
       broadcastBench: Boolean = true): DataFrame = {
     val grams = docs
-      .select(col("doc_id"), isBench.as("is_bench"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("is_bench"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+      .select(col("doc_id"), isBench.as("is_bench"), explode(array_distinct(expr(
+        _root_.graft.functions.ngramsFromTextExpr("text", n))))
         .as("gram"))
     val bench  = grams.filter(col("is_bench"))
       .select(col("doc_id").as("bench_id"), col("gram"))
@@ -283,11 +306,11 @@ object Curation {
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("dup_bigram_frac", round(when(col("n_words") >= 2,
         lit(1.0) - size(array_distinct(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")))
+          _root_.graft.functions.ngramsExpr("w", 2))))
           .cast("double") /
           expr("CAST(size(w) - 1 AS DOUBLE)")).otherwise(lit(0.0)), 4))
       .withColumn("top_word_frac", round(
-        expr("array_max(transform(array_distinct(w), d -> size(filter(w, x -> x = d))))")
+        expr(topWordCountExpr("w"))
           .cast("double") / col("n_words"), 4))
       .withColumn("reason",
         when(col("n_words") < 25, "too_short")
@@ -308,10 +331,14 @@ object Curation {
       |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
       |        / CAST(len(w) - 1 AS DOUBLE)
       |      ELSE 0.0 END, 4) AS dup_bigram_frac,
-      |    round(CAST(list_max(list_transform(list_distinct(w),
-      |      d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+      |    round(CAST(tw.top_cnt AS DOUBLE) / len(w), 4)
       |      AS top_word_frac
-      |  FROM t
+      |  FROM t JOIN (
+      |    SELECT doc_id, max(cnt) AS top_cnt FROM (
+      |      SELECT doc_id, tok, count(*) AS cnt FROM (
+      |        SELECT doc_id, unnest(w) AS tok FROM t)
+      |      GROUP BY doc_id, tok)
+      |    GROUP BY doc_id) tw USING (doc_id)
       |)
       |SELECT doc_id, n_words, dup_bigram_frac, top_word_frac,
       |  (CASE WHEN n_words < 25 THEN 'too_short'
@@ -399,10 +426,14 @@ object Curation {
        |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
        |        / CAST(len(w) - 1 AS DOUBLE)
        |      ELSE 0.0 END, 4) AS dup_bigram_frac,
-       |    round(CAST(list_max(list_transform(list_distinct(w),
-       |      d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+       |    round(CAST(tw.top_cnt AS DOUBLE) / len(w), 4)
        |      AS top_word_frac
-       |  FROM fs
+       |  FROM fs JOIN (
+       |    SELECT doc_id, max(cnt) AS top_cnt FROM (
+       |      SELECT doc_id, tok, count(*) AS cnt FROM (
+       |        SELECT doc_id, unnest(w) AS tok FROM fs)
+       |      GROUP BY doc_id, tok)
+       |    GROUP BY doc_id) tw USING (doc_id)
        |), q AS (
        |  SELECT doc_id,
        |    (n_words < 25 OR dup_bigram_frac > 0.05 OR top_word_frac > 0.12) AS low_q
@@ -432,8 +463,10 @@ object Curation {
       |    str_split(text, ' ') AS w
       |  FROM documents WHERE len(str_split(text, ' ')) >= 5
       |), g AS (
-      |  SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+4], ' ') AS gram
-      |  FROM t, unnest(generate_series(1, len(w) - 4)) AS s(i)
+      |  SELECT DISTINCT doc_id, is_bench,
+      |    unnest(list_transform(range(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+      |  FROM t
       |)
       |SELECT b.doc_id AS bench_id,
       |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated_docs,
@@ -466,10 +499,8 @@ object Curation {
     val mBits = 1 << 20
     val k = 3
     val grams = docs
-      .select(col("doc_id"), isBench.as("is_bench"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), col("is_bench"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+      .select(col("doc_id"), isBench.as("is_bench"), explode(array_distinct(expr(
+        _root_.graft.functions.ngramsFromTextExpr("text", n))))
         .as("gram"))
     val bench = grams.filter(col("is_bench"))
       .select(col("doc_id").as("bench_id"), col("gram"))
@@ -520,10 +551,8 @@ object Curation {
 
   private[graft] def dedupSpanFor(docs: DataFrame, n: Int): DataFrame = {
     val wins = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
+        _root_.graft.functions.ngramsFromTextExpr("text", n))).as("gram"))
     val perDoc = wins.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
     val dfRel = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
     perDoc.join(dfRel, "gram")
@@ -541,8 +570,11 @@ object Curation {
       |  SELECT doc_id, str_split(text, ' ') AS w
       |  FROM documents WHERE len(str_split(text, ' ')) >= 10
       |), g AS (
-      |  SELECT doc_id, array_to_string(w[i:i+9], ' ') AS gram
-      |  FROM t, unnest(generate_series(1, len(w) - 9)) AS s(i)
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 8),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+      |           w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] || ' ' || w[i+9])) AS gram
+      |  FROM t
       |), pd AS (
       |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
       |), f AS (
@@ -635,7 +667,7 @@ object Curation {
     """WITH d AS (
       |  SELECT doc_id,
       |    len(str_split(text, ' ')) AS n_tokens,
-      |    strlen(text) AS n_chars,
+      |    length(text) AS n_chars,
       |    CAST(concat('0x', substring(md5(text), 1, 2)) AS BIGINT) % 100 AS b
       |  FROM documents
       |)

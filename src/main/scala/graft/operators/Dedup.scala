@@ -90,12 +90,18 @@ object Dedup {
     cache.computeIfAbsent(s"${sessionKey(spark)}|$key", _ => build)
   }
 
+  // Lambda-bound tokenization (functions.ngramsFromTextExpr): splits
+  // the document exactly once per row under any plan transformation —
+  // an inline or alias-substituted `split(text, ' ')` inside the
+  // transform lambda re-splits the whole document per shingle index
+  // (no CSE into interpreted HOF lambdas), turning shingling O(n²)
+  // per doc — the round-12 fuzz gate's megabyte document wedged here
+  // (finding F2). Sub-3-token docs yield array() → dropped by explode.
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     memo(shingleCache, spark, dir)(
       Tables.documents(spark, dir)
-        .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(split(text, ' ')) - 3), i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))")))
+          _root_.graft.functions.ngramsFromTextExpr("text", 3))))
           .as("shingle"))
         .persist())
 
@@ -170,10 +176,11 @@ object Dedup {
     """WITH t AS (
       |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
       |  WHERE len(str_split(text, ' ')) >= 3
-      |), idx AS (
-      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
       |), sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM t
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
       |), pairs AS (
@@ -382,10 +389,11 @@ object Dedup {
     """WITH t AS (
       |  SELECT doc_id, str_split(text, ' ') AS w
       |  FROM documents WHERE len(str_split(text, ' ')) >= 3
-      |), idx AS (
-      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
       |), sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM t
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
       |), pairs AS (
@@ -437,10 +445,11 @@ object Dedup {
       |  SELECT doc_id, substring(md5(text), 1, 1) = '0' AS is_bench,
       |    str_split(text, ' ') AS w
       |  FROM documents WHERE len(str_split(text, ' ')) >= 3
-      |), idx AS (
-      |  SELECT doc_id, is_bench, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
       |), sh AS (
-      |  SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |  SELECT DISTINCT doc_id, is_bench,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM t
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
       |), pairs AS (
@@ -541,10 +550,11 @@ object Dedup {
       |  FROM d a JOIN d b ON a.h = b.h AND a.is_delta AND NOT b.is_delta
       |), t AS (
       |  SELECT doc_id, is_delta, w FROM d WHERE len(w) >= 3
-      |), idx AS (
-      |  SELECT doc_id, is_delta, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t
       |), sh AS (
-      |  SELECT DISTINCT doc_id, is_delta, array_to_string(w[i:i+2], ' ') AS shingle FROM idx
+      |  SELECT DISTINCT doc_id, is_delta,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM t
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
       |), pairs AS (
@@ -624,11 +634,11 @@ object Dedup {
     """WITH v AS (
       |  SELECT word, count(*) AS freq FROM (
       |    SELECT unnest(str_split(text, ' ')) AS word FROM documents
-      |  ) WHERE strlen(word) >= 8 GROUP BY word
+      |  ) WHERE length(word) >= 8 GROUP BY word
       |), var AS (
       |  SELECT word, freq, unnest(list_distinct(list_append(
-      |    list_transform(range(1, strlen(word) + 1),
-      |      i -> substr(word, 1, i - 1) || substr(word, i + 1, strlen(word) - i)),
+      |    list_transform(range(1, length(word) + 1),
+      |      i -> substr(word, 1, i - 1) || substr(word, i + 1, length(word) - i)),
       |    word))) AS key
       |  FROM v
       |), cand AS (

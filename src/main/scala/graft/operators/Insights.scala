@@ -111,7 +111,7 @@ object Insights {
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
       |), tf AS (
       |  SELECT doc_id, word, count(*) AS tf FROM tok
-      |  WHERE strlen(word) >= 4 GROUP BY doc_id, word
+      |  WHERE length(word) >= 4 GROUP BY doc_id, word
       |), df AS (
       |  SELECT word, count(*) AS df FROM tf GROUP BY word
       |), s AS (

@@ -78,7 +78,7 @@ object Search {
       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls
       |), tf AS (
       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-      |  FROM toks, unnest(w) AS t(term)
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
       |  WHERE term IN ('join', 'hash', 'window')
       |  GROUP BY doc_id, term
       |), df AS (

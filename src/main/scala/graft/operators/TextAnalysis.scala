@@ -150,9 +150,15 @@ object TextAnalysis {
     val docs = rawDocs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    // every bigram OCCURRENCE (duplicates kept — counts need them)
-    val bg = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))"))
+    // every bigram OCCURRENCE (duplicates kept — counts need them).
+    // Lambda-bound tokenization: this feeds an explode, so any alias-
+    // substituted copy (InferFiltersFromGenerate) would re-split per
+    // element — see functions.ngramsFromTextExpr.
+    val bg = rawDocs.select(col("doc_id"), explode(expr(
+      "element_at(transform(array(split(text, ' ')), w0 -> " +
+        "CASE WHEN size(w0) >= 2 THEN " +
+        "transform(sequence(0, size(w0) - 2), i -> struct(w0[i] AS a, w0[i + 1] AS b)) " +
+        "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END), 1)"))
       .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).cast("double").as("cab"))
@@ -175,15 +181,17 @@ object TextAnalysis {
       |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
       |  WHERE len(str_split(text, ' ')) >= 2
       |), bg AS (
-      |  SELECT doc_id, w[i] AS a, w[i+1] AS b
-      |  FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      |  SELECT doc_id,
+      |    unnest(w[1:len(w)-1]) AS a,
+      |    unnest(w[2:len(w)])   AS b
+      |  FROM t
       |), cab AS (
       |  SELECT a, b, CAST(count(*) AS DOUBLE) AS cab FROM bg GROUP BY a, b
       |), ca AS (
       |  SELECT a, CAST(count(*) AS DOUBLE) AS ca FROM bg GROUP BY a
       |), voc AS (
       |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-      |  FROM t, unnest(w) AS u(tok)
+      |  FROM (SELECT unnest(w) AS tok FROM t)
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  round(exp(-avg(ln((cab.cab + 1.0) / (ca.ca + voc.v)))), 4) AS ppl
