@@ -988,6 +988,11 @@ object RelationalExtras {
     // (bit us: 22057.26/16 = 1378.57875). floor(x*1e4 + 0.5)/1e4 is
     // the same IEEE op sequence on both engines.
     val cost = Tables.lineitem(spark, dir)
+      // zero-quantity (cancelled) lines carry no unit price: without
+      // this filter the division throws under ANSI (relfuzz gate
+      // finding R1 — planted l_quantity = 0) and DuckDB would yield
+      // inf, so EXCLUDE the line from the estimate on both engines
+      .filter(col("l_quantity") > 0)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((floor((sum(col("l_extendedprice") / col("l_quantity")) / count(lit(1)))
         * 10000.0 + 0.5) / 10000.0).as("unit_cost"))
@@ -1010,7 +1015,7 @@ object RelationalExtras {
       |  SELECT l_partkey, l_suppkey,
       |    floor(sum(l_extendedprice / l_quantity) / count(*) * 10000 + 0.5) / 10000
       |      AS unit_cost
-      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
       |), mc AS (
       |  SELECT l_partkey, min(unit_cost) AS mc FROM cost GROUP BY l_partkey
       |), pick AS (

@@ -144,8 +144,14 @@ object StreamingJobs {
     * watermark column through to the stateful operator (a projection
     * that drops it would disable the event-time timeout).
     */
+  /** `value` is Option: event value is a nullable measure (relfuzz
+    * gate finding R2 — a NULL value crashed the non-nullable encoder
+    * with NOT_NULL_ASSERT_VIOLATION mid-stream). Option semantics
+    * also reproduce SQL `sum` exactly: a session whose every value is
+    * NULL reports a NULL session_value, not 0.
+    */
   final case class SessEvent(
-      user_id: Long, ts_us: Long, event_id: Long, value: Double,
+      user_id: Long, ts_us: Long, event_id: Long, value: Option[Double],
       ts: java.sql.Timestamp)
 
   /** Open-session state carried between microbatches. `nextSessionId`
@@ -157,7 +163,7 @@ object StreamingJobs {
 
   final case class SessOut(
       user_id: Long, session_id: Long, n_events: Long,
-      start_us: Long, end_us: Long, session_value: Double)
+      start_us: Long, end_us: Long, session_value: Option[Double])
 
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -206,9 +212,11 @@ object StreamingJobs {
     }
     val emit = if (emitOpen || state.hasTimedOut) sessions else closed
     emit.zipWithIndex.iterator.map { case (s, i) =>
+      val defined = s.flatMap(_.value)
       SessOut(userId, baseId + i, s.length.toLong,
         s.head.ts_us, s.last.ts_us,
-        math.rint(s.map(_.value).sum * 1e4) / 1e4)
+        // SQL-sum semantics: NULLs are skipped; an all-NULL session is NULL
+        if (defined.isEmpty) None else Some(math.rint(defined.sum * 1e4) / 1e4))
     }
   }
 

@@ -1,0 +1,203 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational/events boundary-fuzz corpus (round 12): the relational,
+  * warehouse, windowing, and streaming-replay families are
+  * oracle-verified only on the driver generator's clean data, which
+  * never produces the boundary shapes real data is full of. This tool
+  * appends PLANTED rows to a byte-copied sf0.001 corpus — every value
+  * realistic for its domain, every one sitting exactly on a semantic
+  * boundary:
+  *
+  *  - events: two events with an IDENTICAL (user, ts) pair (window /
+  *    sessionize / keep-earliest tie), a gap of exactly 30:00.000000
+  *    (the sessionize break is STRICTLY >30 min — boundary must NOT
+  *    split) and 30:00.000001 (must split), a single-event user, a
+  *    50-events-in-one-second burst, midnight-exact timestamps, a
+  *    funnel with a cross-type timestamp tie, value = 0 / negative /
+  *    NULL, and degenerate props JSON.
+  *  - orders: two orders with identical (custkey, totalprice, date)
+  *    (RFM / top-n tie), dates on the q4 filter boundary and the
+  *    corpus minimum, a half-cent totalprice, an order for a customer
+  *    with acctbal 0.
+  *  - lineitem: full duplicate rows; q6 boundary shipdates (1996-01-01
+  *    in, 1997-01-01 out) and discounts (0.03 / 0.07 in, 0.08 out);
+  *    quantity 23 (< 24 in) vs 24 (out) vs 0; a q18 order whose
+  *    quantity sum lands EXACTLY on the 300 threshold; two partkeys
+  *    in one group with bit-identical revenue (top-k cut tie);
+  *    l_shipdate == o_orderdate (as-of equality).
+  *  - customer: acctbal exactly 0, negative acctbal, and a customer
+  *    with no orders.
+  *
+  * All planted keys extend the existing key space (new users /
+  * custkeys / orderkeys), so referential integrity holds and existing
+  * per-key aggregates are untouched; global aggregates change and the
+  * DuckDB oracles recompute them over the same files.
+  *
+  * Gate (SQL-oracled non-documents queries; pins excluded — pin tiers
+  * are keyed to driver corpora): tools/relfuzz_gate.sh runs exactly
+  * this:
+  * {{{
+  * sbt -batch "runMain graft.tools.RelFuzz /root/testdata/sf0.001 /tmp/graft_relfuzz"
+  * GRAFT_EXCLUDE_PINNED=1 sbt -batch "runMain graft.Verify /tmp/graft_relfuzz /tmp/verify_relfuzz <list>"
+  * python3 tools/check.py /tmp/graft_relfuzz /tmp/verify_relfuzz
+  * }}}
+  */
+object RelFuzz {
+
+  /** The non-documents/embeddings queries with recomputable SQL
+    * oracles (pinned-literal entries excluded by definition).
+    * relfuzz_gate.sh extracts this list from the source.
+    */
+  val gateQueries: Seq[String] = Seq(
+    "q1_agg", "q3_join_agg", "q5_multi_join", "q4_priority", "q6_forecast",
+    "q10_returned", "q13_order_dist", "q14_promo", "q15_top_supplier",
+    "q17_small_qty", "q18_large_orders", "q19_disjunct", "q22_lapsed",
+    "q2_min_cost", "agg_cube", "agg_rollup", "topn_per_group",
+    "cust_no_orders", "rfm_segment", "merge_upsert", "scd2_dim",
+    "bucketed_join", "incr_agg_merge", "skew_join_salted", "key_skew_audit",
+    "dq_profile", "group_percentiles", "mad_outliers", "equi_depth_hist",
+    "window_range_frame", "window_running", "window_session_native",
+    "sessionize", "asof_join", "asof_forward", "event_funnel",
+    "attribution", "events_json", "events_retention", "ewma_user",
+    "pivot_events", "range_join", "ts_gapfill", "cooccur_lift",
+    "pagerank", "seq_vocab", "seq_build", "seq_stats", "seqfile_roundtrip",
+    "hmm_supervised", "hmm_model_io",
+    "stream_session_agg", "stream_enrich", "stream_join", "stream_upsert",
+    "stream_topk", "stream_dedup", "stream_sessionize",
+    "compact_files", "csv_badrecords", "events_json", "format_roundtrip",
+    "orc_roundtrip", "sink_partitioned", "zorder_layout")
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val out  = args.lift(1).getOrElse("/tmp/graft_relfuzz")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    Files.createDirectories(Paths.get(out))
+    // byte-copy the tables this tool does not perturb
+    Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+      .foreach { t =>
+        Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$out/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- events ------------------------------------------------------
+    // (event_id, ts, user_id, event_type, value: java.lang.Double, props)
+    val B = "2024-01-15 "
+    val burst = (0 until 50).map { i =>
+      (2000L + i, ts(B + "06:00:00.5"), 22L,
+        Seq("view", "click", "purchase", "error", "signup")(i % 5),
+        java.lang.Double.valueOf(if (i == 7) 0.0 else if (i == 13) -12.5 else i * 1.25),
+        s"""{"k": $i}""")
+    }
+    val planted = Seq(
+      // u20: identical-ts tie, then the strict->30min boundary pair
+      (1900L, ts(B + "01:00:00"),        20L, "view",     java.lang.Double.valueOf(10.0), """{"k": 1}"""),
+      (1901L, ts(B + "01:00:00"),        20L, "click",    java.lang.Double.valueOf(20.0), """{"k": 2}"""),
+      (1902L, ts(B + "01:30:00"),        20L, "view",     java.lang.Double.valueOf(5.5),  """{}"""),
+      (1903L, ts(B + "02:00:00.000001"), 20L, "purchase", java.lang.Double.valueOf(99.99), """{"k": -1}"""),
+      // u21: single-event user
+      (1910L, ts(B + "03:00:00"),        21L, "signup",   java.lang.Double.valueOf(0.0),  """{"k": 0}"""),
+      // u23: midnight-exact pair a day apart
+      (1920L, ts("2024-01-15 00:00:00"), 23L, "view",     java.lang.Double.valueOf(1.0),  """{"k": 3}"""),
+      (1921L, ts("2024-01-16 00:00:00"), 23L, "purchase", java.lang.Double.valueOf(250.0), """{"k": 2147483647}"""),
+      // u24: funnel with a cross-type tie (click and purchase same ts)
+      (1930L, ts(B + "09:00:00"), 24L, "signup",   java.lang.Double.valueOf(0.0),  """{"k": 4}"""),
+      (1931L, ts(B + "09:05:00"), 24L, "view",     java.lang.Double.valueOf(3.0),  """{"k": 5}"""),
+      (1932L, ts(B + "09:10:00"), 24L, "click",    java.lang.Double.valueOf(4.0),  """{"k": 6}"""),
+      (1933L, ts(B + "09:10:00"), 24L, "purchase", java.lang.Double.valueOf(150.0), """{"k": 7}"""),
+      // NULL value (profiled, summed-over by everything else)
+      (1940L, ts(B + "10:00:00"), 23L, "error", null.asInstanceOf[java.lang.Double], """{"k": 8}""")
+    ) ++ burst
+    val eventsNew = planted.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Tables.events(spark, base)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .unionByName(eventsNew)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // ---- customer ----------------------------------------------------
+    val custNew = Seq(
+      (150L, "Customer#000000150", 2,  0.0,     "FURNITURE"),   // acctbal exactly 0
+      (151L, "Customer#000000151", 19, -999.99, "MACHINERY"),   // negative balance
+      (152L, "Customer#000000152", 7,  500.5,   "BUILDING")     // no orders ever
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+    spark.read.parquet(s"$base/customer.parquet")
+      .unionByName(custNew)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // ---- orders ------------------------------------------------------
+    val ordersNew = Seq(
+      // identical (custkey, totalprice, date) pair: RFM / top-n tie
+      (1500L, 85L, "O", 50000.0,    ts("1999-06-15 00:00:00"), "2-HIGH"),
+      (1501L, 85L, "O", 50000.0,    ts("1999-06-15 00:00:00"), "2-HIGH"),
+      (1502L, 134L, "F", 75000.25,  ts("1996-10-01 00:00:00"), "1-URGENT"), // q4 filter lower boundary
+      (1503L, 13L, "F", 120000.0,   ts("1995-01-01 00:00:00"), "5-LOW"),    // corpus minimum date
+      (1504L, 150L, "O", 30000.0,   ts("2000-03-01 00:00:00"), "3-MEDIUM"), // zero-balance customer
+      (1505L, 42L, "O", 200000.0,   ts("2000-05-05 00:00:00"), "2-HIGH"),   // q18: sum(qty) == 300 exactly
+      (1506L, 99L, "P", 100000.005, ts("1998-02-28 00:00:00"), "4-NOT SPECIFIED") // half-cent price
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    spark.read.parquet(s"$base/orders.parquet")
+      .unionByName(ordersNew.withColumn("o_orderdate",
+        col("o_orderdate").cast(spark.read.parquet(s"$base/orders.parquet").schema("o_orderdate").dataType)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // ---- lineitem ----------------------------------------------------
+    // (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax, rflag, lstatus, shipdate)
+    val li = Seq(
+      // 1500: FULL duplicate pair; q6 lower shipdate boundary IN, disc 0.05 mid-band
+      (1500L, 10L, 1L, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", ts("1996-01-01 00:00:00")),
+      (1500L, 10L, 1L, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", ts("1996-01-01 00:00:00")),
+      // 1501: q6 band edges — 1996-12-31 IN / 1997-01-01 OUT (exclusive);
+      // disc 0.03 / 0.07 IN, 0.08 OUT; qty 23 IN (<24) vs 24 OUT
+      (1501L, 11L, 2L, 1, 23.0, 2000.0, 0.03, 0.01, "N", "O", ts("1996-12-31 00:00:00")),
+      (1501L, 12L, 3L, 2, 23.0, 2000.0, 0.07, 0.01, "N", "O", ts("1996-12-31 00:00:00")),
+      (1501L, 13L, 4L, 3, 23.0, 2000.0, 0.08, 0.01, "N", "O", ts("1996-06-15 00:00:00")),
+      (1501L, 14L, 5L, 4, 24.0, 2000.0, 0.05, 0.01, "N", "O", ts("1996-06-15 00:00:00")),
+      (1501L, 15L, 6L, 5, 23.0, 2000.0, 0.05, 0.01, "N", "O", ts("1997-01-01 00:00:00")),
+      // 1502: zero quantity + a returned line
+      (1502L, 16L, 7L, 1, 0.0,  500.0,  0.0,  0.0,  "N", "O", ts("1996-10-02 00:00:00")),
+      (1502L, 17L, 8L, 2, 5.0,  800.0,  0.1,  0.04, "R", "F", ts("1996-11-15 00:00:00")),
+      // 1503: two partkeys, bit-identical revenue (top-k cut tie)
+      (1503L, 18L, 9L, 1, 7.0,  3000.0, 0.0,  0.02, "A", "F", ts("1995-02-01 00:00:00")),
+      (1503L, 19L, 1L, 2, 7.0,  3000.0, 0.0,  0.02, "A", "F", ts("1995-02-01 00:00:00")),
+      // 1504: l_shipdate == o_orderdate (as-of equality boundary)
+      (1504L, 20L, 2L, 1, 12.0, 1500.0, 0.04, 0.03, "N", "O", ts("2000-03-01 00:00:00")),
+      // 1505: six lines of 50 ⇒ sum(qty) == 300, the q18 threshold
+      (1505L, 21L, 3L, 1, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-06 00:00:00")),
+      (1505L, 22L, 4L, 2, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-06 00:00:00")),
+      (1505L, 23L, 5L, 3, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-07 00:00:00")),
+      (1505L, 24L, 6L, 4, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-07 00:00:00")),
+      (1505L, 25L, 7L, 5, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-08 00:00:00")),
+      (1505L, 26L, 8L, 6, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-08 00:00:00")),
+      // 1506: half-cent line price
+      (1506L, 27L, 9L, 1, 3.0, 333.335, 0.0, 0.0, "N", "O", ts("1998-03-01 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+    spark.read.parquet(s"$base/lineitem.parquet")
+      .unionByName(li.withColumn("l_shipdate",
+        col("l_shipdate").cast(spark.read.parquet(s"$base/lineitem.parquet").schema("l_shipdate").dataType)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    System.err.println(s"[relfuzz] wrote boundary corpus to $out " +
+      s"(+${planted.size} events, +3 customers, +7 orders, +19 lineitems)")
+    spark.stop()
+  }
+}

@@ -206,7 +206,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import StreamingJobs.{SessEvent, SessState}
     def ev(tsUs: Long, id: Long) =
-      SessEvent(7L, tsUs, id, 1.0, new java.sql.Timestamp(tsUs / 1000))
+      SessEvent(7L, tsUs, id, Some(1.0), new java.sql.Timestamp(tsUs / 1000))
     // an open session (counter at 3) times out with no new data:
     // it must be emitted as session 3 and the counter must SURVIVE
     val timedOut = TestGroupState.create[SessState](
