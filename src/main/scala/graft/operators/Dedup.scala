@@ -883,7 +883,12 @@ object Dedup {
     * (vec_id, embedding) relation.
     */
   def embeddingDedupFor(spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
+    // zero-norm vectors have no direction: cosine is undefined, and
+    // the division aborts under ANSI (relfuzz finding R3 — a planted
+    // all-zero embedding, the realistic failed-encoder output).
+    // Excluded from every cosine operator, here and in the oracles.
     val e = raw.select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     verifyCosine(e, embeddingCandidatesFor(spark, e, threshold), threshold)
   }
 
@@ -898,12 +903,14 @@ object Dedup {
     memo(cellCache, spark, s"$dir|$threshold")(
       embeddingCandidatesFor(spark,
         Tables.embeddings(spark, dir).select(
-          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0), // no direction — see embeddingDedupFor
         threshold))
 
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // no direction — see embeddingDedupFor
     verifyCosine(e, embeddingCandidates(spark, dir, threshold), threshold)
   }
 
@@ -913,6 +920,7 @@ object Dedup {
       |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
       |  GROUP BY vec_id, embedding
+      |  HAVING sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0
       |), pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
@@ -954,13 +962,14 @@ object Dedup {
     memo(semCache, spark, s"$dir|$threshold")(
       semanticDedupFor(spark,
         Tables.embeddings(spark, dir).select(
-          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
+          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0), // no direction — see embeddingDedupFor
         threshold).persist())
 
   private[graft] def semanticDedupFor(
       spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {
     import spark.implicits._
-    val e = raw.persist()
+    val e = raw.filter(col("nrm") > 0).persist() // see embeddingDedupFor
     val n = e.count()
     // same cell-count rule as blockPlan; production k tracks n so
     // cell population stays ~constant as the corpus grows

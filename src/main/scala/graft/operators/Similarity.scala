@@ -27,6 +27,10 @@ object Similarity {
   def knnBrute(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+      // zero-norm vectors have no direction: cosine undefined, ANSI
+      // division aborts (relfuzz R3) — excluded as query AND corpus,
+      // mirrored in the oracle
+      .filter(col("nrm") > 0)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -45,6 +49,7 @@ object Similarity {
       |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
       |  GROUP BY vec_id, embedding
+      |  HAVING sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0
       |), scored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
@@ -111,6 +116,7 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // no direction — see knnBrute
       .cache()
     try {
       val n = e.count()

@@ -73,7 +73,9 @@ object RelFuzz {
     "stream_session_agg", "stream_enrich", "stream_join", "stream_upsert",
     "stream_topk", "stream_dedup", "stream_sessionize",
     "compact_files", "csv_badrecords", "events_json", "format_roundtrip",
-    "orc_roundtrip", "sink_partitioned", "zorder_layout")
+    "orc_roundtrip", "sink_partitioned", "zorder_layout",
+    "dedup_embedding", "knn_brute", "label_centroids", "vec_norms",
+    "vec_quantize")
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
@@ -83,7 +85,7 @@ object RelFuzz {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     Files.createDirectories(Paths.get(out))
     // byte-copy the tables this tool does not perturb
-    Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+    Seq("region", "nation", "supplier", "part", "documents")
       .foreach { t =>
         Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$out/$t.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
@@ -195,6 +197,20 @@ object RelFuzz {
       .unionByName(li.withColumn("l_shipdate",
         col("l_shipdate").cast(spark.read.parquet(s"$base/lineitem.parquet").schema("l_shipdate").dataType)))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // ---- embeddings --------------------------------------------------
+    // one ALL-ZERO vector — the realistic failed-encoder output. It has
+    // no direction: cosine is undefined and an unguarded division
+    // aborts the whole query under ANSI (finding R3). Cosine operators
+    // must exclude it; norm/quantize/centroid operators must absorb it.
+    val embBase = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = embBase.selectExpr("size(embedding) AS d").first().getInt(0)
+    val zeroVec = Seq((500L, Seq.fill(dim)(0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .withColumn("embedding", col("embedding").cast(embBase.schema("embedding").dataType))
+    embBase.unionByName(zeroVec)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     System.err.println(s"[relfuzz] wrote boundary corpus to $out " +
       s"(+${planted.size} events, +3 customers, +7 orders, +19 lineitems)")
