@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, Search, Similarity, SkewJoin, TextAnalysis, Warehouse}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, RelationalTpch, Search, Similarity, SkewJoin, TextAnalysis, Warehouse}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -37,6 +37,15 @@ object SparkEntry {
     "q17_small_qty"   -> RelationalExtras.q17SmallQty _,
     "q2_min_cost"     -> ((s: SparkSession, d: String) => RelationalExtras.q2MinCost(s, d)),
     "q22_lapsed"      -> RelationalExtras.q22Lapsed _,
+    // round 13: the remaining TPC-H shapes, schema-adapted (RelationalTpch)
+    "q7_volume"       -> RelationalTpch.q7Volume _,
+    "q8_market_share" -> RelationalTpch.q8MarketShare _,
+    "q9_product_profit" -> RelationalTpch.q9ProductProfit _,
+    "q11_important_stock" -> RelationalTpch.q11ImportantStock _,
+    "q12_ship_delay"  -> RelationalTpch.q12ShipDelay _,
+    "q16_supplier_cnt" -> RelationalTpch.q16SupplierCnt _,
+    "q20_part_share"  -> RelationalTpch.q20PartShare _,
+    "q21_waiting"     -> RelationalTpch.q21Waiting _,
     "asof_join"     -> Relational.asofJoin _,
     "asof_forward"  -> Relational.asofForward _,
     "event_funnel"  -> Relational.eventFunnel _,
@@ -303,6 +312,14 @@ object SparkEntry {
     "q17_small_qty"    -> RelationalExtras.q17SmallQtySql,
     "q2_min_cost"      -> RelationalExtras.q2MinCostSql,  // unit costs rounded 4dp BEFORE the argmin on both engines
     "q22_lapsed"       -> RelationalExtras.q22LapsedSql,
+    "q7_volume"        -> RelationalTpch.q7VolumeSql,
+    "q8_market_share"  -> RelationalTpch.q8MarketShareSql,  // share = floor6 quotient of exact decimal sums
+    "q9_product_profit" -> RelationalTpch.q9ProductProfitSql,
+    "q11_important_stock" -> RelationalTpch.q11ImportantStockSql, // value*200 > total: exact decimals on BOTH engines
+    "q12_ship_delay"   -> RelationalTpch.q12ShipDelaySql,   // integer DATE-diff days, no FP
+    "q16_supplier_cnt" -> RelationalTpch.q16SupplierCntSql,
+    "q20_part_share"   -> RelationalTpch.q20PartShareSql,
+    "q21_waiting"      -> RelationalTpch.q21WaitingSql,
     "incr_agg_merge"  -> Warehouse.incrAggMergeSql,  // oracle is the FULL recompute the merge must equal
     "ts_gapfill"      -> Warehouse.timeseriesGapfillSql,
     "mad_outliers"    -> Warehouse.madOutliersSql,   // percentile == quantile_cont (group_percentiles precedent)

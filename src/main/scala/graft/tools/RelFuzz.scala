@@ -61,6 +61,10 @@ object RelFuzz {
     "q10_returned", "q13_order_dist", "q14_promo", "q15_top_supplier",
     "q17_small_qty", "q18_large_orders", "q19_disjunct", "q22_lapsed",
     "q2_min_cost", "agg_cube", "agg_rollup", "topn_per_group",
+    // round 13: the remaining TPC-H shapes join the boundary gate
+    "q7_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q12_ship_delay", "q16_supplier_cnt",
+    "q20_part_share", "q21_waiting",
     "cust_no_orders", "rfm_segment", "merge_upsert", "scd2_dim",
     "bucketed_join", "incr_agg_merge", "skew_join_salted", "key_skew_audit",
     "dq_profile", "group_percentiles", "mad_outliers", "equi_depth_hist",
