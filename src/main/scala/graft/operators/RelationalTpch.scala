@@ -380,10 +380,15 @@ object RelationalTpch {
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
+    // keyed by (s_suppkey, s_name), not name alone: supplier names are
+    // only unique per key in TPC-H by convention, and the ×10 ScaleUp
+    // corpus legitimately repeats each name under 10 remapped keys — a
+    // name-only grouping silently merges them (caught by the r13 sfx1
+    // gate; green at every driver tier)
     Tables.supplier(spark, dir)
       .join(numwait, col("s_suppkey") === col("late_supp"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
       .limit(20)
   }
 
@@ -399,10 +404,10 @@ object RelationalTpch {
       |  WHERE o_orderstatus = 'F' AND l_shipdate IS NOT NULL
       |  GROUP BY l_orderkey
       |)
-      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
       |FROM per_order JOIN supplier ON late_supp = s_suppkey
       |WHERE n_supp >= 2 AND n_late = 1
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_name, s_suppkey
       |LIMIT 20""".stripMargin
 }

@@ -35,6 +35,14 @@ import graft.sources.Tables
   *    l_shipdate == o_orderdate (as-of equality).
   *  - customer: acctbal exactly 0, negative acctbal, and a customer
   *    with no orders.
+  *  - round 13 (the TPC-H shapes): a two-supplier F order with lines
+  *    shipped at EXACTLY +60 days (on time — the q21 cut is strict)
+  *    and +61 (late); a both-late order and a single-supplier late
+  *    order (q21 must count neither); q12 delay-bucket edges at
+  *    +0/+7/+8/+30/+31 days; a part whose 1997 flow splits exactly
+  *    3/10 vs 7/10 across two suppliers (q20's 30% cut in IEEE);
+  *    suppliers with acctbal exactly 1500.00 (counted) and 1499.99
+  *    (blacklisted) trading an eligible q16 part.
   *
   * All planted keys extend the existing key space (new users /
   * custkeys / orderkeys), so referential integrity holds and existing
@@ -89,7 +97,7 @@ object RelFuzz {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     Files.createDirectories(Paths.get(out))
     // byte-copy the tables this tool does not perturb
-    Seq("region", "nation", "supplier", "part", "documents")
+    Seq("region", "nation", "part", "documents")
       .foreach { t =>
         Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$out/$t.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
@@ -137,6 +145,27 @@ object RelFuzz {
       .unionByName(eventsNew)
       .coalesce(1).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // ---- supplier (round 13) -----------------------------------------
+    // the q16 blacklist cut is STRICTLY s_acctbal < 1500: plant one
+    // supplier exactly AT the boundary (must stay counted) and one a
+    // cent below (must be excluded); both trade an eligible part below
+    val suppNew = Seq(
+      (10L, "Supplier#000000010", 3, 1500.0),
+      (11L, "Supplier#000000011", 8, 1499.99)
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .withColumn("s_nationkey", col("s_nationkey").cast("int"))
+    spark.read.parquet(s"$base/supplier.parquet")
+      .unionByName(suppNew)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    // a part passing q16's filter (brand/type/size predicate), picked
+    // from the real table so the boundary suppliers land in a counted
+    // group
+    val eligPart = spark.read.parquet(s"$base/part.parquet")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+      .select(col("p_partkey")).orderBy(col("p_partkey")).first().getLong(0)
+
     // ---- customer ----------------------------------------------------
     val custNew = Seq(
       (150L, "Customer#000000150", 2,  0.0,     "FURNITURE"),   // acctbal exactly 0
@@ -157,7 +186,13 @@ object RelFuzz {
       (1503L, 13L, "F", 120000.0,   ts("1995-01-01 00:00:00"), "5-LOW"),    // corpus minimum date
       (1504L, 150L, "O", 30000.0,   ts("2000-03-01 00:00:00"), "3-MEDIUM"), // zero-balance customer
       (1505L, 42L, "O", 200000.0,   ts("2000-05-05 00:00:00"), "2-HIGH"),   // q18: sum(qty) == 300 exactly
-      (1506L, 99L, "P", 100000.005, ts("1998-02-28 00:00:00"), "4-NOT SPECIFIED") // half-cent price
+      (1506L, 99L, "P", 100000.005, ts("1998-02-28 00:00:00"), "4-NOT SPECIFIED"), // half-cent price
+      // round 13 — q21/q12/q20 boundary orders
+      (1507L, 85L, "F", 40000.0, ts("1996-03-01 00:00:00"), "1-URGENT"),  // q21: 60-vs-61-day pair
+      (1508L, 42L, "F", 41000.0, ts("1996-03-01 00:00:00"), "3-MEDIUM"),  // q21: TWO late suppliers
+      (1509L, 13L, "F", 42000.0, ts("1996-03-01 00:00:00"), "5-LOW"),     // q21: single-supplier order
+      (1510L, 99L, "O", 43000.0, ts("1996-06-01 00:00:00"), "1-URGENT"),  // q12: bucket-edge delays
+      (1511L, 134L, "O", 44000.0, ts("1997-05-20 00:00:00"), "2-HIGH")    // q20: exact-30% part flow
     ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
     spark.read.parquet(s"$base/orders.parquet")
       .unionByName(ordersNew.withColumn("o_orderdate",
@@ -193,7 +228,36 @@ object RelFuzz {
       (1505L, 25L, 7L, 5, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-08 00:00:00")),
       (1505L, 26L, 8L, 6, 50.0, 5000.0, 0.02, 0.01, "N", "O", ts("2000-05-08 00:00:00")),
       // 1506: half-cent line price
-      (1506L, 27L, 9L, 1, 3.0, 333.335, 0.0, 0.0, "N", "O", ts("1998-03-01 00:00:00"))
+      (1506L, 27L, 9L, 1, 3.0, 333.335, 0.0, 0.0, "N", "O", ts("1998-03-01 00:00:00")),
+      // 1507 (round 13): the q21 lateness cut is STRICTLY >60 days —
+      // supplier 1 ships at EXACTLY +60 (on time), supplier 2 at +61
+      // (late) ⇒ a two-supplier sole-late order on both boundary sides
+      (1507L, 30L, 1L, 1, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-04-30 00:00:00")),
+      (1507L, 31L, 2L, 2, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-05-01 00:00:00")),
+      // 1508: BOTH suppliers late ⇒ q21 must NOT count either
+      (1508L, 32L, 3L, 1, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-06-01 00:00:00")),
+      (1508L, 33L, 4L, 2, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-06-10 00:00:00")),
+      // 1509: single-supplier late order ⇒ q21 must NOT count it
+      (1509L, 34L, 5L, 1, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-07-01 00:00:00")),
+      (1509L, 35L, 5L, 2, 4.0, 700.0, 0.0, 0.0, "N", "F", ts("1996-07-02 00:00:00")),
+      // 1510: q12 delay-bucket edges — +0/+7 (week, 7 inclusive),
+      // +8/+30 (month, 30 inclusive), +31 (late)
+      (1510L, 36L, 6L, 1, 2.0, 300.0, 0.0, 0.0, "N", "O", ts("1996-06-01 00:00:00")),
+      (1510L, 37L, 7L, 2, 2.0, 300.0, 0.0, 0.0, "N", "O", ts("1996-06-08 00:00:00")),
+      (1510L, 38L, 8L, 3, 2.0, 300.0, 0.0, 0.0, "N", "O", ts("1996-06-09 00:00:00")),
+      (1510L, 39L, 9L, 4, 2.0, 300.0, 0.0, 0.0, "N", "O", ts("1996-07-01 00:00:00")),
+      (1510L, 40L, 1L, 5, 2.0, 300.0, 0.0, 0.0, "N", "O", ts("1996-07-02 00:00:00")),
+      // 1511: q20 share boundary — a fresh partkey (300, deliberately
+      // absent from part: q20 never joins part, and dangling keys drop
+      // out of every inner join) with 1997 flow split EXACTLY 3/10 vs
+      // 7/10: 3 > 0.3·10 is FALSE in IEEE on both engines (0.3·10
+      // rounds to exactly 3.0), so only the 7-unit supplier is dominant
+      (1511L, 300L, 2L, 1, 3.0, 450.0, 0.0, 0.0, "N", "O", ts("1997-06-01 00:00:00")),
+      (1511L, 300L, 3L, 2, 7.0, 450.0, 0.0, 0.0, "N", "O", ts("1997-06-01 00:00:00")),
+      // the q16 boundary suppliers trade an ELIGIBLE part so the
+      // 1500.00-vs-1499.99 acctbal cut is visible in a counted group
+      (1511L, eligPart, 10L, 3, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-02 00:00:00")),
+      (1511L, eligPart, 11L, 4, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-03 00:00:00"))
     ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
       .withColumn("l_linenumber", col("l_linenumber").cast("int"))
@@ -217,7 +281,7 @@ object RelFuzz {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     System.err.println(s"[relfuzz] wrote boundary corpus to $out " +
-      s"(+${planted.size} events, +3 customers, +7 orders, +19 lineitems)")
+      s"(+${planted.size} events, +3 customers, +2 suppliers, +12 orders, +34 lineitems)")
     spark.stop()
   }
 }

@@ -145,7 +145,7 @@ class TpchSpec extends AnyFunSuite {
 
   test("q21 one-pass aggregate equals the literal exists/not-exists self-join shape") {
     val out = RelationalTpch.q21Waiting(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     // the literal TPC-H formulation: late line l1 on an F order,
     // EXISTS another-supplier line l2 on the same order,
     // NOT EXISTS another-supplier LATE line l3 on the same order
@@ -166,9 +166,9 @@ class TpchSpec extends AnyFunSuite {
       .join(l3, col("o") === col("o3") && col("s") =!= col("s3"), "left_anti")
     val numwait = waiting.groupBy(col("s")).agg(count(lit(1)).as("nw"))
       .join(Tables.supplier(spark, sfDir), col("s") === col("s_suppkey"))
-      .collect().map(r => (r.getString(r.fieldIndex("s_name")),
-        r.getLong(r.fieldIndex("nw"))))
-      .sortBy { case (n, w) => (-w, n) }.take(20).toMap
+      .collect().map(r => ((r.getLong(r.fieldIndex("s_suppkey")),
+        r.getString(r.fieldIndex("s_name"))), r.getLong(r.fieldIndex("nw"))))
+      .sortBy { case ((k, n), w) => (-w, n, k) }.take(20).toMap
     assert(out == numwait)
     assert(out.nonEmpty, "corpus should produce waiting suppliers")
   }
