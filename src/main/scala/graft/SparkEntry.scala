@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, RelationalTpch, Search, Similarity, SkewJoin, TextAnalysis, Warehouse}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, Graph, Insights, Multimodal, Relational, RelationalExtras, RelationalTpch, Search, Similarity, SkewJoin, Sketches, TextAnalysis, Warehouse}
 import graft.streaming.StreamingJobs
 import graft.hmm.{HmmQueries, Sequencer}
 
@@ -155,6 +155,11 @@ object SparkEntry {
     "window_running" -> RelationalExtras.windowRunning _,
     "pivot_events"   -> RelationalExtras.pivotEvents _,
     "approx_stats"   -> RelationalExtras.approxStats _,
+    // round 13: mergeable-sketch artifacts (persisted HLL cube rollup,
+    // count-min frequency probe) — pinned-literal oracles; accuracy and
+    // merge/layout contracts in SketchesSpec
+    "sketch_hll_cube"  -> Sketches.hllCube _,
+    "sketch_cms_words" -> ((s: SparkSession, d: String) => Sketches.cmsWords(s, d)),
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
     "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
     "cust_no_orders"   -> RelationalExtras.custNoOrders _,

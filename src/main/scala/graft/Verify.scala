@@ -24,12 +24,22 @@ object Verify {
         case None    => Set.empty
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_CONF="k=v;k=v": extra session confs, applied LAST. The
+    // layout-differential gate (tools/layout_gate.sh) uses this to run
+    // the whole surface under an adversarial execution layout (odd
+    // parallelism, AQE off, auto-broadcast off, tiny input splits,
+    // interpreted expressions) — outputs must be bit-identical to the
+    // standard run's, or the query is layout-sensitive.
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // timestamp-sanity tripwire, BEFORE any query runs: a misread ts

@@ -67,7 +67,12 @@ object PinGen {
     "hmm_forward_digest", "hmm_backward_digest", "hmm_likelihood_digest",
     "hmm_predict_digest", "hmm_decode_events_digest",
     "bpe_apply_digest", "semantic_dedup_digest", "quality_lr_digest",
-    "pq_quantize_digest")
+    "pq_quantize_digest",
+    // round-13: mergeable-sketch artifacts — DataSketches HLL registers
+    // are per-bucket maxima and CMS counters exact integer sums, so both
+    // estimates are pure functions of the input SET (layout-independent
+    // by construction; re-proved by the capture diff and the layout gate)
+    "sketch_hll_cube", "sketch_cms_words")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -25,7 +25,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // constructing these plans runs eager jobs (k-means cell build /
     // label-propagation fixpoint loop / BPE merge loop)
     "dedup_embedding", "dedup_groups", "bpe_train", "curate_corpus",
-    "kmeans_clusters")
+    "kmeans_clusters",
+    // r13 sketches: hll_cube writes its cube parquet at construction;
+    // cms_words collects its bounded sketch + top-20 (final DF is a
+    // 20-row local relation — nothing to audit)
+    "sketch_hll_cube", "sketch_cms_words")
 
   test("no query plans a cartesian product") {
     // a poisoned shared session (broadcast disabled by an earlier suite)
