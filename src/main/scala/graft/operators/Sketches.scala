@@ -50,7 +50,13 @@ object Sketches {
   def hllCube(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-    val cubeDir = java.nio.file.Files.createTempDirectory("graft_hll_cube").toString
+    // scratch path keyed by (corpus dir, pid) and REUSED across calls
+    // (overwrite mode), same discipline as Formats.tmp: repeated bench
+    // passes must not accumulate one orphan dir per invocation
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val cubeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_hll_cube_${tag}_p${ProcessHandle.current().pid()}").toString
     ev.groupBy(col("event_type"), col("day"))
       .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sk"))
       .write.mode("overwrite").parquet(cubeDir)
