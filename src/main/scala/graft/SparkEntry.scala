@@ -184,6 +184,9 @@ object SparkEntry {
     "stream_sessionize" -> StreamingJobs.sessionizeStream _,
     "stream_upsert"     -> StreamingJobs.streamUpsert _,
     "stream_topk"       -> ((s: SparkSession, d: String) => StreamingJobs.streamTopk(s, d)),
+    // round 13: incremental distinct counting — streaming HLL aggregate,
+    // state O(event types), estimate ≡ the batch sketch (StreamingSpec)
+    "stream_hll_distinct" -> ((s: SparkSession, d: String) => StreamingJobs.streamHllDistinct(s, d)),
     "orc_roundtrip"     -> graft.sources.Formats.orcRoundtrip _,
     // insight/graph/fuzzy breadth (round 6)
     "cooccur_lift"    -> Insights.cooccurLift _,

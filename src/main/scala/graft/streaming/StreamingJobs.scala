@@ -489,6 +489,32 @@ object StreamingJobs {
       .orderBy("window_start_us", "rnk")
   }
 
+  /** Continuous distinct counting: per-event-type distinct users via a
+    * streaming DataSketches HLL aggregate. The state store holds ONE
+    * ~8 KB sketch per event type — O(keys), never O(users) — and each
+    * microbatch merges its partial registers in, so the running
+    * distinct count is maintained incrementally with bounded state:
+    * the 100 TB alternative to re-running countDistinct over an
+    * ever-growing corpus. Because HLL registers are per-bucket maxima,
+    * the final estimate is bit-identical to the batch sketch over the
+    * same rows (asserted in StreamingSpec; output pinned like the
+    * batch sketch family, graft.operators.Sketches). Complete-mode
+    * memory sink at test scale; the unbounded-source configuration is
+    * update mode into a KV upsert, same as [[streamTopkUpdate]].
+    */
+  def streamHllDistinct(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    val sink = s"stream_hll_${System.nanoTime()}"
+    val query = eventsStream(spark, dir, glob)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(sink)
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** UPDATE-mode run of the trending-items leaderboard: the windowed
     * aggregate streams in update mode (watermark EVICTS closed-window
     * state — the unbounded-source production configuration) into a

@@ -72,7 +72,9 @@ object PinGen {
     // are per-bucket maxima and CMS counters exact integer sums, so both
     // estimates are pure functions of the input SET (layout-independent
     // by construction; re-proved by the capture diff and the layout gate)
-    "sketch_hll_cube", "sketch_cms_words")
+    "sketch_hll_cube", "sketch_cms_words",
+    // streaming HLL: same registers as the batch sketch ⇒ same pins
+    "stream_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val skip = Set(
     "stream_session_agg", "stream_dedup", "stream_sessionize",
     "stream_enrich", "stream_join", "stream_session_window",
+    "stream_hll_distinct",
     "format_roundtrip", "sink_partitioned", "bucketed_join", "compact_files",
     "csv_badrecords", "schema_evolution",
     "hmm_train_cli", "hmm_checkpoint_resume",

@@ -159,6 +159,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming HLL distinct equals the batch sketch estimate exactly") {
+    // registers are per-bucket maxima, so microbatch-merged state must
+    // land on the SAME registers as one batch pass — estimate equality
+    // is exact, not approximate
+    val streamed = StreamingJobs.streamHllDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      .orderBy(col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "streaming HLL state diverged from the batch sketch registers")
+  }
+
   test("stateful sessionizer over >=3 microbatches with timeouts equals the single-batch result") {
     val ev = Tables.events(spark, sfDir) // ts normalized to TimestampType
     val schema = ev.schema
