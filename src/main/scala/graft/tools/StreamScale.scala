@@ -31,7 +31,8 @@ object StreamScale {
 
   val streamingEntries: Seq[String] = Seq(
     "stream_session_agg", "stream_enrich", "stream_join", "stream_upsert",
-    "stream_topk", "stream_dedup", "stream_sessionize", "stream_session_window")
+    "stream_topk", "stream_dedup", "stream_sessionize", "stream_session_window",
+    "stream_hll_distinct") // r13: state plateau = #event types (one sketch each)
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sfx1")
