@@ -160,6 +160,7 @@ object SparkEntry {
     // merge/layout contracts in SketchesSpec
     "sketch_hll_cube"  -> Sketches.hllCube _,
     "sketch_cms_words" -> ((s: SparkSession, d: String) => Sketches.cmsWords(s, d)),
+    "sketch_kmv_overlap" -> Sketches.kmvOverlap _,
     "skew_join_salted" -> SkewJoin.skewJoinDemo _,
     "q18_large_orders" -> RelationalExtras.q18LargeOrders _,
     "cust_no_orders"   -> RelationalExtras.custNoOrders _,

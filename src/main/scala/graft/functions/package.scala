@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayDotProduct, GraftExprBridge}
+import org.apache.spark.sql.graft.{ArrayDotProduct, GraftExprBridge, KmvEstimate, KmvIntersect, KmvSketchAgg, KmvUnion}
 
 /** Public column helpers backed by graft's native Catalyst
   * expressions (no Scala UDFs, no interpreted lambdas in hot paths).
@@ -16,6 +16,28 @@ package object functions {
   /** L2 norm of a float-array column. */
   def arrayNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(arrayDot(a, a))
+
+  /** Bottom-k (KMV) distinct sketch aggregate over a long/int/string
+    * column → canonical binary (layout-invariant by construction —
+    * see org.apache.spark.sql.graft.KmvSketch). */
+  def kmvSketch(col: Column, k: Int = 1024): Column =
+    GraftExprBridge.column(
+      KmvSketchAgg(GraftExprBridge.expression(col), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a KMV sketch (exact below k). */
+  def kmvEstimate(sketch: Column): Column =
+    GraftExprBridge.column(KmvEstimate(GraftExprBridge.expression(sketch)))
+
+  /** Estimated distinct-intersection size of two KMV sketches — the
+    * set operation HLL registers cannot express. */
+  def kmvIntersect(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      KmvIntersect(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+
+  /** Merged KMV sketch (canonical binary), for sketch-cube rollups. */
+  def kmvUnion(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      KmvUnion(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
 
   /** Space-joined n-gram array over a token-array column, TOTAL in the
     * token count: documents shorter than `n` yield `array()` instead

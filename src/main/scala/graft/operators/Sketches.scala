@@ -70,6 +70,51 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  /** sketch_kmv_overlap: distinct-user overlap between every pair of
+    * event types via graft's own bottom-k (KMV) sketch — the custom
+    * Catalyst `TypedImperativeAggregate` in
+    * org.apache.spark.sql.graft.KmvSketch. Intersection is the set
+    * operation HLL registers cannot express; KMV sketches answer it
+    * from two ≤ 8 KB artifacts. Beside each estimate sits the exact
+    * count (countDistinct / a user-keyed pair join — bounded: each
+    * user carries ≤ #types rows), so the verified output SHOWS the
+    * estimator's accuracy. The sketch is a pure function of the input
+    * set (k smallest hashes), so the whole output is layout-invariant
+    * and pins like the rest of the sketch family.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = ev.groupBy(col("event_type"))
+      .agg(graft.functions.kmvSketch(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+      col("exact_users").as("exact_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+      col("exact_users").as("exact_b"))
+    // bounded grid: #types² sketch pairs. The broadcast hint is
+    // load-bearing: the per-type sketch relation is provably tiny
+    // (#types rows × ≤8 KB) but its STATS estimate scales with the
+    // input, so at ×10 the planner otherwise degrades this non-equi
+    // join to a CartesianProduct (caught by the sfx1 plan fingerprint)
+    val pairs = a.join(broadcast(b), col("type_a") < col("type_b"))
+    // exact overlap: user-keyed self-join of the distinct (type, user)
+    // pairs — shuffle O(|pairs|), per-user fanout ≤ #types²
+    val exactOv = ev.as("x").join(ev.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(countDistinct(col("x.user_id")).as("exact_overlap"))
+    pairs.join(exactOv, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        round(graft.functions.kmvEstimate(col("sk_a")), 3).as("est_a"),
+        round(graft.functions.kmvEstimate(col("sk_b")), 3).as("est_b"),
+        round(graft.functions.kmvIntersect(col("sk_a"), col("sk_b")), 3).as("est_overlap"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** sketch_cms_words: corpus word frequencies via one CountMinSketch
     * (eps 1e-3, confidence 0.99, seed 42 ⇒ 5 × 2719 long counters ≈
     * 106 KB — O(1) in corpus size), probed at the exact top-20 words.

@@ -74,7 +74,9 @@ object PinGen {
     // by construction; re-proved by the capture diff and the layout gate)
     "sketch_hll_cube", "sketch_cms_words",
     // streaming HLL: same registers as the batch sketch ⇒ same pins
-    "stream_hll_distinct")
+    "stream_hll_distinct",
+    // KMV overlap: bottom-k sets are pure functions of the input set
+    "sketch_kmv_overlap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
