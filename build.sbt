@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through UNPREFIXED and drop sbt's
+// "[success] Total time" trailer: graft.Bench's compact JSON summary
+// must be the genuinely last stdout line so a last-line parse of
+// `sbt "runMain graft.Bench"` output succeeds (BENCH_r8–r13 landed
+// "parsed": null because sbt's [info] prefix + [success] trailer
+// wrapped the line). Spark/sbt logs go to stderr, unaffected.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,6 +36,7 @@ object Verify {
     // interpreted expressions) — outputs must be bit-identical to the
     // standard run's, or the query is layout-sensitive.
     sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      require(kv.contains("="), s"bad GRAFT_CONF entry (expected key=value): '$kv'")
       val Array(k, v) = kv.split("=", 2)
       builder.config(k.trim, v.trim)
     })

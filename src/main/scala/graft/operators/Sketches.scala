@@ -37,6 +37,18 @@ object Sketches {
     * even with millions of cells. */
   private val HllLgK = 12
 
+  /** Per-session scratch-path id, same identity-keyed WeakHashMap
+    * pattern as Dedup's cache key (unique for the JVM's lifetime,
+    * unlike identityHashCode which can collide across sessions).
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val sessionIdGen = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionKey(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) { id = sessionIdGen.incrementAndGet(); sessionIds.put(spark, id) }
+    id.toString
+  }
+
   /** sketch_hll_cube: distinct users per event type via a persisted
     * per-(type, day) HLL cube — written to parquet and read BACK, so
     * the query proves the artifact survives storage — rolled up with
@@ -50,11 +62,17 @@ object Sketches {
   def hllCube(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-    // scratch path keyed by (corpus dir, pid) and REUSED across calls
-    // (overwrite mode), same discipline as Formats.tmp: repeated bench
-    // passes must not accumulate one orphan dir per invocation
+    // scratch path keyed by (corpus dir, pid, SESSION) and REUSED
+    // across calls (overwrite mode), same discipline as Formats.tmp:
+    // repeated bench passes must not accumulate one orphan dir per
+    // invocation, and two sessions in one JVM querying the same corpus
+    // must not race on a shared overwrite-then-read dir (the same
+    // class of bug as the (session, dir) memoization rule — advisor
+    // catch, round 13). The session id is minted once per session
+    // object and stable for its lifetime.
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+      .digest(s"$dir|${sessionKey(spark)}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     val cubeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_hll_cube_${tag}_p${ProcessHandle.current().pid()}").toString
     ev.groupBy(col("event_type"), col("day"))

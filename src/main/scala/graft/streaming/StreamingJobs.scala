@@ -510,8 +510,17 @@ object StreamingJobs {
       .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
       .writeStream.outputMode("complete").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(sink)
+    // materialize the tiny (O(event-types)) result and DROP the memory
+    // sink before returning: repeated invocations (Bench loops,
+    // StreamScale) must not accumulate cached complete-mode tables in
+    // the shared session catalog (advisor catch, round 13)
+    import spark.implicits._
+    val rows = spark.table(sink)
       .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+      .orderBy(col("event_type"))
+      .as[(String, Long)].collect()
+    spark.catalog.dropTempView(sink)
+    rows.toSeq.toDF("event_type", "approx_users").coalesce(1)
       .orderBy(col("event_type"))
   }
 

@@ -149,12 +149,21 @@ object RelFuzz {
     // the q16 blacklist cut is STRICTLY s_acctbal < 1500: plant one
     // supplier exactly AT the boundary (must stay counted) and one a
     // cent below (must be excluded); both trade an eligible part below
+    // planted keys must EXTEND the base key space, never collide with
+    // it (the base table spans s_suppkey 0-99; a colliding plant would
+    // duplicate a primary key and silently dilute the boundary intent
+    // — advisor catch, round 13). Same convention as custkey 150 and
+    // orderkey 1500+ below. Asserted, not assumed.
     val suppNew = Seq(
-      (10L, "Supplier#000000010", 3, 1500.0),
-      (11L, "Supplier#000000011", 8, 1499.99)
+      (200L, "Supplier#000000200", 3, 1500.0),
+      (201L, "Supplier#000000201", 8, 1499.99)
     ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       .withColumn("s_nationkey", col("s_nationkey").cast("int"))
-    spark.read.parquet(s"$base/supplier.parquet")
+    val suppBase = spark.read.parquet(s"$base/supplier.parquet")
+    val suppCollide = suppBase.join(suppNew.select("s_suppkey"), "s_suppkey").count()
+    require(suppCollide == 0,
+      s"planted supplier keys collide with $suppCollide base rows — move them past the base key range")
+    suppBase
       .unionByName(suppNew)
       .coalesce(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
@@ -256,8 +265,8 @@ object RelFuzz {
       (1511L, 300L, 3L, 2, 7.0, 450.0, 0.0, 0.0, "N", "O", ts("1997-06-01 00:00:00")),
       // the q16 boundary suppliers trade an ELIGIBLE part so the
       // 1500.00-vs-1499.99 acctbal cut is visible in a counted group
-      (1511L, eligPart, 10L, 3, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-02 00:00:00")),
-      (1511L, eligPart, 11L, 4, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-03 00:00:00"))
+      (1511L, eligPart, 200L, 3, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-02 00:00:00")),
+      (1511L, eligPart, 201L, 4, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-03 00:00:00"))
     ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
       .withColumn("l_linenumber", col("l_linenumber").cast("int"))
