@@ -132,6 +132,9 @@ object SparkEntry {
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
     "knn_pq"    -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
     "knn_ivf_pq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
+    // round 14: the index as a persisted artifact — build, write the
+    // coarse/codebook/codes relations to parquet, read BACK, probe
+    "ann_index_persist" -> ((s: SparkSession, d: String) => Similarity.annIndexPersist(s, d)),
     "vec_norms" -> Similarity.vecNorms _,
     "vec_quantize" -> Similarity.vecQuantize _,
     "pq_quantize"  -> ((s: SparkSession, d: String) => Similarity.pqQuantize(s, d)),

@@ -172,30 +172,91 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  val ngramJaccardSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
-      |  WHERE len(str_split(text, ' ')) >= 3
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM t
-      |), sz AS (
-      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-      |), pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |  FROM sh a JOIN sh b USING (shingle)
-      |  WHERE a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)
-      |SELECT a_id, b_id,
-      |  round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-      |FROM pairs
-      |JOIN sz sa ON sa.doc_id = a_id
-      |JOIN sz sb ON sb.doc_id = b_id
-      |WHERE inter / (sa.n + sb.n - inter) >= 0.8
-      |ORDER BY a_id, b_id""".stripMargin
+  /** Contracted-oracle kernel (round 14): all pair similarity here is a
+    * pure function of TEXT, so the oracle first contracts the corpus to
+    * distinct texts (rep = min doc_id, ids = the sorted member list)
+    * and runs the shingle self-join over representatives only. On a
+    * clone corpus (the ScaleUp ×10/×100 tiers, where every text repeats
+    * K times under distinct ids) this keeps the join at BASE-tier cost
+    * instead of inflating ×K² through the shingle hash groups — the
+    * reason the naive formulation had to be GRAFT_CHECK_SKIPped at ×10.
+    * Pair expansion afterwards is linear in the OUTPUT: cross-content
+    * pairs are the K×K clone images of each rep pair (built as two
+    * zipped flatten/list_transform lists — never a lateral unnest,
+    * which re-materializes carried lists per row), and within-group
+    * pairs are the C(sz,2) cliques at Jaccard exactly 1.0 (integer
+    * n/(n+n−n) — bit-exact on both engines). On corpora with unique
+    * texts the contraction is the identity and this reduces to the
+    * original all-pairs oracle.
+    */
+  /** The kernel, exposed for other oracles built on the same contracted
+    * pair relation (triangle_count's census). */
+  private[operators] def contractedJaccardKernelForOracles(threshold: Double): String =
+    contractedJaccardKernel(threshold)
+
+  private def contractedJaccardKernel(threshold: Double): String =
+    s"""grp AS (
+       |  SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids,
+       |    count(*) AS sz
+       |  FROM documents WHERE text IS NOT NULL GROUP BY text
+       |), t AS (
+       |  SELECT rep, sz, ids, str_split(text, ' ') AS w FROM grp
+       |  WHERE len(str_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT DISTINCT rep,
+       |    unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM t
+       |), shn AS (
+       |  SELECT rep, count(*) AS n FROM sh GROUP BY rep
+       |), rp AS (
+       |  SELECT a.rep AS a_rep, b.rep AS b_rep, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.rep < b.rep
+       |  GROUP BY 1, 2
+       |), rsim AS (
+       |  SELECT a_rep, b_rep, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FROM rp
+       |  JOIN shn sa ON sa.rep = a_rep
+       |  JOIN shn sb ON sb.rep = b_rep
+       |  WHERE inter / (sa.n + sb.n - inter) >= $threshold
+       |)""".stripMargin
+
+  /** Expansion of the contracted pair relation back to doc-id pairs:
+    * K×K clone images of each cross-content rep pair plus the C(sz,2)
+    * within-group cliques at the given exact-duplicate value.
+    */
+  private def contractedPairExpansion(valueCol: String, cliqueValue: String): String =
+    s"""cross_ex AS (
+       |  SELECT
+       |    unnest(flatten(list_transform(ga.ids, x ->
+       |      list_transform(gb.ids, y -> least(x, y))))) AS a_id,
+       |    unnest(flatten(list_transform(ga.ids, x ->
+       |      list_transform(gb.ids, y -> greatest(x, y))))) AS b_id,
+       |    $valueCol
+       |  FROM rsim
+       |  JOIN t ga ON ga.rep = a_rep
+       |  JOIN t gb ON gb.rep = b_rep
+       |), cliq AS (
+       |  SELECT
+       |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+       |      list_transform(ids[i+1:sz], x -> ids[i])))) AS a_id,
+       |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+       |      ids[i+1:sz]))) AS b_id,
+       |    $cliqueValue AS $valueCol
+       |  FROM t WHERE sz >= 2
+       |)""".stripMargin
+
+  private def contractedJaccardSql: String =
+    s"""WITH
+       |${contractedJaccardKernel(0.8)},
+       |${contractedPairExpansion("jaccard", "CAST(1.0 AS DOUBLE)")}
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT * FROM cross_ex UNION ALL SELECT * FROM cliq
+       |)
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val ngramJaccardSql: String = contractedJaccardSql
 
   // -------------------------------------------------------------------
   // Duplicate-GROUP resolution: connected components over the exact
@@ -284,22 +345,34 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Contracted CC oracle (round 14): the reachability walk runs over
+    * the REP graph (distinct texts — base-tier size at any clone
+    * factor); member docs inherit their group's component label. The
+    * component canonical is min(rep) over the component: each rep is
+    * its group's min doc_id, so min over reps = min doc_id in the
+    * component. A group participates (emits rows) iff it has an
+    * internal clique (sz ≥ 2) or any cross-content edge — matching the
+    * engine, whose labels exist only for nodes of the pair graph.
+    */
   val dedupGroupsSql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT a_id, b_id FROM (
-       |${ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
-       |  ) q
-       |), edges AS (
-       |  SELECT a_id AS src, b_id AS dst FROM pairs
+    s"""WITH RECURSIVE
+       |${contractedJaccardKernel(0.8)},
+       |redges AS (
+       |  SELECT a_rep AS src, b_rep AS dst FROM rsim
        |  UNION
-       |  SELECT b_id, a_id FROM pairs
+       |  SELECT b_rep, a_rep FROM rsim
        |), walk(id, reach) AS (
-       |  SELECT src, dst FROM edges
+       |  SELECT src, dst FROM redges
        |  UNION
-       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+       |  SELECT w.id, e.dst FROM walk w JOIN redges e ON w.reach = e.src
+       |), rcanon AS (
+       |  SELECT id AS rep, least(id, min(reach)) AS canon
+       |  FROM walk GROUP BY id
        |)
-       |SELECT id AS doc_id, least(id, min(reach)) AS canonical_id
-       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+       |SELECT unnest(t.ids) AS doc_id, coalesce(rc.canon, t.rep) AS canonical_id
+       |FROM t LEFT JOIN rcanon rc ON rc.rep = t.rep
+       |WHERE t.sz >= 2 OR rc.rep IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // MinHash(128) + LSH banding (32 bands × 4 rows). Signatures are
@@ -385,29 +458,7 @@ object Dedup {
     * Equality against the all-pairs inverted-index Jaccard is
     * therefore a legitimate driver oracle, verified at every SF.
     */
-  val minhashLshSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, str_split(text, ' ') AS w
-      |  FROM documents WHERE len(str_split(text, ' ')) >= 3
-      |), sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM t
-      |), sz AS (
-      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-      |), pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-      |  FROM sh a JOIN sh b USING (shingle)
-      |  WHERE a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |)
-      |SELECT a_id, b_id, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-      |FROM pairs
-      |JOIN sz sa ON sa.doc_id = a_id
-      |JOIN sz sb ON sb.doc_id = b_id
-      |WHERE inter / (sa.n + sb.n - inter) >= 0.8
-      |ORDER BY a_id, b_id""".stripMargin
+  val minhashLshSql: String = contractedJaccardSql
 
   /** Doc-level cross-corpus decontamination: benchmark docs that are
     * NEAR-duplicates of corpus docs (Jaccard ≥ τ), found through the
@@ -539,46 +590,58 @@ object Dedup {
     * leg oracle-able: deterministic family, FN-freeness a fixed
     * corpus property).
     */
+  /** Contracted delta-vs-history oracle (round 14): the %4 split is on
+    * doc_id, so a content group carries delta members and history
+    * members separately (dids / hsz). Per delta doc d in group g:
+    * exact_dup ⇔ g has ≥1 history member (md5 equality ≡ text
+    * equality); n_near_history = hsz(g) [the same-content pairs, J=1,
+    * eligible groups only] + Σ_{g'~g in rsim} hsz(g'); max_jaccard =
+    * max(1.0 if hsz(g)>0, max over history-bearing neighbors' J). The
+    * rep-level similarity join stays base-tier-sized at any clone
+    * factor.
+    */
   val dedupIncrementalSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, md5(text) AS h,
-      |    doc_id % 4 = 0 AS is_delta,
-      |    str_split(text, ' ') AS w
-      |  FROM documents
-      |), exact AS (
-      |  SELECT DISTINCT a.doc_id
-      |  FROM d a JOIN d b ON a.h = b.h AND a.is_delta AND NOT b.is_delta
-      |), t AS (
-      |  SELECT doc_id, is_delta, w FROM d WHERE len(w) >= 3
-      |), sh AS (
-      |  SELECT DISTINCT doc_id, is_delta,
-      |    unnest(list_transform(range(1, len(w) - 1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM t
-      |), sz AS (
-      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-      |), pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.is_delta AS ad, count(*) AS inter
-      |  FROM sh a JOIN sh b USING (shingle)
-      |  WHERE a.doc_id < b.doc_id AND a.is_delta <> b.is_delta
-      |  GROUP BY 1, 2, 3
-      |), near AS (
-      |  SELECT CASE WHEN ad THEN a_id ELSE b_id END AS doc_id,
-      |    round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-      |  FROM pairs
-      |  JOIN sz sa ON sa.doc_id = a_id
-      |  JOIN sz sb ON sb.doc_id = b_id
-      |  WHERE inter / (sa.n + sb.n - inter) >= 0.8
-      |), nearagg AS (
-      |  SELECT doc_id, count(*) AS n_near_history, max(jaccard) AS max_jaccard
-      |  FROM near GROUP BY doc_id
-      |)
-      |SELECT coalesce(n.doc_id, e.doc_id) AS doc_id,
-      |  e.doc_id IS NOT NULL AS exact_dup,
-      |  CAST(coalesce(n.n_near_history, 0) AS BIGINT) AS n_near_history,
-      |  coalesce(n.max_jaccard, 0.0) AS max_jaccard
-      |FROM nearagg n FULL OUTER JOIN exact e ON n.doc_id = e.doc_id
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH
+       |${contractedJaccardKernel(0.8)},
+       |gd AS (
+       |  SELECT text,
+       |    min(doc_id) AS rep,
+       |    list_sort(list(doc_id) FILTER (WHERE doc_id % 4 = 0)) AS dids,
+       |    count(*) FILTER (WHERE doc_id % 4 <> 0) AS hsz
+       |  FROM documents WHERE text IS NOT NULL GROUP BY text
+       |), nb AS (
+       |  SELECT a_rep AS rep, b_rep AS nrep, jaccard FROM rsim
+       |  UNION ALL
+       |  SELECT b_rep, a_rep, jaccard FROM rsim
+       |), nagg AS (
+       |  SELECT nb.rep,
+       |    CAST(sum(g2.hsz) AS BIGINT) AS nh,
+       |    max(CASE WHEN g2.hsz > 0 THEN nb.jaccard END) AS mj
+       |  FROM nb JOIN gd g2 ON g2.rep = nb.nrep
+       |  GROUP BY nb.rep
+       |), gnear AS (
+       |  -- eligible groups only: same-content near pairs need shingles
+       |  SELECT gd.rep, gd.dids,
+       |    gd.hsz + coalesce(nagg.nh, 0) AS n_near,
+       |    greatest(
+       |      CASE WHEN gd.hsz > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+       |      coalesce(nagg.mj, CAST(0.0 AS DOUBLE))) AS mj
+       |  FROM gd JOIN t ON t.rep = gd.rep
+       |  LEFT JOIN nagg ON nagg.rep = gd.rep
+       |), near2 AS (
+       |  SELECT unnest(dids) AS doc_id,
+       |    CAST(n_near AS BIGINT) AS n_near_history, mj
+       |  FROM gnear WHERE n_near > 0 AND len(dids) > 0
+       |), exact2 AS (
+       |  SELECT unnest(dids) AS doc_id FROM gd
+       |  WHERE hsz > 0 AND len(dids) > 0
+       |)
+       |SELECT coalesce(n.doc_id, e.doc_id) AS doc_id,
+       |  e.doc_id IS NOT NULL AS exact_dup,
+       |  coalesce(n.n_near_history, 0) AS n_near_history,
+       |  coalesce(n.mj, 0.0) AS max_jaccard
+       |FROM near2 n FULL OUTER JOIN exact2 e ON n.doc_id = e.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Fuzzy vocabulary join: edit distance ≤ 1 via the symmetric-delete
@@ -710,31 +773,67 @@ object Dedup {
     * filter — every step is deterministic integer arithmetic, so
     * this is a full bit-for-bit recomputation, not an invariant.
     */
+  /** Contracted (round 14): the simhash is a pure function of text, so
+    * the bit pipeline and the pigeonhole join run over distinct-text
+    * representatives (base-tier cost at any clone factor); identical
+    * texts expand to Hamming-0 cliques (every non-null text has ≥ 1
+    * token — str_split('') = [''] — so every duplicated group
+    * pairs), and cross-content rep pairs expand to their K×K clone
+    * images carrying the rep Hamming distance verbatim.
+    */
   val simhashSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+    """WITH grp AS (
+      |  SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids,
+      |    count(*) AS sz
+      |  FROM documents WHERE text IS NOT NULL GROUP BY text
+      |), t AS (
+      |  SELECT rep, sz, ids FROM grp
+      |), tok AS (
+      |  SELECT rep, unnest(str_split(text, ' ')) AS t FROM grp
       |), h AS (
-      |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+      |  SELECT rep, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
       |  FROM tok
       |), bits AS (
-      |  SELECT doc_id, k, sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  SELECT rep, k, sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
       |  FROM h, unnest(generate_series(0, 59)) AS r(k)
-      |  GROUP BY doc_id, k
+      |  GROUP BY rep, k
       |), sim AS (
-      |  SELECT doc_id,
+      |  SELECT rep,
       |    sum(CASE WHEN s > 0 THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0::BIGINT END) AS sh
-      |  FROM bits GROUP BY doc_id
+      |  FROM bits GROUP BY rep
       |), blk AS (
-      |  SELECT doc_id, sh, j, (sh >> (15 * CAST(j AS INTEGER))) & 32767 AS bval
+      |  SELECT rep, sh, j, (sh >> (15 * CAST(j AS INTEGER))) & 32767 AS bval
       |  FROM sim, unnest(generate_series(0, 3)) AS q(j)
-      |), pairs AS (
-      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-      |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-      |  FROM blk a JOIN blk b ON a.j = b.j AND a.bval = b.bval
-      |  WHERE a.doc_id < b.doc_id
+      |), rsim AS (
+      |  SELECT * FROM (
+      |    SELECT DISTINCT a.rep AS a_rep, b.rep AS b_rep,
+      |      CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |    FROM blk a JOIN blk b ON a.j = b.j AND a.bval = b.bval
+      |    WHERE a.rep < b.rep
+      |  ) WHERE hamming <= 3
+      |), cross_ex AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(ga.ids, x ->
+      |      list_transform(gb.ids, y -> least(x, y))))) AS a_id,
+      |    unnest(flatten(list_transform(ga.ids, x ->
+      |      list_transform(gb.ids, y -> greatest(x, y))))) AS b_id,
+      |    hamming
+      |  FROM rsim
+      |  JOIN t ga ON ga.rep = a_rep
+      |  JOIN t gb ON gb.rep = b_rep
+      |), cliq AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+      |      list_transform(ids[i+1:sz], x -> ids[i])))) AS a_id,
+      |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+      |      ids[i+1:sz]))) AS b_id,
+      |    CAST(0 AS INTEGER) AS hamming
+      |  FROM t WHERE sz >= 2
       |)
-      |SELECT a_id, b_id, hamming FROM pairs
-      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT * FROM cross_ex UNION ALL SELECT * FROM cliq
+      |)
+      |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Embedding near-dup: EXACT cosine ≥ τ self-join, cluster-blocked.
@@ -914,24 +1013,60 @@ object Dedup {
     verifyCosine(e, embeddingCandidates(spark, dir, threshold), threshold)
   }
 
+  /** Contracted (round 14): cosine is a pure function of the embedding
+    * VALUE, so the all-pairs join runs over distinct embeddings only
+    * (base-tier cost on a clone corpus). Identical vectors expand to
+    * cliques at cos_sim 1.0 — safe as a literal because both engines
+    * compute s/(√s·√s) = 1 ± 2⁻⁵² and the 6dp round collapses that to
+    * exactly 1.0; zero-norm vectors drop with their whole group.
+    */
   val embeddingDedupSql: String =
-    """WITH n AS (
-      |  SELECT vec_id, embedding,
+    """WITH g AS (
+      |  SELECT embedding, min(vec_id) AS rep, list_sort(list(vec_id)) AS ids,
+      |    count(*) AS sz
+      |  FROM embeddings GROUP BY embedding
+      |), n AS (
+      |  -- reps + norms only: the member-id lists must NOT ride the
+      |  -- 64-wide lateral below (the r12 carried-list rule — they
+      |  -- re-materialize per unnest row); they join back in cross_ex
+      |  SELECT rep, embedding,
       |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
-      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-      |  GROUP BY vec_id, embedding
+      |  FROM g, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY rep, embedding
       |  HAVING sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0
-      |), pairs AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |), rp AS (
+      |  SELECT a.rep AS a_rep, b.rep AS b_rep,
       |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
       |      / (any_value(a.nrm) * any_value(b.nrm)) AS cos
       |  FROM n a
-      |  JOIN n b ON a.vec_id < b.vec_id,
+      |  JOIN n b ON a.rep < b.rep,
       |  unnest(generate_series(1, len(a.embedding))) AS t(i)
-      |  GROUP BY a.vec_id, b.vec_id
+      |  GROUP BY a.rep, b.rep
+      |  HAVING sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |      / (any_value(a.nrm) * any_value(b.nrm)) >= 0.45
+      |), cross_ex AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(ga.ids, x ->
+      |      list_transform(gb.ids, y -> least(x, y))))) AS a_id,
+      |    unnest(flatten(list_transform(ga.ids, x ->
+      |      list_transform(gb.ids, y -> greatest(x, y))))) AS b_id,
+      |    round(cos, 6) AS cos_sim
+      |  FROM rp
+      |  JOIN g ga ON ga.rep = a_rep
+      |  JOIN g gb ON gb.rep = b_rep
+      |), cliq AS (
+      |  SELECT
+      |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+      |      list_transform(ids[i+1:sz], x -> ids[i])))) AS a_id,
+      |    unnest(flatten(list_transform(range(1, sz + 1), i ->
+      |      ids[i+1:sz]))) AS b_id,
+      |    CAST(1.0 AS DOUBLE) AS cos_sim
+      |  FROM g JOIN n ON n.rep = g.rep
+      |  WHERE g.sz >= 2
       |)
-      |SELECT a_id, b_id, round(cos, 6) AS cos_sim
-      |FROM pairs WHERE cos >= 0.45
+      |SELECT a_id, b_id, cos_sim FROM (
+      |  SELECT * FROM cross_ex UNION ALL SELECT * FROM cliq
+      |)
       |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------------

@@ -96,30 +96,37 @@ object Graph {
       .limit(50)
   }
 
-  /** Oracle: the same 10 iterations unrolled as chained CTEs. */
+  /** Oracle: the same 10 iterations unrolled as chained CTEs. Every
+    * stage is MATERIALIZED (round 14): each r_i is referenced once, so
+    * DuckDB's default would INLINE the whole chain into one ten-level
+    * nested join — the plan that blew a 56 GB cap at the ×10 tier.
+    * Materialized, each iteration is one edge-sized hash join + agg
+    * and the oracle is linear in the corpus, so the scaled gates can
+    * content-check pagerank instead of skipping it.
+    */
   val pagerankSql: String = {
     val base =
-      """edges AS (
+      """edges AS MATERIALIZED (
         |  SELECT c, s FROM (
         |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  )
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT c AS src, s AS dst FROM edges
         |  UNION ALL
         |  SELECT s AS src, c AS dst FROM edges
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT src, count(*) AS out_deg FROM e GROUP BY src
-        |), nn AS (
+        |), nn AS MATERIALIZED (
         |  SELECT count(*) AS n FROM deg
-        |), r0 AS (
+        |), r0 AS MATERIALIZED (
         |  -- CAST: a bare 1.0 literal is DECIMAL in DuckDB and decimal
         |  -- division would diverge from Spark's double arithmetic
         |  SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
         |  FROM deg CROSS JOIN nn
         |)""".stripMargin
     val iter = (1 to 10).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    CAST(0.15 AS DOUBLE) / nn.n
          |      + CAST(0.85 AS DOUBLE) * sum(r${i - 1}.rank / deg.out_deg) AS rank
@@ -179,31 +186,69 @@ object Graph {
       .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges", "clustering")
   }
 
-  val triangleCountSql: String =
-    s"""WITH pairs AS (
-       |  SELECT a_id, b_id FROM (
-       |${Dedup.ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
-       |  ) q
-       |), nodes AS (
-       |  SELECT a_id AS v FROM pairs UNION SELECT b_id FROM pairs
-       |), deg AS (
-       |  SELECT v, count(*) AS d FROM (
-       |    SELECT a_id AS v FROM pairs UNION ALL SELECT b_id FROM pairs
-       |  ) GROUP BY v
-       |), tri AS (
-       |  SELECT count(*) AS t
-       |  FROM pairs e1
-       |  JOIN pairs e2 ON e1.b_id = e2.a_id
-       |  JOIN pairs e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id
-       |), w AS (
-       |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS nw FROM deg
+  /** Contracted census oracle (round 14): contracting identical texts
+    * into groups of size s makes the similarity graph a blow-up of the
+    * rep graph H (each group an internal s-clique — identical texts
+    * are J=1 pairs — and each rep edge a complete bipartite s_a×s_b
+    * join), so the census is exact in closed form from H alone:
+    *
+    *   nodes      Σ s_g                    over participating groups
+    *   edges      Σ C(s_g,2) + Σ_{(g,h)∈H} s_g·s_h
+    *   triangles  Σ C(s_g,3) + Σ_{(g,h)∈H} [C(s_g,2)s_h + s_g C(s_h,2)]
+    *              + Σ_{H-triangles} s_g·s_h·s_k
+    *   wedges     Σ s_g·C(d_g,2), d_g = (s_g−1) + Σ_{h~g} s_h
+    *
+    * (a group participates iff s_g ≥ 2 or it has a rep edge; the
+    * formulas were validated against the uniform-clone special case in
+    * ScaleInvariants.triangleCount). Triangle enumeration runs on H —
+    * base-tier cost at any clone factor — instead of wedge-joining the
+    * full pair set, which is what blew past memory at ×10. On a
+    * unique-text corpus every s_g = 1 and this is the original census.
+    */
+  val triangleCountSql: String = {
+    val kernel = Dedup.contractedJaccardKernelForOracles(0.8)
+    s"""WITH
+       |$kernel,
+       |nbr AS (
+       |  SELECT rep, count(*) AS rdeg, CAST(sum(nsz) AS BIGINT) AS nsum FROM (
+       |    SELECT a_rep AS rep, tb.sz AS nsz FROM rsim JOIN t tb ON tb.rep = b_rep
+       |    UNION ALL
+       |    SELECT b_rep, ta.sz FROM rsim JOIN t ta ON ta.rep = a_rep
+       |  ) GROUP BY rep
+       |), parts AS (
+       |  SELECT t.sz, coalesce(nbr.nsum, 0) + t.sz - 1 AS ddeg
+       |  FROM t LEFT JOIN nbr ON nbr.rep = t.rep
+       |  WHERE t.sz >= 2 OR nbr.rep IS NOT NULL
+       |), agg AS (
+       |  SELECT
+       |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_nodes,
+       |    CAST(coalesce(sum(sz * (sz - 1) // 2), 0) AS BIGINT) AS e_int,
+       |    CAST(coalesce(sum(sz * (sz - 1) * (sz - 2) // 6), 0) AS BIGINT) AS t_int,
+       |    CAST(coalesce(sum(sz * (ddeg * (ddeg - 1) // 2)), 0) AS BIGINT) AS n_wedges
+       |  FROM parts
+       |), eagg AS (
+       |  SELECT
+       |    CAST(coalesce(sum(ta.sz * tb.sz), 0) AS BIGINT) AS e_cross,
+       |    CAST(coalesce(sum(ta.sz * (ta.sz - 1) // 2 * tb.sz
+       |      + ta.sz * (tb.sz * (tb.sz - 1) // 2)), 0) AS BIGINT) AS t_2g
+       |  FROM rsim JOIN t ta ON ta.rep = a_rep JOIN t tb ON tb.rep = b_rep
+       |), tagg AS (
+       |  SELECT CAST(coalesce(sum(t1.sz * t2.sz * t3.sz), 0) AS BIGINT) AS t_3g
+       |  FROM rsim e1
+       |  JOIN rsim e2 ON e1.b_rep = e2.a_rep
+       |  JOIN rsim e3 ON e1.a_rep = e3.a_rep AND e2.b_rep = e3.b_rep
+       |  JOIN t t1 ON t1.rep = e1.a_rep
+       |  JOIN t t2 ON t2.rep = e1.b_rep
+       |  JOIN t t3 ON t3.rep = e2.b_rep
        |)
        |SELECT
-       |  (SELECT count(*) FROM nodes) AS n_nodes,
-       |  (SELECT count(*) FROM pairs) AS n_edges,
-       |  CAST(tri.t AS BIGINT) AS n_triangles,
-       |  w.nw AS n_wedges,
-       |  CASE WHEN w.nw > 0 THEN round(3.0 * tri.t / w.nw, 6) ELSE 0.0 END
-       |    AS clustering
-       |FROM tri CROSS JOIN w""".stripMargin
+       |  agg.n_nodes,
+       |  agg.e_int + eagg.e_cross AS n_edges,
+       |  agg.t_int + eagg.t_2g + tagg.t_3g AS n_triangles,
+       |  agg.n_wedges,
+       |  CASE WHEN agg.n_wedges > 0
+       |    THEN round(3.0 * (agg.t_int + eagg.t_2g + tagg.t_3g) / agg.n_wedges, 6)
+       |    ELSE 0.0 END AS clustering
+       |FROM agg CROSS JOIN eagg CROSS JOIN tagg""".stripMargin
+  }
 }

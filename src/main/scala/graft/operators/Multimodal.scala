@@ -105,22 +105,33 @@ object Multimodal {
     * synthesized gradient makes the pixel sum w(w-1) + 2wy), so the
     * driver verifies the synthesize → real-bytes → sample round trip.
     */
-  def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 2): DataFrame =
+    frameSampleFor(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "bmp"), stride)
+
+  /** Payload-injectable form (hostile-header fuzz, round 14): row
+    * geometry comes from the VALIDATED [[RiffCodec.parse]] — a header
+    * that lies about its dimensions parses as `unknown` and yields no
+    * frames, instead of driving the pixel loop off the end of the
+    * payload (ArrayIndexOutOfBounds) or into an Int-overflowed offset.
+    */
+  private[graft] def frameSampleFor(spark: SparkSession,
+      media: Dataset[MediaRow], stride: Int = 2): DataFrame = {
     import spark.implicits._
-    mediaBinaryTable(spark, dir)
-      .filter(col("media_type") === "bmp")
+    media
       .mapPartitions(_.flatMap { r =>
-        val b = java.nio.ByteBuffer.wrap(r.payload)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val w = b.getInt(18)
-        val h = b.getInt(22)
-        val rowSize = ((3 * w + 3) / 4) * 4
-        (0 until h by stride).zipWithIndex.map { case (y, i) =>
-          val off = 54 + y * rowSize
-          var s = 0L
-          var x = 0
-          while (x < 3 * w) { s += (r.payload(off + x) & 0xFF); x += 1 }
-          FrameRow(r.doc_id, i.toLong, y.toLong, off.toLong, rowSize.toLong, s)
+        val p = RiffCodec.parse(r.doc_id, r.payload)
+        if (p.kind != "bmp") Iterator.empty
+        else {
+          val w = p.width
+          val h = p.height
+          val rowSize = ((3 * w + 3) / 4) * 4 // Int-safe: parse capped w
+          (0 until h by stride).zipWithIndex.iterator.map { case (y, i) =>
+            val off = 54 + y * rowSize
+            var s = 0L
+            var x = 0
+            while (x < 3 * w) { s += (r.payload(off + x) & 0xFF); x += 1 }
+            FrameRow(r.doc_id, i.toLong, y.toLong, off.toLong, rowSize.toLong, s)
+          }
         }
       })
       .toDF()
@@ -210,14 +221,40 @@ object Multimodal {
       b.array()
     }
 
-    /** Parse by magic bytes, reading the real container headers. */
+    /** Geometry cap: a lying BMP header can declare dimensions whose
+      * row arithmetic overflows Int (3·width) or whose row loop wedges
+      * a core for minutes — a real decoder rejects absurd geometry
+      * before allocating. 2^15 keeps every derived size comfortably in
+      * Long while admitting any realistic bitmap. */
+    private val MaxDim = 1 << 15
+
+    /** Parse by magic bytes, reading the real container headers.
+      *
+      * Round-14 hardening (hostile-header fuzz): magic bytes prove
+      * nothing about the FIELDS — a payload can carry a syntactically
+      * valid header that lies (negative height, bpp≠24, dataLen past
+      * the actual bytes, byteRate inconsistent with rate·ch·2, sizes
+      * that overflow Int). Every declared geometry is now validated in
+      * LONG arithmetic against the payload that actually arrived;
+      * anything inconsistent parses as `unknown` (⇒ valid=false in
+      * mediaMeta) instead of flowing into downstream row/sample loops
+      * as trusted bounds. Well-formed containers — everything the
+      * driver corpus synthesizes — parse exactly as before.
+      */
     def parse(docId: Long, payload: Array[Byte]): MediaParsed = {
       val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def unknown = MediaParsed(docId, "unknown", 0, 0, 0, 0, 0, 0L, payload.length)
       if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
         val width = b.getInt(18)
         val height = b.getInt(22)
         val bpp = b.getShort(28).toInt
-        MediaParsed(docId, "bmp", width, height, 0, 0, bpp, 0L, payload.length)
+        val geomOk = width > 0 && height > 0 && width <= MaxDim && height <= MaxDim &&
+          bpp == 24 && {
+            val rowSize = ((3L * width + 3L) / 4L) * 4L
+            54L + rowSize * height <= payload.length
+          }
+        if (!geomOk) unknown
+        else MediaParsed(docId, "bmp", width, height, 0, 0, bpp, 0L, payload.length)
       } else if (payload.length >= 44 &&
         payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
         val channels = b.getShort(22).toInt
@@ -225,9 +262,15 @@ object Multimodal {
         val byteRate = b.getInt(28)
         val bits = b.getShort(34).toInt
         val dataLen = b.getInt(40)
-        val durMs = if (byteRate > 0) dataLen.toLong * 1000L / byteRate else 0L
-        MediaParsed(docId, "wav", 0, 0, rate, channels, bits, durMs, payload.length)
-      } else MediaParsed(docId, "unknown", 0, 0, 0, 0, 0, 0L, payload.length)
+        val pcmOk = channels > 0 && rate > 0 && bits == 16 &&
+          byteRate.toLong == rate.toLong * channels * 2L &&
+          dataLen >= 0 && 44L + dataLen <= payload.length
+        if (!pcmOk) unknown
+        else {
+          val durMs = dataLen.toLong * 1000L / byteRate
+          MediaParsed(docId, "wav", 0, 0, rate, channels, bits, durMs, payload.length)
+        }
+      } else unknown
     }
   }
 
@@ -270,27 +313,42 @@ object Multimodal {
     * closed-form oracle (the synthesized PCM pattern is
     * byte_i = i & 0x7F) matches to the last bit before rounding.
     */
-  def mediaAudioStats(spark: SparkSession, dir: String): DataFrame = {
+  def mediaAudioStats(spark: SparkSession, dir: String): DataFrame =
+    mediaAudioStatsFor(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "wav"))
+
+  /** Payload-injectable form (hostile-header fuzz, round 14): the
+    * sample loop bound comes from the VALIDATED [[RiffCodec.parse]] —
+    * a dataLen declared past the actual payload (or a byteRate
+    * inconsistent with rate·channels·2) parses as `unknown` and
+    * produces no stats row, instead of reading samples off the end of
+    * the buffer.
+    */
+  private[graft] def mediaAudioStatsFor(spark: SparkSession,
+      media: Dataset[MediaRow]): DataFrame = {
     import spark.implicits._
-    mediaBinaryTable(spark, dir)
-      .filter(_.media_type == "wav")
-      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.map { r =>
+    media
+      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.flatMap { r =>
+        val p = RiffCodec.parse(r.doc_id, r.payload)
         val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
-        val dataLen = b.getInt(40)
-        val n = dataLen / 2
-        var i = 0
-        var sum = 0L
-        var sumSq = 0L
-        var peak = Long.MinValue
-        while (i < n) {
-          val v = b.getShort(44 + 2 * i).toLong // signed 16-bit sample
-          sum += v
-          sumSq += v * v
-          if (v > peak) peak = v
-          i += 1
+        // parse validated 44 + dataLen <= length; an empty (but valid)
+        // data chunk has no samples to report — no row, not NaN stats
+        val n = if (p.kind != "wav") 0 else b.getInt(40) / 2
+        if (n == 0) None
+        else {
+          var i = 0
+          var sum = 0L
+          var sumSq = 0L
+          var peak = Long.MinValue
+          while (i < n) {
+            val v = b.getShort(44 + 2 * i).toLong // signed 16-bit sample
+            sum += v
+            sumSq += v * v
+            if (v > peak) peak = v
+            i += 1
+          }
+          Some((r.doc_id, n.toLong, peak,
+            math.sqrt(sumSq.toDouble / n), sum.toDouble / n))
         }
-        (r.doc_id, n.toLong, peak,
-          math.sqrt(sumSq.toDouble / n), sum.toDouble / n)
       }))
       .toDF("doc_id", "n_samples", "peak", "rms", "mean_sample")
       .select(col("doc_id"), col("n_samples"), col("peak"),

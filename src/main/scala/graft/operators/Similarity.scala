@@ -43,26 +43,66 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Contracted oracle (round 14): cosine is a pure function of the
+    * embedding VALUE, so each query scores distinct embeddings once
+    * (base-tier cost on a clone corpus) instead of every corpus row.
+    * Only groups that can reach the top-5 are expanded back to member
+    * ids: a group qualifies iff the member count in strictly-better
+    * 6dp-cosine levels is < 6 (6, not 5 — the query itself may sit in
+    * a qualifying group and is excluded at expansion). Ties at the
+    * boundary level are all kept, so the exact (cos6 DESC, n_id)
+    * ranking below sees every candidate the full scan would.
+    */
   val knnBruteSql: String =
-    """WITH n AS (
-      |  SELECT vec_id, embedding,
+    """WITH g AS (
+      |  SELECT embedding, min(vec_id) AS rep, list_sort(list(vec_id)) AS ids,
+      |    count(*) AS sz
+      |  FROM embeddings GROUP BY embedding
+      |), n AS (
+      |  SELECT rep, embedding,
+      |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+      |  FROM g, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY rep, embedding
+      |  HAVING sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding,
       |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  WHERE vec_id < 10
       |  GROUP BY vec_id, embedding
       |  HAVING sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0
       |), scored AS (
-      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-      |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
-      |      / (any_value(q.nrm) * any_value(c.nrm)) AS cos
-      |  FROM n q
-      |  JOIN n c ON c.vec_id <> q.vec_id,
+      |  -- reps + cosines only: member-id lists must not ride the
+      |  -- 64-wide lateral (r12 carried-list rule); they join back in
+      |  -- cand, where only the ~6 qualifying groups per query remain
+      |  SELECT q.q_id, c.rep,
+      |    round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+      |      / (any_value(q.nrm) * any_value(c.nrm)), 6) AS cos6
+      |  FROM q
+      |  JOIN n c ON true,
       |  unnest(generate_series(1, len(q.embedding))) AS t(i)
-      |  WHERE q.vec_id < 10
-      |  GROUP BY q.vec_id, c.vec_id
+      |  GROUP BY q.q_id, c.rep
+      |), lvl AS (
+      |  SELECT q_id, cos6, sum(g.sz) AS lsz
+      |  FROM scored JOIN g ON g.rep = scored.rep
+      |  GROUP BY q_id, cos6
+      |), keep AS (
+      |  SELECT q_id, cos6 FROM (
+      |    SELECT q_id, cos6,
+      |      coalesce(sum(lsz) OVER (PARTITION BY q_id ORDER BY cos6 DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better
+      |    FROM lvl
+      |  ) WHERE better < 6
+      |), cand AS (
+      |  SELECT s.q_id, u.n_id, s.cos6
+      |  FROM scored s
+      |  JOIN keep k ON k.q_id = s.q_id AND k.cos6 = s.cos6
+      |  JOIN g ON g.rep = s.rep,
+      |  unnest(g.ids) AS u(n_id)
       |), ranked AS (
-      |  SELECT q_id, n_id, round(cos, 6) AS cos_sim,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, n_id) AS rnk
-      |  FROM scored
+      |  SELECT q_id, n_id, cos6 AS cos_sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk
+      |  FROM cand WHERE n_id <> q_id
       |)
       |SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
@@ -412,6 +452,18 @@ object Similarity {
 
   private[graft] def knnIvfPqFor(spark: SparkSession, e: DataFrame,
       kCoarse: Int, nprobe: Int, k: Int, memoKey: Option[String]): DataFrame = {
+    val (centDf, codebook, codesWithCell) = ivfPqIndexRelations(spark, e, kCoarse, memoKey)
+    ivfPqProbe(e, centDf, codebook, codesWithCell, nprobe, k)
+  }
+
+  /** The three relations that ARE an IVF-PQ index — coarse centroids
+    * (cluster, cent, cnorm2), residual codebook (sub, cluster, cent,
+    * cnorm2) and the coded corpus (vec_id, cell, sub, code) — split
+    * out so [[annIndexPersist]] can round-trip them through parquet
+    * and probe the read-back copies.
+    */
+  private[graft] def ivfPqIndexRelations(spark: SparkSession, e: DataFrame,
+      kCoarse: Int, memoKey: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     def trainCoarse() = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, kCoarse), iters = 3)
     val cents = memoKey match {
       case Some(key) => ivfPqCoarseCache.computeIfAbsent(s"$key|$kCoarse", _ => trainCoarse())
@@ -426,7 +478,18 @@ object Similarity {
     val (_, codebook, codes) = pqPartsFor(spark,
       resid.select(col("vec_id"), col("embedding")),
       m = 4, ksub = 16, iters = 3, memoKey = memoKey.map(key => s"$key|ivfres$kCoarse"))
-    // query side: nprobe nearest cells, then per-(query, cell) residual LUT
+    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    (centDf, codebook, codesWithCell)
+  }
+
+  /** The query side of IVF-PQ, expressed over the index RELATIONS
+    * (from training or read back from parquet): nprobe nearest cells
+    * per query, a per-(query, cell) residual LUT, ADC scoring over the
+    * coded corpus confined to probed cells.
+    */
+  private[graft] def ivfPqProbe(e: DataFrame, centDf: DataFrame, codebook: DataFrame,
+      codesWithCell: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cluster"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -444,8 +507,6 @@ object Similarity {
       .select(col("q_id"), col("cell"), col("sub"), col("cluster").as("code"),
         (arrayNorm(col("qv")) * arrayNorm(col("qv")) -
           lit(2.0) * arrayDot(col("qv"), col("cent")) + col("cnorm2")).as("pd"))
-    // corpus side: codes + cell id, scored only inside probed cells
-    val codesWithCell = codes.join(resid.select(col("vec_id"), col("cell")), "vec_id")
     val scored = codesWithCell.join(broadcast(lut), Seq("cell", "sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
@@ -457,6 +518,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(col("adc_d"), 6).as("adc_d"), col("rnk"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** `ann_index_persist`: the IVF-PQ index as a PERSISTED artifact —
+    * build once, write the three index relations to parquet, read
+    * them BACK, and answer the probe from the read-back copies alone
+    * (the corpus vectors are never re-read at query time). This is
+    * the 100 TB ANN deployment shape — the index artifact (centroids
+    * ~KB, codebook ~KB, 4-byte codes per vector) is what ships to the
+    * serving fleet, mirroring sketch_hll_cube's "sketch once, roll up
+    * forever" artifact discipline. Parquet round-trips float arrays
+    * and integer codes losslessly, so the probe output is bit-equal
+    * to the inline [[knnIvfPq]] — proven by AnnIndexSpec and pinned
+    * like the rest of the deterministic ANN family.
+    */
+  def annIndexPersist(spark: SparkSession, dir: String,
+      kCoarse: Int = 8, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val (centDf, codebook, codesWithCell) =
+      ivfPqIndexRelations(spark, e, kCoarse, memoKey = Some(dir))
+    // scratch path keyed by (corpus dir, SESSION, pid) and reused
+    // across calls — the Sketches.hllCube discipline (no orphan dir
+    // per invocation, no cross-session overwrite-then-read race)
+    val idxDir = annIndexScratchDir(spark, dir)
+    centDf.write.mode("overwrite").parquet(s"$idxDir/coarse.parquet")
+    codebook.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
+    codesWithCell.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
+    ivfPqProbe(e,
+      spark.read.parquet(s"$idxDir/coarse.parquet"),
+      spark.read.parquet(s"$idxDir/codebook.parquet"),
+      spark.read.parquet(s"$idxDir/codes.parquet"),
+      nprobe, k)
+  }
+
+  /** The persisted-index location for (session, corpus) — exposed so
+    * the spec can assert the artifact layout on disk. */
+  private[graft] def annIndexScratchDir(spark: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${Sketches.sessionScratchKey(spark)}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_idx_${tag}_p${ProcessHandle.current().pid()}").toString
   }
 
   private val ivfPqCoarseCache =

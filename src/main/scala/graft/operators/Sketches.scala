@@ -43,6 +43,8 @@ object Sketches {
     */
   private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
   private val sessionIdGen = new java.util.concurrent.atomic.AtomicLong()
+  private[operators] def sessionScratchKey(spark: SparkSession): String = sessionKey(spark)
+
   private def sessionKey(spark: SparkSession): String = sessionIds.synchronized {
     var id = sessionIds.get(spark)
     if (id == null) { id = sessionIdGen.incrementAndGet(); sessionIds.put(spark, id) }

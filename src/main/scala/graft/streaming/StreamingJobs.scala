@@ -657,6 +657,80 @@ object StreamingJobs {
       .start()
   }
 
+  /** Checkpointed deployment shape for the custom-state sessionizer
+    * (round 14): flatMapGroupsWithState's state — BOTH the open-session
+    * event buffer and the per-user session COUNTER — lives in the
+    * checkpoint, so a restarted process must (a) close a session whose
+    * events straddle the restart with its full event set and (b)
+    * continue session numbering instead of restarting at 1 (the
+    * counter-only state kept across timeouts, CLAUDE.md rule). Driven
+    * by RecoverySpec across two process lifetimes.
+    */
+  def startCheckpointedSessionize(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    import spark.implicits._
+    eventsStream(spark, srcDir, glob)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionizeFn(emitOpen = false))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
+  /** Checkpointed deployment shape for the native session-window
+    * aggregation (round 14): merging session state lives in the state
+    * store, so a session extended by post-restart events must be
+    * emitted once with its full pre+post event count when the
+    * watermark finally closes it.
+    */
+  def startCheckpointedSessionWindow(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery = {
+    eventsStream(spark, srcDir, glob)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
+  /** Checkpointed deployment shape for the streaming HLL distinct
+    * count (round 14): the per-type sketch REGISTERS live in the state
+    * store, so users counted before a restart must stay merged into
+    * the estimate afterwards — if recovery lost the registers, the
+    * post-restart estimate would cover only post-restart arrivals.
+    * Update mode into a foreachBatch upsert (the KV-serving pattern of
+    * [[streamTopkUpdate]]); `store` holds the latest estimate per
+    * event type, bounded by the type key space.
+    */
+  def startCheckpointedHllDistinct(
+      spark: SparkSession, srcDir: String, glob: String, checkpointDir: String,
+      store: java.util.concurrent.ConcurrentHashMap[String, Long]): StreamingQuery =
+    eventsStream(spark, srcDir, glob)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
+        ()
+      }
+      .start()
+
   val streamTopkSql: String =
     """WITH c AS (
       |  SELECT

@@ -76,7 +76,11 @@ object PinGen {
     // streaming HLL: same registers as the batch sketch ⇒ same pins
     "stream_hll_distinct",
     // KMV overlap: bottom-k sets are pure functions of the input set
-    "sketch_kmv_overlap")
+    "sketch_kmv_overlap",
+    // round-14: the persisted IVF-PQ index probe — same deterministic
+    // trainers as knn_ivf_pq, round-tripped through parquet (lossless
+    // for float arrays and codes), so the output pins identically
+    "ann_index_persist")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r13 sketches: hll_cube writes its cube parquet at construction;
     // cms_words collects its bounded sketch + top-20 (final DF is a
     // 20-row local relation — nothing to audit)
-    "sketch_hll_cube", "sketch_cms_words")
+    "sketch_hll_cube", "sketch_cms_words",
+    // r14: writes + reads back its index artifacts at construction
+    "ann_index_persist")
 
   test("no query plans a cartesian product") {
     // a poisoned shared session (broadcast disabled by an earlier suite)
@@ -161,6 +163,39 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(skew.contains("_salt") && !skew.contains("CartesianProduct"),
       s"skew_join_salted lost its salt key at sfx1:\n${skew.take(1500)}")
+  }
+
+  // ×100-row tier plan audit (round-14 verdict item 1): the third
+  // fingerprint column. Both real r13 bugs were scale-only, and the
+  // broadcast→SMJ/cartesian degradations they exposed are STATS
+  // artifacts that can keep shifting with another 10× of input stats —
+  // so the ×100 corpus gets its own snapshot plus the same named
+  // strategy invariants.
+  test("sfx10-tier plan fingerprints and strategy invariants hold (opt-in: GRAFT_PLAN_SFX10=1)") {
+    assume(sys.env.get("GRAFT_PLAN_SFX10").contains("1"),
+      "set GRAFT_PLAN_SFX10=1 to run the sfx10 plan audit")
+    val dir = sys.env.getOrElse("GRAFT_SFX10_DIR", "/tmp/graft_sfx10")
+    assume(new java.io.File(dir).isDirectory, s"$dir missing — run graft.tools.ScaleUp <base> $dir 100 first")
+    LocalSpark.assertSessionHygiene("PlanAuditSpec/sfx10")
+    compareOrRegen(dir, "plan_fingerprints_sfx10.tsv")
+    // the same strategy invariants the sfx1 tier pins, at ×100
+    val q5 = SparkEntry.queries("q5_multi_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), s"q5 dims no longer broadcast at sfx10:\n${q5.take(1500)}")
+    val bkt = graft.sources.Formats.bucketedJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(bkt.contains("SortMergeJoin") && !bkt.split("SortMergeJoin").last.contains("Exchange"),
+      s"bucketed join lost its zero-exchange shape at sfx10:\n${bkt.take(1500)}")
+    val skew = SparkEntry.queries("skew_join_salted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(skew.contains("_salt") && !skew.contains("CartesianProduct"),
+      s"skew_join_salted lost its salt key at sfx10:\n${skew.take(1500)}")
+    // the r13 KMV catch, now guarded at ×100 too: the bounded pair
+    // grid must stay a broadcast join, never a cartesian
+    val kmv = SparkEntry.queries("sketch_kmv_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!kmv.contains("CartesianProduct"),
+      s"sketch_kmv_overlap degraded to a cartesian at sfx10:\n${kmv.take(1500)}")
   }
 
   test("headline scans push filters and prune columns") {

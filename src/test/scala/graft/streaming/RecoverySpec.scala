@@ -126,4 +126,100 @@ class RecoverySpec extends AnyFunSuite {
     assert(got.head._3 == atMin(0) / 1000L,
       "the duplicate arriving after the restart replaced the first-seen row — dedup state was not recovered")
   }
+
+  test("sessionizer restarted from checkpoint: a restart-straddling session closes with its full event set and numbering continues") {
+    val (src, ckpt, out) = freshDirs("recovery_sess")
+    def ev(id: Long, min: Long) = Row(id, atMin(min), 1L, "click", 1.0, "{}")
+
+    // lifetime 1, two microbatches: session 1 = events @0,@5; the @60
+    // arrival splits on the >30-min gap, emitting session 1 and leaving
+    // the open session [@60] plus nextSessionId=2 ONLY in state.
+    addChunk(src, 0, Seq(ev(1, 0), ev(2, 5)))
+    addChunk(src, 1, Seq(ev(3, 60)))
+    val q1 = StreamingJobs.startCheckpointedSessionize(spark, src, "chunk*.parquet", ckpt, out)
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+
+    val afterRun1 = spark.read.parquet(out)
+      .select("user_id", "session_id", "n_events").collect()
+    assert(afterRun1.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)),
+      s"lifetime 1 should have emitted exactly session 1 with 2 events, got ${afterRun1.mkString(", ")}")
+
+    // lifetime 2, same checkpoint: @70 EXTENDS the open session (its
+    // @60 member exists only in recovered state), @200 splits it off.
+    // Session 2 must come out as {@60,@70} (n=2, start @60) with id 2 —
+    // the id proves the counter survived, the count proves the buffer did.
+    addChunk(src, 2, Seq(ev(4, 70), ev(5, 200)))
+    val q2 = StreamingJobs.startCheckpointedSessionize(spark, src, "chunk*.parquet", ckpt, out)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_id", "n_events", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2)
+    assert(got.map(_._2).distinct.length == got.length,
+      s"duplicate session ids after restart: ${got.mkString(", ")}")
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, atMin(0) / 1000L),
+      (1L, 2L, 2L, atMin(60) / 1000L)),
+      s"restart-straddling session must close as id 2 with both events, got ${got.mkString(", ")}")
+  }
+
+  test("session-window agg restarted from checkpoint: a session extended after the restart closes once with its full count") {
+    val (src, ckpt, out) = freshDirs("recovery_sesswin")
+    def ev(id: Long, min: Long) = Row(id, atMin(min), 1L, "click", 1.0, "{}")
+
+    // lifetime 1: session A = @0,@10; @120 starts session B and pushes
+    // the watermark to 90min, closing A (ends @40 < 90). B lives only
+    // in checkpointed state at the crash.
+    addChunk(src, 0, Seq(ev(1, 0), ev(2, 10), ev(3, 120)))
+    val q1 = StreamingJobs.startCheckpointedSessionWindow(spark, src, "chunk*.parquet", ckpt, out)
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+
+    val afterRun1 = spark.read.parquet(out)
+      .select("start_us", "n_events").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterRun1.toSet == Set((atMin(0) / 1000L, 2L)),
+      s"lifetime 1 should have committed only session A, got ${afterRun1.mkString(", ")}")
+
+    // lifetime 2: @130 MERGES into session B (recovered state), @300
+    // pushes the watermark to 270min which closes B (ends @160).
+    addChunk(src, 1, Seq(ev(4, 130), ev(5, 300)))
+    val q2 = StreamingJobs.startCheckpointedSessionWindow(spark, src, "chunk*.parquet", ckpt, out)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("start_us", "n_events").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.distinct.length == got.length && got.length == 2,
+      s"sessions must be exactly-once across the restart, got ${got.mkString(", ")}")
+    assert(got.toSet == Set((atMin(0) / 1000L, 2L), (atMin(120) / 1000L, 2L)),
+      s"session B must close once with its pre+post-restart events, got ${got.mkString(", ")}")
+  }
+
+  test("streaming HLL restarted from checkpoint: pre-crash users stay merged into the post-restart estimate") {
+    val (src, ckpt, _) = freshDirs("recovery_hll")
+    def ev(id: Long, user: Long, tpe: String) = Row(id, atMin(id % 60), user, tpe, 1.0, "{}")
+    val store = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+    // lifetime 1: clicks from users 1-80, views from users 1-40
+    addChunk(src, 0,
+      (1L to 80L).map(u => ev(u, u, "click")) ++ (1L to 40L).map(u => ev(100 + u, u, "view")))
+    val q1 = StreamingJobs.startCheckpointedHllDistinct(spark, src, "chunk*.parquet", ckpt, store)
+    try q1.processAllAvailable() finally q1.stop() // the "crash"
+
+    // lifetime 2: clicks from users 41-120 (40 genuinely new). Without
+    // recovered registers the click estimate would cover only 80
+    // post-restart users; with them it covers all 120 distinct.
+    addChunk(src, 1, (41L to 120L).map(u => ev(300 + u, u, "click")))
+    val q2 = StreamingJobs.startCheckpointedHllDistinct(spark, src, "chunk*.parquet", ckpt, store)
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the streaming estimate must EQUAL the batch sketch over the full
+    // event set — register max is arrival/restart-order-free
+    val batch = spark.read.schema(schema).parquet(src)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("exp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(store.get("click") == batch("click"),
+      s"click estimate ${store.get("click")} != batch-over-all-events ${batch("click")} — sketch state lost at restart")
+    assert(store.get("view") == batch("view"),
+      s"view estimate ${store.get("view")} != batch ${batch("view")}")
+  }
 }

@@ -19,12 +19,22 @@
 # same twice, so layout-invariance is a correctness property, not a
 # nicety.
 #
-# Usage: tools/layout_gate.sh [sfDir] (default /root/testdata/sf0.01)
+# A third axis (round 14): MEMORY PRESSURE. `--mem` keeps the standard
+# parallelism but starves the executors — a 3 GiB heap with
+# spark.memory.fraction=0.2 and force-spill thresholds low enough that
+# shuffle sorts, window buffers and hash aggregates actually take
+# their spill paths. Bit-identical output under --mem proves no
+# operator silently depends on data staying resident (the property
+# 100 TB executors cannot offer).
+#
+# Usage: tools/layout_gate.sh [--mem] [sfDir] (default /root/testdata/sf0.01)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+MODE="layout"
+if [ "${1:-}" = "--mem" ]; then MODE="mem"; shift; fi
 SF_DIR="${1:-/root/testdata/sf0.01}"
-TAG="$(basename "$SF_DIR")"
+TAG="$(basename "$SF_DIR")_${MODE}"
 OUT_A="/tmp/layout_a_${TAG}"
 OUT_B="/tmp/layout_b_${TAG}"
 rm -rf "$OUT_A" "$OUT_B"
@@ -32,9 +42,16 @@ rm -rf "$OUT_A" "$OUT_B"
 echo "== run A (standard layout: local[32], aqe, codegen) =="
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_DIR $OUT_A"
 
-echo "== run B (adversarial layout: local[5], shuffle=7, no aqe, no auto-broadcast, 1MiB splits, interpreted) =="
-SPARK_GRAFT_CPUS=5 GRAFT_CONF="spark.sql.shuffle.partitions=7;spark.sql.adaptive.enabled=false;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.files.maxPartitionBytes=1048576;spark.sql.codegen.wholeStage=false;spark.default.parallelism=5" \
-  sbt -batch "runMain graft.Verify $SF_DIR $OUT_B"
+if [ "$MODE" = "mem" ]; then
+  echo "== run B (memory pressure: 3g heap, memory.fraction=0.2, force-spill thresholds) =="
+  SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=3g \
+    GRAFT_CONF="spark.memory.fraction=0.2;spark.shuffle.spill.numElementsForceSpillThreshold=10000;spark.sql.windowExec.buffer.spill.threshold=4096;spark.sql.sessionWindow.buffer.spill.threshold=4096;spark.sql.cartesianProductExec.buffer.spill.threshold=4096" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_B"
+else
+  echo "== run B (adversarial layout: local[5], shuffle=7, no aqe, no auto-broadcast, 1MiB splits, interpreted) =="
+  SPARK_GRAFT_CPUS=5 GRAFT_CONF="spark.sql.shuffle.partitions=7;spark.sql.adaptive.enabled=false;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.files.maxPartitionBytes=1048576;spark.sql.codegen.wholeStage=false;spark.default.parallelism=5" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_B"
+fi
 
 echo "== diff =="
 python3 tools/diff_runs.py "$OUT_A" "$OUT_B"
