@@ -280,7 +280,15 @@ object Multimodal {
     */
   def mediaBinaryTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { d =>
+    // The pruned doc_id scan is ~8 bytes/row — at ×100 the whole
+    // 500k-row column fits ONE input split, which would serialize the
+    // per-row payload synthesis (the stand-in for real decode work)
+    // onto a single core (observed: 1/32 threads busy at the sfx10
+    // tier). Hash-repartition the keys BEFORE the synthesis map so
+    // the codec work spreads across the cluster — exactly what a real
+    // pipeline does between a thin manifest scan and a fat decode.
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long].map { d =>
       if (d % 2 == 0)
         MediaRow(d, "bmp", RiffCodec.synthBmp(
           width = 16 + (d % 32).toInt, height = 9 + (d % 16).toInt))
