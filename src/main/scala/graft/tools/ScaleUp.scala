@@ -106,7 +106,17 @@ object ScaleUp {
     }
 
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // Do NOT inherit the base file's single-split layout: the base
+      // tables are one small file each, so the cloned output would land
+      // as ONE part file — every downstream scan becomes one map task,
+      // which under-parallelizes the scaled tiers and makes AQE's
+      // skew-join split structurally impossible (split specs are
+      // map-range unions; one map is indivisible — found by SkewAudit:
+      // the hot reducer carried 3.8M rows from a single map output and
+      // OptimizeSkewedJoin correctly declined). Round-robin repartition
+      // is content-deterministic (local sort before redistribution), so
+      // pin-tier-4 reproducibility is unaffected.
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scaleup] $name written")
     }
 

@@ -76,27 +76,44 @@ object SkewAudit {
       // test, so the threshold scales to this corpus's partitions
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // thresholds in SHUFFLE bytes, which are lz4-compressed; try a
+      // small matrix from least to most aggressive and report the
+      // first configuration whose FINAL plan carries the split marker
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val matrix: Seq[(String, Map[String, String])] = Seq(
+        "corpus-scaled" -> Map(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2"),
+        "coalesce-off" -> Map(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false"),
+        "factor-1" -> Map(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64k",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false"))
       try {
         val li = Tables.lineitem(spark, dir)
           .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
         val su = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
-        val j = li.join(su, col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_nationkey"), col("l_quantity"))
-        val n = j.collect().length // collect -> FINAL adaptive plan
-        val plan = j.queryExecution.executedPlan.toString
-        if (plan.contains("skew=true"))
-          Right(s"$n joined rows; final plan carries skew=true (AQE split the hot supplier partition)")
-        else Left("final adaptive plan has no skew=true marker:\n" + plan.take(2000))
-      } finally {
-        Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-          "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
-      }
+        var lastPlan = ""
+        val hit = matrix.collectFirst(Function.unlift { case (tag, confs) =>
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          try {
+            val j = li.join(su, col("l_suppkey") === col("s_suppkey"))
+              .select(col("s_nationkey"), col("l_quantity"), col("l_extendedprice"))
+            val n = j.collect().length // collect -> FINAL adaptive plan
+            val plan = j.queryExecution.executedPlan.toString
+            lastPlan = plan
+            if (plan.contains("skew=true")) Some(s"$tag: $n joined rows, skew=true in final plan")
+            else None
+          } finally confs.keys.foreach(spark.conf.unset)
+        })
+        hit.toRight("no matrix entry produced a skew=true marker; last plan:\n" + lastPlan.take(2500))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
     check("salted_join") {
