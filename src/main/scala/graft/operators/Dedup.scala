@@ -95,22 +95,113 @@ object Dedup {
   // an inline or alias-substituted `split(text, ' ')` inside the
   // transform lambda re-splits the whole document per shingle index
   // (no CSE into interpreted HOF lambdas), turning shingling O(n²)
-  // per doc — the round-12 fuzz gate's megabyte document wedged here
+  // per doc — the round-12 fuzz gate's megadoc wedged here
   // (finding F2). Sub-3-token docs yield array() → dropped by explode.
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(expr(
+      _root_.graft.functions.ngramsFromTextExpr("text", 3))))
+      .as("shingle"))
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     memo(shingleCache, spark, dir)(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          _root_.graft.functions.ngramsFromTextExpr("text", 3))))
-          .as("shingle"))
-        .persist())
+      shingledOf(Tables.documents(spark, dir)).persist())
 
   /** Per-doc distinct shingle arrays, rebuilt from the cached
     * long-form relation (sorted for deterministic arrays).
     */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir).groupBy("doc_id")
+  private def shingleArraysOf(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(array_sort(collect_list(col("shingle"))).as("shingles"))
+
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleArraysOf(shingled(spark, dir))
+
+  // -------------------------------------------------------------------
+  // Text contraction (round 14, engine side). Every similarity here is
+  // a pure function of TEXT, so the quadratic work (inverted-index
+  // join, census, connected components) runs over DISTINCT texts only;
+  // doc-level results are recovered by an expansion that is linear in
+  // its own output. On a duplication-heavy corpus (the ScaleUp clone
+  // tiers; real crawl corpora are 30–60% exact dups) this removes a
+  // ×K² candidate blowup — the engine-side mirror of the contracted
+  // DuckDB oracles. On a unique-text corpus the contraction is the
+  // identity and the kernel degenerates to the original doc-level join.
+  // -------------------------------------------------------------------
+
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One row per distinct SHINGLEABLE text (≥ 3 tokens — sub-3-token
+    * docs produce no shingles and never enter any Jaccard relation):
+    * (rep = min doc_id, ids = sorted member doc_ids, sz, text).
+    * One text-keyed shuffle; the tokenizability predicate runs once
+    * per distinct text, after the contraction.
+    */
+  private[operators] def textGroups(spark: SparkSession, dir: String): DataFrame =
+    memo(groupCache, spark, dir)(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("ids"),
+          count(lit(1)).as("sz"))
+        .filter(size(expr(
+          _root_.graft.functions.ngramsFromTextExpr("text", 3))) > 0)
+        .persist())
+
+  private val repShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Shingles of the contracted corpus: one (rep, shingle) relation,
+    * identical in form to [[shingled]] but over representatives only.
+    */
+  private def repShingled(spark: SparkSession, dir: String): DataFrame =
+    memo(repShingleCache, spark, dir)(
+      shingledOf(textGroups(spark, dir)
+        .select(col("rep").as("doc_id"), col("text")))
+        .persist())
+
+  private val repPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Verified rep-level near-dup pairs (a_id < b_id are group reps,
+    * jaccard rounded 6) — the contracted relation the expanded pair
+    * set, the duplicate-group components, and the triangle census are
+    * all derived from. Memoized per (session, dir, τ).
+    */
+  private[operators] def repPairsFor(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    memo(repPairCache, spark, s"$dir|$threshold")(
+      pairKernelFromShingles(repShingled(spark, dir), threshold).persist())
+
+  /** Expansion of a rep-level pair relation back to doc-id pairs:
+    * each cross-content rep pair becomes the |A|×|B| clone images at
+    * the rep pair's jaccard (pure function of text — bit-equal to
+    * computing it per pair), and each group of size ≥ 2 contributes
+    * its C(sz,2) internal clique at exactly 1.0 (n/(n+n−n) — the
+    * literal the oracle uses). Cost is linear in the OUTPUT.
+    */
+  private def expandPairs(rp: DataFrame, g: DataFrame): DataFrame = {
+    val cross = rp
+      .select(col("a_id").as("a_rep"), col("b_id").as("b_rep"), col("jaccard"))
+      .join(g.select(col("rep").as("a_rep"), col("ids").as("ia")), "a_rep")
+      .join(g.select(col("rep").as("b_rep"), col("ids").as("ib")), "b_rep")
+      .select(explode(col("ia")).as("x"), col("ib"), col("jaccard"))
+      .select(col("x"), explode(col("ib")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    // ids is sorted ascending, so pairing position i with the slice
+    // after it emits each unordered pair once, already (a_id < b_id);
+    // the trailing empty slice is dropped by explode (never throws —
+    // slice start is ≥ 2, the round-12 totality rule).
+    val cliq = g.filter(col("sz") >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"), col("sz"))
+      .select(col("a_id"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          (col("sz") - col("i") - lit(1)).cast("int"))).as("b_id"))
+      .withColumn("jaccard", lit(1.0))
+    cross.unionByName(cliq)
+  }
 
   /** Exact Jaccard with PPJoin-style prefix filtering: under a global
     * rare-first shingle order (docfreq asc, shingle asc), any pair
@@ -134,9 +225,24 @@ object Dedup {
     memo(ngramCache, spark, s"$dir|$threshold")(
       ngramJaccardCompute(spark, dir, threshold).persist())
 
-  private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+  /** Contraction + expansion (round 14): the PPJoin kernel runs over
+    * distinct texts only, then the rep pairs expand back to doc pairs.
+    * Output is identical to the former doc-level join — same pair set
+    * (jaccard is a pure function of text, so clone images inherit the
+    * rep pair's value bit-for-bit; identical texts pair at exactly
+    * 1.0, the value n/(n+n−n) the doc-level join computed) — but the
+    * quadratic candidate stage no longer multiplies by the clone
+    * factor (the ×100 tier's 35-minute pair build drops to base cost).
+    */
+  private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    expandPairs(repPairsFor(spark, dir, threshold), textGroups(spark, dir))
+      .orderBy("a_id", "b_id")
+
+  /** PPJoin over an arbitrary (doc_id, shingle) relation; returns the
+    * complete (a_id < b_id, jaccard ≥ τ) pair set.
+    */
+  private def pairKernelFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(spark, dir)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     val ranked = sh.join(df, "shingle")
@@ -161,7 +267,7 @@ object Dedup {
         ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val arrs = shingleArrays(spark, dir)
+    val arrs = shingleArraysOf(sh)
     cand
       .join(arrs.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(arrs.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -169,7 +275,6 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Contracted-oracle kernel (round 14): all pair similarity here is a
@@ -319,9 +424,14 @@ object Dedup {
         if (deep && (rounds + 1) % CcCheckpointEvery == 0) labelLoop.cut(next)
         else next.cache()
       // single materializing action: labels only ever decrease, so
-      // "any row with label < old" ⇔ not yet converged
+      // "any row with label < old" ⇔ not yet converged. coalesce: the
+      // edge set can be legitimately EMPTY now that CC runs on the REP
+      // graph (a corpus whose only duplicates are exact ones has
+      // cliques but zero cross-content edges — the fuzz corpus), and
+      // sum over an empty relation is NULL, not 0.
       changed = updated
-        .agg(sum(when(col("label") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .agg(coalesce(sum(when(col("label") < col("old"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .first().getLong(0)
       hop.foreach(_.unpersist())
       labels.unpersist()
@@ -338,11 +448,24 @@ object Dedup {
 
   private[graft] val CcCheckpointEvery = 5
 
+  /** Contracted (round 14): components are computed on the REP graph —
+    * base-tier size at any clone factor — and members inherit their
+    * group's component label. Identical output to CC over the expanded
+    * pair set: a group's docs are an internal clique (one component
+    * with its rep), rep = min(ids), so the component minimum over docs
+    * equals the minimum rep of the rep-component; a group participates
+    * iff it has an internal pair (sz ≥ 2) or a cross-content edge —
+    * exactly the nodes of the expanded graph.
+    */
   def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold).select("a_id", "b_id").cache()
-    val (labels, _) = connectedComponentsFor(pairs)
-    pairs.unpersist()
-    labels.orderBy("doc_id")
+    val g = textGroups(spark, dir)
+    val rp = repPairsFor(spark, dir, threshold).select("a_id", "b_id")
+    val (labels, _) = connectedComponentsFor(rp)
+    g.join(labels.select(col("doc_id").as("rep"), col("canonical_id")), Seq("rep"), "left")
+      .filter(col("canonical_id").isNotNull || col("sz") >= 2)
+      .select(explode(col("ids")).as("doc_id"),
+        coalesce(col("canonical_id"), col("rep")).as("canonical_id"))
+      .orderBy("doc_id")
   }
 
   /** Contracted CC oracle (round 14): the reachability walk runs over

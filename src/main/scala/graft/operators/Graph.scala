@@ -153,31 +153,75 @@ object Graph {
     * clustering coefficient — the graph-shape audit run on any
     * similarity graph before using it for clustering.
     *
-    * Scale: the classic a<b<c ordered two-step join — every edge
-    * participates as (lo, hi) only, so each triangle is counted
-    * exactly once and the join keys are node ids (no cross
-    * product). Counts are exact integers; the coefficient is one
-    * rational division.
+    * Scale (round 14, engine-side contraction): the census runs in
+    * CLOSED FORM over the text-contracted rep graph. The expanded
+    * similarity graph is a blow-up of the rep graph H (each distinct
+    * text an internal sz-clique, each rep edge a complete bipartite
+    * sz_a×sz_b join), so every count is an exact polynomial in the
+    * group sizes — the same algebra the contracted DuckDB oracle uses
+    * (validated against ScaleInvariants' uniform-clone special case).
+    * The former formulation wedge-joined the EXPANDED pair set: its
+    * two-step join grows ×K³ in the clone factor and exhausted spill
+    * disk at the ×100 tier. Here the only pairwise work is the a<b<c
+    * two-step join over H — base-tier cost at any clone factor; on a
+    * unique-text corpus H IS the doc graph and this is the original
+    * census. Counts are exact longs; the coefficient is one rational
+    * division at the end.
     */
   def triangleCount(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val e = Dedup.ngramJaccard(spark, dir, threshold)
-      .select(col("a_id"), col("b_id")).persist()
-    val nodes = e.select(col("a_id").as("v"))
-      .unionByName(e.select(col("b_id").as("v"))).distinct()
-    val nNodes = nodes.count()
-    val nEdges = e.count()
-    // wedges centered at each node: deg-choose-2 over the undirected degree
-    val deg = e.select(col("a_id").as("v")).unionByName(e.select(col("b_id").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val nWedges = deg.select(sum(col("d") * (col("d") - 1) / 2).cast("long"))
+    val gsz = Dedup.textGroups(spark, dir)
+      .select(col("rep"), col("sz").cast("long").as("sz"))
+    val rp = Dedup.repPairsFor(spark, dir, threshold)
+      .select(col("a_id").as("a_rep"), col("b_id").as("b_rep"))
+    // per-rep expanded degree: (sz − 1) internal + Σ neighbor sizes
+    val nbr = rp.join(gsz.select(col("rep").as("b_rep"), col("sz").as("nsz")), "b_rep")
+        .select(col("a_rep").as("rep"), col("nsz"))
+      .unionByName(
+        rp.join(gsz.select(col("rep").as("a_rep"), col("sz").as("nsz")), "a_rep")
+          .select(col("b_rep").as("rep"), col("nsz")))
+      .groupBy("rep").agg(sum(col("nsz")).as("nsum"))
+    // a group participates iff it has an internal pair (sz ≥ 2) or a
+    // cross-content edge — exactly the nodes of the expanded graph
+    val parts = gsz.join(nbr, Seq("rep"), "left")
+      .filter(col("sz") >= 2 || col("nsum").isNotNull)
+      .select(col("sz"),
+        (coalesce(col("nsum"), lit(0L)) + col("sz") - lit(1L)).as("ddeg"))
+    // integer `div`: n(n−1) and n(n−1)(n−2) are divisible by 2 and 6,
+    // so the division is exact; double division would lose bits past
+    // 2^53 long before a real corpus stops fitting
+    val a = parts.agg(
+      coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+      coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("e_int"),
+      coalesce(sum(expr("sz * (sz - 1) * (sz - 2) div 6")), lit(0L)).as("t_int"),
+      coalesce(sum(expr("sz * (ddeg * (ddeg - 1) div 2)")), lit(0L)).as("n_wedges"))
+      .collect()(0)
+    val b = rp
+      .join(gsz.select(col("rep").as("a_rep"), col("sz").as("sa")), "a_rep")
+      .join(gsz.select(col("rep").as("b_rep"), col("sz").as("sb")), "b_rep")
+      .agg(
+        coalesce(sum(col("sa") * col("sb")), lit(0L)).as("e_cross"),
+        coalesce(sum(expr("sa * (sa - 1) div 2 * sb + sa * (sb * (sb - 1) div 2)")),
+          lit(0L)).as("t_2g"))
+      .collect()(0)
+    // rep triangles: the classic a<b<c ordered two-step join over H,
+    // weighted by the clone-count product
+    val t3g = rp.as("e1")
+      .join(rp.as("e2"), col("e1.b_rep") === col("e2.a_rep"))
+      .join(rp.as("e3"),
+        col("e1.a_rep") === col("e3.a_rep") && col("e2.b_rep") === col("e3.b_rep"))
+      .join(gsz.select(col("rep").as("r1"), col("sz").as("s1")),
+        col("e1.a_rep") === col("r1"))
+      .join(gsz.select(col("rep").as("r2"), col("sz").as("s2")),
+        col("e1.b_rep") === col("r2"))
+      .join(gsz.select(col("rep").as("r3"), col("sz").as("s3")),
+        col("e2.b_rep") === col("r3"))
+      .agg(coalesce(sum(col("s1") * col("s2") * col("s3")), lit(0L)).as("t_3g"))
       .collect()(0).getLong(0)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
-      .join(e.as("e3"),
-        col("e1.a_id") === col("e3.a_id") && col("e2.b_id") === col("e3.b_id"))
-      .count()
-    e.unpersist()
+    val nNodes = a.getLong(0)
+    val nEdges = a.getLong(1) + b.getLong(0)
+    val tri = a.getLong(2) + b.getLong(1) + t3g
+    val nWedges = a.getLong(3)
     import spark.implicits._
     Seq((nNodes, nEdges, tri, nWedges,
       if (nWedges > 0) BigDecimal(3.0 * tri / nWedges)

@@ -270,8 +270,16 @@ object StreamingJobs {
   def sessionAggStream(spark: SparkSession, dir: String): DataFrame = {
     val sink = s"stream_session_agg_${System.nanoTime()}"
     // file-source streaming needs a directory: stream the sf dir,
-    // glob-filtered to the events table (one file per microbatch)
-    val stream = eventsStream(spark, dir, "events.parquet")
+    // glob-filtered to the events table. All available files are
+    // ingested in ONE batch (maxFilesPerTrigger = None): a WATERMARKED
+    // job replaying an unordered historical directory must not take
+    // per-file triggers — part files are not time-partitioned, so the
+    // first file's max ts pushes the watermark past data still sitting
+    // in later files and the late filter silently drops it (caught by
+    // the ×10 multi-file corpus, round 14). Per-file incremental
+    // delivery is exercised by the chunked, time-ordered spec corpora,
+    // which is the only layout it is sound on.
+    val stream = eventsStream(spark, dir, "events.parquet", maxFilesPerTrigger = None)
     val query = windowAgg(stream)
       .writeStream
       .outputMode("complete")
@@ -353,7 +361,11 @@ object StreamingJobs {
     * watermark, so the finite-corpus run is complete.
     */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
-    runStreamJoin(spark, dir, "events.parquet")._1
+    // one-batch ingest: watermarked eviction over an unordered
+    // multi-file historical directory would drop buffered state before
+    // later files' matches arrive (see sessionAggStream). The chunked
+    // time-ordered spec corpus exercises the per-file eviction path.
+    runStreamJoin(spark, dir, "events.parquet", maxFilesPerTrigger = None)._1
 
   /** Same, parameterized by file glob and returning the per-batch
     * join-state row counts (`stateOperators.numRowsTotal`) so the
@@ -361,10 +373,11 @@ object StreamingJobs {
     * buffered rows as the stream advances.
     */
   def runStreamJoin(
-      spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = Some(1)): (DataFrame, Seq[Long]) = {
     val sink = s"stream_join_${System.nanoTime()}"
     def side(tpe: String, pfx: String): DataFrame =
-      eventsStream(spark, dir, glob)
+      eventsStream(spark, dir, glob, maxFilesPerTrigger)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user_id"),
           col("event_id").as(s"${pfx}_event_id"),
@@ -515,8 +528,19 @@ object StreamingJobs {
     // StreamScale) must not accumulate cached complete-mode tables in
     // the shared session catalog (advisor catch, round 13)
     import spark.implicits._
+    // Estimate through a self-union: DataSketches HLL REGISTERS are
+    // per-bucket maxima (pure function of the input set at any batch
+    // layout), but the ESTIMATOR is not — a sketch that never crossed
+    // a union keeps its insertion-order-dependent HIP estimate, while
+    // a merged one answers with the register-pure composite estimate.
+    // Batch count changes which path the streamed state took (caught
+    // by the ×10 multi-file corpus: per-file triggers flipped the
+    // estimates). hll_union(sk, sk) leaves the registers untouched and
+    // forces the composite path — the estimate becomes a pure function
+    // of the registers, hence of the input set, at any layout.
     val rows = spark.table(sink)
-      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(hll_union(sk, sk))").as("approx_users"))
       .orderBy(col("event_type"))
       .as[(String, Long)].collect()
     spark.catalog.dropTempView(sink)
@@ -590,7 +614,9 @@ object StreamingJobs {
   def sessionWindowStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     val sink = s"stream_session_window_${System.nanoTime()}"
-    val stream = eventsStream(spark, dir, glob)
+    // one-batch ingest over the unordered corpus directory — the
+    // watermark-vs-file-order rule, see sessionAggStream
+    val stream = eventsStream(spark, dir, glob, maxFilesPerTrigger = None)
     val query = stream
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))

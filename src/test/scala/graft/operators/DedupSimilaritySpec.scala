@@ -180,6 +180,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"shallow corpus took $rounds rounds — paid for the deep-chain path")
   }
 
+  test("connected components: an EMPTY edge set returns an empty labeling, no NULL-sum crash") {
+    import spark.implicits._
+    // the rep graph is legitimately empty when a corpus's only
+    // duplicates are exact ones (cliques, no cross-content edges) —
+    // the fuzz corpus hit the sum-over-empty-relation NULL in the
+    // convergence read (round 14)
+    val (labels, rounds) = Dedup.connectedComponentsFor(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+    assert(labels.collect().isEmpty)
+    assert(rounds == 1)
+  }
+
   test("blockPlan sub-splits a planted mega-cluster; candidates match cell-granularity exactly") {
     import spark.implicits._
     val dim = 64

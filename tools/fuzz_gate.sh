@@ -14,8 +14,15 @@ QUERIES=$(sed -n '/val gateQueries/,/)$/p' src/main/scala/graft/tools/FuzzCorpus
   | grep -o '"[a-z0-9_]*"' | tr -d '"' | paste -sd,)
 echo "fuzz gate queries: $QUERIES"
 
-sbt -batch "runMain graft.tools.FuzzCorpus $BASE $CORPUS"
+# GRAFT_JRUN=1: run on the compiled classes (tools/jrun.sh) so the
+# gate can run beside an sbt session; needs a prior `sbt compile`.
+run_main() {
+  if [ "${GRAFT_JRUN:-}" = "1" ]; then tools/jrun.sh "$@"
+  else sbt -batch "runMain $*"; fi
+}
+
+run_main graft.tools.FuzzCorpus "$BASE" "$CORPUS"
 rm -rf "$OUT"
 GRAFT_EXCLUDE_PINNED=1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Verify $CORPUS $OUT $QUERIES"
+  run_main graft.Verify "$CORPUS" "$OUT" "$QUERIES"
 python3 tools/check.py "$CORPUS" "$OUT"

@@ -28,6 +28,9 @@
 # 100 TB executors cannot offer).
 #
 # Usage: tools/layout_gate.sh [--mem] [sfDir] (default /root/testdata/sf0.01)
+# GRAFT_JRUN=1: launch Verify via tools/jrun.sh (compiled classes,
+# no sbt lock) so the gate can run alongside an sbt session; requires
+# a prior `sbt compile`.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -39,18 +42,23 @@ OUT_A="/tmp/layout_a_${TAG}"
 OUT_B="/tmp/layout_b_${TAG}"
 rm -rf "$OUT_A" "$OUT_B"
 
+run_verify() {
+  if [ "${GRAFT_JRUN:-}" = "1" ]; then tools/jrun.sh graft.Verify "$@"
+  else sbt -batch "runMain graft.Verify $*"; fi
+}
+
 echo "== run A (standard layout: local[32], aqe, codegen) =="
-SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF_DIR $OUT_A"
+SPARK_GRAFT_CPUS=32 run_verify "$SF_DIR" "$OUT_A"
 
 if [ "$MODE" = "mem" ]; then
   echo "== run B (memory pressure: 3g heap, memory.fraction=0.2, force-spill thresholds) =="
   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=3g \
     GRAFT_CONF="spark.memory.fraction=0.2;spark.shuffle.spill.numElementsForceSpillThreshold=10000;spark.sql.windowExec.buffer.spill.threshold=4096;spark.sql.sessionWindow.buffer.spill.threshold=4096;spark.sql.cartesianProductExec.buffer.spill.threshold=4096" \
-    sbt -batch "runMain graft.Verify $SF_DIR $OUT_B"
+    run_verify "$SF_DIR" "$OUT_B"
 else
   echo "== run B (adversarial layout: local[5], shuffle=7, no aqe, no auto-broadcast, 1MiB splits, interpreted) =="
   SPARK_GRAFT_CPUS=5 GRAFT_CONF="spark.sql.shuffle.partitions=7;spark.sql.adaptive.enabled=false;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.files.maxPartitionBytes=1048576;spark.sql.codegen.wholeStage=false;spark.default.parallelism=5" \
-    sbt -batch "runMain graft.Verify $SF_DIR $OUT_B"
+    run_verify "$SF_DIR" "$OUT_B"
 fi
 
 echo "== diff =="
