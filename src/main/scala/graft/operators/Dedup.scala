@@ -181,15 +181,16 @@ object Dedup {
     * its C(sz,2) internal clique at exactly 1.0 (n/(n+n−n) — the
     * literal the oracle uses). Cost is linear in the OUTPUT.
     */
-  private def expandPairs(rp: DataFrame, g: DataFrame): DataFrame = {
+  private def expandPairs(rp: DataFrame, g: DataFrame,
+      valueCol: String, cliqueValue: Column): DataFrame = {
     val cross = rp
-      .select(col("a_id").as("a_rep"), col("b_id").as("b_rep"), col("jaccard"))
+      .select(col("a_id").as("a_rep"), col("b_id").as("b_rep"), col(valueCol))
       .join(g.select(col("rep").as("a_rep"), col("ids").as("ia")), "a_rep")
       .join(g.select(col("rep").as("b_rep"), col("ids").as("ib")), "b_rep")
-      .select(explode(col("ia")).as("x"), col("ib"), col("jaccard"))
-      .select(col("x"), explode(col("ib")).as("y"), col("jaccard"))
+      .select(explode(col("ia")).as("x"), col("ib"), col(valueCol))
+      .select(col("x"), explode(col("ib")).as("y"), col(valueCol))
       .select(least(col("x"), col("y")).as("a_id"),
-        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+        greatest(col("x"), col("y")).as("b_id"), col(valueCol))
     // ids is sorted ascending, so pairing position i with the slice
     // after it emits each unordered pair once, already (a_id < b_id);
     // the trailing empty slice is dropped by explode (never throws —
@@ -199,7 +200,7 @@ object Dedup {
       .select(col("a_id"),
         explode(slice(col("ids"), col("i") + lit(2),
           (col("sz") - col("i") - lit(1)).cast("int"))).as("b_id"))
-      .withColumn("jaccard", lit(1.0))
+      .withColumn(valueCol, cliqueValue)
     cross.unionByName(cliq)
   }
 
@@ -235,7 +236,8 @@ object Dedup {
     * factor (the ×100 tier's 35-minute pair build drops to base cost).
     */
   private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    expandPairs(repPairsFor(spark, dir, threshold), textGroups(spark, dir))
+    expandPairs(repPairsFor(spark, dir, threshold), textGroups(spark, dir),
+      "jaccard", lit(1.0))
       .orderBy("a_id", "b_id")
 
   /** PPJoin over an arbitrary (doc_id, shingle) relation; returns the
@@ -1114,26 +1116,49 @@ object Dedup {
     verifyCosine(e, embeddingCandidatesFor(spark, e, threshold), threshold)
   }
 
-  // The candidate relation (and the persisted cell assignment under
-  // it) is memoized per (session, dir, threshold) — repeated queries
-  // over one dataset pay the k-means cell build once, same rule as
-  // the shingle/sequence caches.
+  private val vecGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Value contraction for the embedding corpus (round 14, engine-side
+    * mirror of the contracted oracle): one row per distinct embedding
+    * — (rep = min vec_id, ids sorted, sz, nrm). Cosine is a pure
+    * function of the vector value, so all pairwise work downstream
+    * runs over reps; zero-norm vectors (no direction) drop with their
+    * whole group, matching the per-vector filter they replace.
+    */
+  private def vecGroups(spark: SparkSession, dir: String): DataFrame =
+    memo(vecGroupCache, spark, dir)(
+      Tables.embeddings(spark, dir)
+        .groupBy("embedding")
+        .agg(min(col("vec_id")).as("rep"),
+          sort_array(collect_list(col("vec_id"))).as("ids"),
+          count(lit(1)).as("sz"))
+        .withColumn("nrm", arrayNorm(col("embedding")))
+        .filter(col("nrm") > 0)
+        .persist())
+
+  // The verified rep-level pair relation is memoized per (session,
+  // dir, threshold) — repeated queries over one dataset pay the
+  // k-means cell build once, same rule as the shingle caches.
   private val cellCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def embeddingCandidates(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
-    memo(cellCache, spark, s"$dir|$threshold")(
-      embeddingCandidatesFor(spark,
-        Tables.embeddings(spark, dir).select(
-          col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-          .filter(col("nrm") > 0), // no direction — see embeddingDedupFor
-        threshold))
-
+  /** Contracted (round 14): the cell-blocked pairwise join runs over
+    * DISTINCT embeddings (rep per value), then clone images and
+    * C(sz,2) cliques at cos_sim exactly 1.0 expand linearly in the
+    * output. Identical vectors verify to s/(√s·√s) = 1 ± 2⁻⁵² and the
+    * 6dp round collapses that to the clique literal, so the expansion
+    * is bit-equal to the former all-docs join — which spilled to disk
+    * exhaustion at the ×100 clone tier (candidates grow ×K² inside
+    * each cell when every value repeats K times).
+    */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-      .filter(col("nrm") > 0) // no direction — see embeddingDedupFor
-    verifyCosine(e, embeddingCandidates(spark, dir, threshold), threshold)
+    val g = vecGroups(spark, dir)
+    val reps = g.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
+    val rp = memo(cellCache, spark, s"$dir|$threshold")(
+      verifyCosine(reps, embeddingCandidatesFor(spark, reps, threshold), threshold)
+        .persist())
+    expandPairs(rp, g, "cos_sim", lit(1.0)).orderBy("a_id", "b_id")
   }
 
   /** Contracted (round 14): cosine is a pure function of the embedding

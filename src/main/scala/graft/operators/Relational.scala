@@ -174,9 +174,18 @@ object Relational {
   def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_name")
+    // DECIMAL accumulation (CLAUDE.md round-11 rule): the skew tier
+    // concentrates ~63% of lineitem on one hot part, making this a
+    // corpus-magnitude sum — round(sum(double), 4) flipped under
+    // exchange reordering there (skew layout gate, round 14). The
+    // scale-4 product sum is exact and associative; unscaled stays
+    // inside 2^53 at any realistic per-part mass, so the one
+    // decimal→double cast is a single rounding on both engines.
     val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
     val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -186,12 +195,18 @@ object Relational {
 
   val topnPerGroupSql: String =
     """SELECT p_brand, p_partkey, p_name, revenue, rnk FROM (
-      |  SELECT p_brand, p_partkey, p_name,
-      |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  SELECT p_brand, p_partkey, p_name, revenue,
       |    row_number() OVER (PARTITION BY p_brand
-      |      ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, p_partkey) AS rnk
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  GROUP BY p_brand, p_partkey, p_name
+      |      ORDER BY revenue DESC, p_partkey) AS rnk
+      |  FROM (
+      |    -- exact decimal sum, round(...) not CAST for the rescale
+      |    -- (DuckDB decimal CAST truncates — CLAUDE.md)
+      |    SELECT p_brand, p_partkey, p_name,
+      |      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS revenue
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY p_brand, p_partkey, p_name
+      |  )
       |) WHERE rnk <= 3
       |ORDER BY p_brand, rnk""".stripMargin
 
@@ -362,11 +377,23 @@ object Relational {
       lit(null).cast("long").as("event_id"),
       lit(null).cast("string").as("event_type"),
       lit(1).as("side"), col("o_orderkey"), col("o_totalprice"))
-    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("side"), col("o_orderkey"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // REVERSED running frame (round 14): a [current, unbounded
+    // following] frame is O(partition²) in Spark — the frame
+    // re-aggregates the whole tail for every row
+    // (UnboundedFollowingWindowFunctionFrame), and the skew tier's hot
+    // user (63% of events in ONE partition) wedged a core for an hour
+    // on it. Sorting DESCENDING with a running [unbounded preceding,
+    // current] frame and last(ignoreNulls) computes the identical
+    // "earliest order at-or-after" in O(n): the running frame
+    // accumulates one row at a time. Tie groups are unaffected — rows
+    // tying on (t, side, o_orderkey) are all events (orders never tie
+    // with events on side), and events carry NULL order columns.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("side").desc, col("o_orderkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.unionByName(ord)
-      .withColumn("next_orderkey", first(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("next_totalprice", first(col("o_totalprice"), ignoreNulls = true).over(w))
+      .withColumn("next_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("next_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
       .filter(col("side") === 0)
       .select(col("event_id"), col("k").as("user_id"), col("event_type"),
         col("next_orderkey").as("o_orderkey"), col("next_totalprice").as("o_totalprice"))

@@ -416,7 +416,10 @@ object RelationalExtras {
       min(when(col("cum") >= ceil(col("total") * lit(0.95)), col("b"))).as("b95"))
     def midpoint(b: Column): Column =
       round(lit(2.0) * pow(lit(gamma), b) / lit(gamma + 1.0), 2)
-    hll.join(qs, "l_returnflag")
+    // qs is bounded by construction (one row per l_returnflag value) —
+    // explicit hint, because the planner sizes it from its corpus-wide
+    // child and chose SMJ at the ×10 tier (CLAUDE.md bounded-grid rule)
+    hll.join(broadcast(qs), "l_returnflag")
       .select(col("l_returnflag"), col("approx_orders"),
         midpoint(col("b50")).as("p50_price"),
         midpoint(col("b95")).as("p95_price"))

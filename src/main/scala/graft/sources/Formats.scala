@@ -256,7 +256,10 @@ object Formats {
       .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("priority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // exact decimal sum (corpus-magnitude — CLAUDE.md rule): the
+        // double sum reached 2.5e11 at the ×100 tier and its 2dp
+        // round flipped between engines (caught by the ×100 gate)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy("priority")
   }
 
@@ -265,7 +268,7 @@ object Formats {
       |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
       |       ELSE '(pre-evolution)' END AS priority,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS sum_price
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY priority ORDER BY priority""".stripMargin
 }
