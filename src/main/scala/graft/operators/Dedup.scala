@@ -1266,19 +1266,40 @@ object Dedup {
     }.toSeq.toDF("cluster", "cvec")
     val withCc = assigned.join(broadcast(unitDf), "cluster")
       .withColumn("ccos", arrayDot(col("embedding"), col("cvec")) / col("nrm"))
-    val a = withCc.select(col("cluster"), col("vec_id").as("a_id"),
+    // Contract the within-cell pairwise join by embedding VALUE
+    // (round 14): identical vectors land in the same cell with the
+    // same cosine to every other vector, so rep pairs plus the
+    // implicit clone cliques (internal cosine is exactly 1 ≥ τ; τ = 1
+    // exact-dup detection belongs to dedup_exact, not here) reproduce
+    // the pair graph, and members inherit their rep's component.
+    // K-means and the centroid-cosine stay on the FULL corpus —
+    // centroids are multiset means, so contraction there would move
+    // them — which keeps cluster, ccos6 and the keep window
+    // bit-identical while the formerly clone-quadratic join runs over
+    // distinct values only.
+    val g = assigned.groupBy("cluster", "embedding")
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("ids"),
+        count(lit(1)).as("sz"),
+        min(col("nrm")).as("nrm"))
+    val ar = g.select(col("cluster"), col("rep").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withCc.select(col("cluster"), col("vec_id").as("b_id"),
+    val br = g.select(col("cluster"), col("rep").as("b_id"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, "cluster").filter(col("a_id") < col("b_id"))
+    val repPairs = ar.join(br, "cluster").filter(col("a_id") < col("b_id"))
       .withColumn("cos", arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
-    val (labels, _) = connectedComponentsFor(pairs)
+    val (repLabels, _) = connectedComponentsFor(repPairs)
+    val memberLabels = g
+      .join(repLabels.select(col("doc_id").as("rep"), col("canonical_id")),
+        Seq("rep"), "left")
+      .filter(col("canonical_id").isNotNull || col("sz") >= 2)
+      .select(explode(col("ids")).as("vec_id"),
+        coalesce(col("canonical_id"), col("rep")).as("group_id"))
     val grouped = withCc
       .select(col("vec_id"), col("cluster"), round(col("ccos"), 6).as("ccos6"))
-      .join(labels.select(col("doc_id").as("vec_id"), col("canonical_id").as("group_id")),
-        Seq("vec_id"), "left")
+      .join(memberLabels, Seq("vec_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
     // centroid-cosine rounded BEFORE ranking so the keep choice is
     // FP-order stable; ties break by id
