@@ -34,9 +34,12 @@ object PinnedOracles {
   /** Corpus-tier discriminator: documents/embeddings have equal row
     * counts at sf0.001 and sf0.01, so lineitem's row count keys the
     * tier (1 = sf0.001, 2 = sf0.01, 3 = sf0.1, 4 = the ScaleUp ×10
-    * self-scaled corpus at ~6M rows — the round-12 scaled pin tier). */
+    * self-scaled corpus at ~6M rows — the round-12 scaled pin tier,
+    * 5 = the ScaleUp ×100 corpus at ~60M rows — the round-15 tier
+    * that content-checks the pinned surface at the scale that keeps
+    * finding bugs). */
   val tierSql: String =
-    "SELECT CASE WHEN count(*) < 20000 THEN 1 WHEN count(*) < 200000 THEN 2 WHEN count(*) < 2000000 THEN 3 ELSE 4 END AS tier FROM lineitem"
+    "SELECT CASE WHEN count(*) < 20000 THEN 1 WHEN count(*) < 200000 THEN 2 WHEN count(*) < 2000000 THEN 3 WHEN count(*) < 20000000 THEN 4 ELSE 5 END AS tier FROM lineitem"
 
   /** One pinned result set: column name → DuckDB type, and per-tier
     * rendered rows ([[Sep]]-joined, in the query's own output order).

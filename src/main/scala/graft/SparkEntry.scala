@@ -127,6 +127,10 @@ object SparkEntry {
     "semantic_dedup"      -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "semantic_dedup_digest" -> ((s: SparkSession, d: String) => operators.RelationDigest.digest(Dedup.semanticDedup(s, d))),
     "contam_minhash"      -> ((s: SparkSession, d: String) => Dedup.contamMinhash(s, d)),
+    // round 15: exact variable-length substring dedup (Lee et al.) —
+    // the character-granular span finder dedup_span's fixed token
+    // 10-grams approximate
+    "dedup_substring"     -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
@@ -145,6 +149,9 @@ object SparkEntry {
     "media_framesample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "media_parse"       -> Multimodal.mediaParse _,
     "media_audio_stats" -> Multimodal.mediaAudioStats _,
+    // round 15: perceptual-hash (block-mean) image near-dup over the
+    // decoded BMP payloads, contracted to distinct hashes
+    "media_dedup"       -> ((s: SparkSession, d: String) => Multimodal.mediaDedup(s, d)),
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
@@ -271,6 +278,8 @@ object SparkEntry {
     "dedup_embedding"     -> Dedup.embeddingDedupSql,
     "contam_minhash"      -> Dedup.contamMinhashSql,
     "dedup_minhash_lsh"   -> Dedup.minhashLshSql, // exact all-pairs Jaccard; deterministic LSH family ⇒ FN-free is a fixed corpus property (≤5e-8/pair)
+    "dedup_substring"     -> Dedup.dedupSubstringSql, // contracted window-group → islands recompute, code-point exact
+    "media_dedup"         -> Multimodal.mediaDedupSql, // full block-mean-hash recompute from the closed-form gradient
     "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,

@@ -1,12 +1,19 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayDotProduct, GraftExprBridge, KmvEstimate, KmvIntersect, KmvSketchAgg, KmvUnion}
+import org.apache.spark.sql.graft.{ArrayDotProduct, CharWindows, GraftExprBridge, KmvEstimate, KmvIntersect, KmvSketchAgg, KmvUnion}
 
 /** Public column helpers backed by graft's native Catalyst
   * expressions (no Scala UDFs, no interpreted lambdas in hot paths).
   */
 package object functions {
+
+  /** All length-n code-point windows of a string column at stride 1
+    * (array<string>; length < n ⇒ empty array). Single byte-buffer
+    * pass — O(len·n), never the O(len²) a substring(text, p, n)
+    * lambda pays on UTF8String (no random char access). */
+  def charWindows(text: Column, n: Int): Column =
+    GraftExprBridge.column(CharWindows(GraftExprBridge.expression(text), n))
 
   /** dot(a, b) as double; a, b are array<float> columns. */
   def arrayDot(a: Column, b: Column): Column =

@@ -134,19 +134,43 @@ object Dedup {
   /** One row per distinct SHINGLEABLE text (≥ 3 tokens — sub-3-token
     * docs produce no shingles and never enter any Jaccard relation):
     * (rep = min doc_id, ids = sorted member doc_ids, sz, text).
-    * One text-keyed shuffle; the tokenizability predicate runs once
-    * per distinct text, after the contraction.
+    * One shuffle; the tokenizability predicate runs once per distinct
+    * text, after the contraction.
+    *
+    * Round-15 advice: the grouping key is a 128-bit digest pair
+    * (xxhash64 under two seeds), NOT the text itself — a megabyte doc
+    * would otherwise travel the exchange as a multi-MB shuffle key
+    * and be hash-compared in full on every probe. The text is carried
+    * as a min/max aggregate pair (map-side partials collapse clones
+    * before the exchange), and min = max within every digest group is
+    * a COMPLETE collision check: a 128-bit collision between distinct
+    * texts would make them differ, tripping raise_error instead of
+    * silently merging two groups (p ≈ n²/2¹²⁹ — never, but checked).
     */
   private[operators] def textGroups(spark: SparkSession, dir: String): DataFrame =
+    allTextGroups(spark, dir)
+      .filter(size(expr(
+        _root_.graft.functions.ngramsFromTextExpr("text", 3))) > 0)
+
+  /** The unfiltered distinct-text contraction every text-pure operator
+    * derives from (dedup_substring needs sub-3-token docs too — a
+    * 40-char repeat doesn't require 3 whitespace tokens). Persisted
+    * once per (session, dir); [[textGroups]] is the shingleable
+    * filtered view over the same cached partitions.
+    */
+  private[operators] def allTextGroups(spark: SparkSession, dir: String): DataFrame =
     memo(groupCache, spark, dir)(
       Tables.documents(spark, dir)
         .filter(col("text").isNotNull)
-        .groupBy("text")
+        .groupBy(xxhash64(col("text")).as("tk1"), xxhash64(lit(42L), col("text")).as("tk2"))
         .agg(min(col("doc_id")).as("rep"),
           sort_array(collect_list(col("doc_id"))).as("ids"),
-          count(lit(1)).as("sz"))
-        .filter(size(expr(
-          _root_.graft.functions.ngramsFromTextExpr("text", 3))) > 0)
+          count(lit(1)).as("sz"),
+          min(col("text")).as("text"),
+          max(col("text")).as("tmax"))
+        .select(col("rep"), col("ids"), col("sz"),
+          when(col("text") === col("tmax"), col("text"))
+            .otherwise(raise_error(lit("textGroups: 128-bit digest collision"))).as("text"))
         .persist())
 
   private val repShingleCache =
@@ -235,10 +259,15 @@ object Dedup {
     * quadratic candidate stage no longer multiplies by the clone
     * factor (the ×100 tier's 35-minute pair build drops to base cost).
     */
-  private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+  private[graft] def ngramJaccardCompute(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // Contraction precondition (round-15 advice): expandPairs emits
+    // within-group cliques unconditionally at jaccard = 1.0, which is
+    // only equivalent to the doc-level join while τ ≤ 1.0.
+    require(threshold <= 1.0, s"jaccard threshold must be <= 1.0, got $threshold")
     expandPairs(repPairsFor(spark, dir, threshold), textGroups(spark, dir),
       "jaccard", lit(1.0))
       .orderBy("a_id", "b_id")
+  }
 
   /** PPJoin over an arbitrary (doc_id, shingle) relation; returns the
     * complete (a_id < b_id, jaccard ≥ τ) pair set.
@@ -842,6 +871,123 @@ object Dedup {
       |ORDER BY word_a, word_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // Exact variable-length substring dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better"): the union of all
+  // maximal character spans of length ≥ L that occur more than once in
+  // the (distinct-text) corpus. dedup_span's fixed token 10-grams miss
+  // repeats shorter than 10 tokens (long-word phrases) and repeats not
+  // aligned to token boundaries; this operator is exact at character
+  // granularity. The suffix-array equivalence: two suffixes with
+  // LCP ≥ L share their first L characters, so grouping every L-char
+  // window (stride 1) by VALUE finds exactly the positions covered by
+  // some repeated substring of length ≥ L — a repeated span of length
+  // M ≥ L appears as M − L + 1 consecutive duplicated window starts,
+  // recovered by the gaps-and-islands merge below.
+  // -------------------------------------------------------------------
+
+  /** Duplicated-span relation: one row per (doc_id, maximal duplicated
+    * span) with 1-based char positions. Semantics: window occurrences
+    * are counted over DISTINCT texts (exact-duplicate docs are the
+    * dedup_exact family's job; counting clones would mark every span
+    * of any duplicated doc), and clone images inherit their rep's
+    * spans — positions are text-relative, so the expansion is exact.
+    *
+    * Scale: the window explode is O(len·L) bytes of map-side work per
+    * distinct doc (L constant ⇒ linear), one window-keyed exchange for
+    * the duplicate test (map-side partial agg collapses within-doc
+    * repeats), a semi-join back, and a per-doc sort of only the
+    * DUPLICATED positions. No pairwise joins anywhere — output is the
+    * span set itself, linear in the corpus at any clone factor.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val g = allTextGroups(spark, dir)
+    // CharWindows is a native single-pass expression: a
+    // substring(text, p, L) lambda is O(len²) per doc (UTF8String has
+    // no random char access — wedged a core on the 1 MB fuzz doc),
+    // and it is TOTAL in the doc length (round-12 rule: len < L yields
+    // array(), safe under InferFiltersFromGenerate's cloned conjunct).
+    val sites = g.select(col("rep"),
+        posexplode(_root_.graft.functions.charWindows(col("text"), L)).as(Seq("pidx", "win")))
+      .select(col("rep"), (col("pidx") + lit(1)).as("p"), col("win"))
+    // a window is duplicated if it occurs at ≥ 2 (text, pos) sites —
+    // across docs OR twice within one (within-doc verbatim repeats are
+    // duplicated training content too, same as Lee et al.)
+    val dup = sites.groupBy("win").agg(count(lit(1)).as("nw"))
+      .filter(col("nw") >= 2).select("win")
+    val dupSites = sites.join(dup, Seq("win"), "left_semi").select("rep", "p")
+    // gaps-and-islands: spans [p, p+L-1] and [q, q+L-1] (p < q) merge
+    // iff q ≤ p + L (overlap or adjacency); consecutive duplicated
+    // starts always merge, so each island is one maximal span
+    val w = Window.partitionBy("rep").orderBy("p")
+    val spans = dupSites
+      .withColumn("brk", when(col("p") - lag("p", 1).over(w) > L, lit(1)).otherwise(lit(0)))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("rep", "isl")
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + lit(L - 1)).as("span_end"))
+    spans.join(g.select(col("rep"), col("ids")), "rep")
+      .select(explode(col("ids")).as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Contracted oracle for [[dedupSubstring]]: same window-group →
+    * islands → expansion pipeline over distinct texts. Positions are
+    * code points on both engines (DuckDB string_split(s, '') yields
+    * one element per code point, astral emoji included — matching
+    * CharWindows). Window strings are built by a moving-frame
+    * string_agg over char ROWS: both substr(text, q, 40) (code-point
+    * scan from byte 0) AND a list-slice inside a lambda that captures
+    * the char list (carried-list re-materialization, the CLAUDE.md
+    * lateral trap) measured O(len²) on the 1 MB fuzz doc (>5 min);
+    * the frame form is 0.4 s. The char/position unnests in `c` zip
+    * (round-12 rule), and the final expansion is a bounded lateral
+    * (ids lists are clone counts; only three ints carried).
+    */
+  val dedupSubstringSql: String =
+    """WITH grp AS (
+      |  SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+      |  FROM documents WHERE text IS NOT NULL GROUP BY text
+      |), t AS (
+      |  SELECT rep, string_split(text, '') AS cs FROM grp
+      |  WHERE length(text) >= 40
+      |), c AS (
+      |  SELECT rep, unnest(cs) AS ch, unnest(range(1, len(cs) + 1)) AS p FROM t
+      |), wn AS (
+      |  SELECT rep, p,
+      |    string_agg(ch, '') OVER (PARTITION BY rep ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 39 FOLLOWING) AS win,
+      |    count(*) OVER (PARTITION BY rep) AS nc
+      |  FROM c
+      |), s AS (
+      |  SELECT rep, p, win FROM wn WHERE p <= nc - 39
+      |), d AS (
+      |  SELECT win FROM s GROUP BY win HAVING count(*) >= 2
+      |), ds AS (
+      |  SELECT rep, p FROM s JOIN d USING (win)
+      |), lagged AS (
+      |  SELECT rep, p, lag(p) OVER (PARTITION BY rep ORDER BY p) AS pp FROM ds
+      |), isl AS (
+      |  SELECT rep, p,
+      |    sum(CASE WHEN p - pp > 40 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY rep ORDER BY p) AS grp_no
+      |  FROM lagged
+      |), sp AS (
+      |  SELECT rep, min(p) AS span_start, max(p) + 39 AS span_end
+      |  FROM isl GROUP BY rep, grp_no
+      |)
+      |SELECT u.doc_id AS doc_id,
+      |  CAST(span_start AS BIGINT) AS span_start,
+      |  CAST(span_end AS BIGINT) AS span_end,
+      |  CAST(span_end - span_start + 1 AS BIGINT) AS span_len
+      |FROM sp JOIN grp USING (rep), unnest(grp.ids) AS u(doc_id)
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash(64) + Hamming ≤ 3 via the 4-block pigeonhole: distance ≤ 3
   // means at least one 16-bit block is identical, so an equi-join on
   // (block_id, block_value) has exact recall. All bit arithmetic is
@@ -1153,6 +1299,9 @@ object Dedup {
     * each cell when every value repeats K times).
     */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    // Contraction precondition (round-15 advice): cliques expand at
+    // cos_sim = 1.0 unconditionally — sound only while τ ≤ 1.0.
+    require(threshold <= 1.0, s"cosine threshold must be <= 1.0, got $threshold")
     val g = vecGroups(spark, dir)
     val reps = g.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
     val rp = memo(cellCache, spark, s"$dir|$threshold")(

@@ -403,4 +403,174 @@ object Multimodal {
       |         ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2 // 1000)
       |  END AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Image-content near-dup (round 15): a 64-bit block-mean perceptual
+  // hash (Yang/Gavrielides block mean value hash — the aHash family)
+  // over the REAL decoded BMP pixels, then the same 4×16-bit Hamming
+  // pigeonhole blocking dedup_simhash uses. This is the standard
+  // multimodal-corpus dedup step: decode each image ONCE (linear),
+  // contract to distinct hashes, and run the pairwise stage over hash
+  // representatives only — never over documents.
+  // -------------------------------------------------------------------
+
+  /** Exact 128-bit-free comparison of a·b > c·d for non-negative
+    * longs: a validated hostile header can still declare dims up to
+    * 2^15, where cellSum·(w·h) overflows a signed 64-bit product —
+    * compare the full 128-bit products instead of trusting the low
+    * word (round-14 untrusted-geometry rule, applied to arithmetic).
+    */
+  private[graft] def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+  }
+
+  /** 64-bit block-mean hash of a validated BMP payload: the image is
+    * partitioned into an 8×8 grid (cell of pixel (x,y) is
+    * i = x·8/w, j = y·8/h — the exact integer map the oracle
+    * recomputes), brightness is the exact R+G+B byte sum, and bit
+    * k = j·8+i is set iff the cell's mean brightness exceeds the
+    * image mean (integer cross-multiplication — no FP anywhere, so
+    * the hash is bit-deterministic across engines and layouts).
+    * Returns None for anything [[RiffCodec.parse]] rejects.
+    */
+  private[graft] def blockMeanHash(payload: Array[Byte], p: MediaParsed): Option[Long] = {
+    if (p.kind != "bmp") None
+    else {
+      val w = p.width; val h = p.height
+      val rowSize = ((3L * w + 3L) / 4L) * 4L
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val off = 54L + y * rowSize
+        val j = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val o = (off + 3L * x).toInt // parse validated 54 + rowSize·h ≤ payload.length
+          val b = (payload(o) & 0xFF) + (payload(o + 1) & 0xFF) + (payload(o + 2) & 0xFF)
+          val k = j * 8 + x * 8 / w
+          cellSum(k) += b; cellCnt(k) += 1; total += b
+          x += 1
+        }
+        y += 1
+      }
+      val tc = w.toLong * h
+      var hv = 0L
+      var k = 0
+      while (k < 64) {
+        if (cellCnt(k) > 0 && mulGt(cellSum(k), tc, total, cellCnt(k))) hv |= (1L << k)
+        k += 1
+      }
+      Some(hv)
+    }
+  }
+
+  /** Image near-dup relation at hash-group level: one row per pair of
+    * DISTINCT perceptual hashes with Hamming ≤ `maxHamming`, carrying
+    * each side's group representative (min doc_id) and member count.
+    * Exact-duplicate images (equal hash — every clone class here) are
+    * one GROUP (sz > 1), not a pair blowup: at ×100 a single clone
+    * class is ~15k images and its C(sz,2) clique would be 10⁸ rows of
+    * no information. The pairwise stage runs over distinct hashes only
+    * — the image-side mirror of the round-14 text contraction.
+    */
+  def mediaDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    mediaDedupFor(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "bmp"), maxHamming)
+
+  /** Payload-injectable form (spec plants 1-px perturbations and
+    * hostile headers). Blocking is the 4×16-bit pigeonhole: Hamming
+    * ≤ 3 forces ≥ 1 equal block, so the equi-join on (block, value)
+    * has exact recall at the default threshold.
+    */
+  private[graft] def mediaDedupFor(spark: SparkSession,
+      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(maxHamming <= 3, "4x16 pigeonhole blocking is exact only for hamming <= 3")
+    val hashed = media
+      .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.flatMap { r =>
+        blockMeanHash(r.payload, RiffCodec.parse(r.doc_id, r.payload))
+          .map(hv => (r.doc_id, hv))
+      }))
+      .toDF("doc_id", "phash")
+    // persisted: the contracted group relation is tiny (one row per
+    // distinct hash) but sits on top of the full decode — without the
+    // cache the pigeonhole self-join would decode every image TWICE
+    val g = hashed.groupBy("phash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
+      .persist()
+    val blockCols = (0 until 4).map { j =>
+      struct(lit(j).as("blk"),
+        (shiftright(col("phash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
+    }
+    val blocked = g.select(col("rep"), col("sz"), col("phash"),
+        explode(array(blockCols: _*)).as("bb"))
+      .select(col("rep"), col("sz"), col("phash"), col("bb.blk"), col("bb.bval"))
+    blocked.as("a").join(blocked.as("b"), Seq("blk", "bval"))
+      .filter(col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("a_id"), col("b.rep").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle for [[mediaDedup]]: DuckDB recomputes the block-mean hash
+    * of every distinct BMP class from the closed-form gradient pixels
+    * (b(x,y) = ((x+y) mod 256) + x mod 256 + y mod 256 — exactly what
+    * synthBmp wrote), merges classes whose 64 bits are identical (the
+    * engine's hash-value contraction), and takes pairwise bit
+    * disagreements as Hamming. Every step is integer arithmetic, so
+    * this verifies the synthesize → decode → hash → block → pair
+    * pipeline bit-for-bit, end to end. Classes are keyed by
+    * doc_id % 32 (the dimension generator), so the oracle is
+    * corpus-scale-free: 16 classes at every tier.
+    */
+  val mediaDedupSql: String =
+    """WITH cls AS (
+      |  SELECT doc_id % 32 AS c, min(doc_id) AS rep0, count(*) AS csz
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+      |), dims AS (
+      |  SELECT c, rep0, csz, CAST(16 + c AS BIGINT) AS w,
+      |    CAST(9 + (c % 16) AS BIGINT) AS h
+      |  FROM cls
+      |), px AS (
+      |  SELECT c, w, h, n % w AS x, n // w AS y,
+      |    ((n % w + n // w) % 256) + ((n % w) % 256) + ((n // w) % 256) AS b
+      |  FROM dims, unnest(range(0, w * h)) AS g(n)
+      |), cell AS (
+      |  SELECT c, (y * 8) // h * 8 + (x * 8) // w AS k,
+      |    sum(b) AS cs, count(*) AS cc
+      |  FROM px GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT c, sum(b) AS ts, count(*) AS tc FROM px GROUP BY 1
+      |), bits AS (
+      |  SELECT c, k, CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS bit
+      |  FROM cell JOIN tot USING (c)
+      |), hk AS (
+      |  SELECT c, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS hkey
+      |  FROM bits GROUP BY c
+      |), grp AS (
+      |  SELECT hkey, min(rep0) AS rep, CAST(sum(csz) AS BIGINT) AS sz
+      |  FROM hk JOIN dims USING (c) GROUP BY hkey
+      |), repc AS (
+      |  SELECT hkey, min(c) AS c FROM hk GROUP BY 1
+      |), rb AS (
+      |  SELECT r.hkey, b.k, b.bit FROM repc r JOIN bits b ON b.c = r.c
+      |), ham AS (
+      |  SELECT a.hkey AS ha, b.hkey AS hb,
+      |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+      |  FROM rb a JOIN rb b ON a.k = b.k AND a.hkey < b.hkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT least(ga.rep, gb.rep) AS a_id, greatest(ga.rep, gb.rep) AS b_id,
+      |  hamming,
+      |  CASE WHEN ga.rep < gb.rep THEN ga.sz ELSE gb.sz END AS a_sz,
+      |  CASE WHEN ga.rep < gb.rep THEN gb.sz ELSE ga.sz END AS b_sz
+      |FROM ham JOIN grp ga ON ga.hkey = ha JOIN grp gb ON gb.hkey = hb
+      |WHERE hamming <= 3
+      |ORDER BY a_id, b_id""".stripMargin
 }

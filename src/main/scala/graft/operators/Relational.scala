@@ -181,6 +181,13 @@ object Relational {
     // scale-4 product sum is exact and associative; unscaled stays
     // inside 2^53 at any realistic per-part mass, so the one
     // decimal→double cast is a single rounding on both engines.
+    // CONTRACT (round-15 advice): the decimal(3,2) cast on l_discount
+    // assumes the generator's 2-decimal discount domain. A 3-decimal
+    // value near a half (0.015) would round differently cross-engine
+    // (Spark decimal cast = HALF_UP on the shortest decimal string;
+    // DuckDB CAST rounds the binary double). All corpus tiers and the
+    // relfuzz plants (0.03/0.07/0.08 — RelFuzz.scala) keep 2dp; a
+    // 3dp-discount corpus needs the floor(x*100+0.5) pattern instead.
     val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *

@@ -418,8 +418,12 @@ object RelationalExtras {
       round(lit(2.0) * pow(lit(gamma), b) / lit(gamma + 1.0), 2)
     // qs is bounded by construction (one row per l_returnflag value) —
     // explicit hint, because the planner sizes it from its corpus-wide
-    // child and chose SMJ at the ×10 tier (CLAUDE.md bounded-grid rule)
-    hll.join(broadcast(qs), "l_returnflag")
+    // child and chose SMJ at the ×10 tier (CLAUDE.md bounded-grid rule).
+    // LEFT join (round-15 advice): qs only contains flags with at
+    // least one positive price — a group whose prices are all
+    // NULL/non-positive must still report its distinct-order estimate
+    // (with NULL quantiles), not vanish from the profile.
+    hll.join(broadcast(qs), Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("approx_orders"),
         midpoint(col("b50")).as("p50_price"),
         midpoint(col("b95")).as("p95_price"))

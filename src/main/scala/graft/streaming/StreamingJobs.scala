@@ -757,6 +757,85 @@ object StreamingJobs {
       }
       .start()
 
+  /** Checkpointed deployment shape for the foreachBatch MERGE (round
+    * 15, verdict item 5): the versioned target is made idempotent
+    * under MID-BATCH crash/replay. Layout: `targetBase/v<batchId>` is
+    * a merge result, COMMITTED only once `_GRAFT_COMMIT` exists inside
+    * it (underscore files are invisible to the parquet reader, like
+    * `_SUCCESS`). The merge input is always (latest COMMITTED version
+    * ∪ the incoming batch); a crash after the data write but before
+    * the marker leaves a torn, uncommitted `v<batchId>` that the
+    * restarted lifetime — Spark replays the batch, offsets were logged
+    * before execution — simply overwrites with the SAME deterministic
+    * merge, then publishes the marker. No key can be lost (merge never
+    * reads an uncommitted version) or duplicated (keep-latest is a
+    * per-key row_number, and a replayed batch re-derives, not
+    * re-appends). Older committed versions are GC'd after each commit.
+    *
+    * `failBeforeCommitOfBatch` injects the torn state for the
+    * recovery spec: the foreachBatch body throws AFTER writing
+    * `v<batchId>` and BEFORE the marker — the exact window a real
+    * driver crash hits.
+    */
+  def startCheckpointedUpsert(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, targetBase: String,
+      failBeforeCommitOfBatch: Long = -1L): StreamingQuery = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    def keepLatest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    def committedVersions(): Seq[Long] = {
+      val base = new java.io.File(targetBase)
+      Option(base.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+          new java.io.File(f, "_GRAFT_COMMIT").isFile)
+        .map(_.getName.drop(1).toLong)
+    }
+    eventsStream(spark, srcDir, glob)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val committed = committedVersions()
+        // replay of an ALREADY-committed batch (crash after marker,
+        // before Spark's own commit log): the target is already right
+        if (!committed.contains(batchId)) {
+          val latest = keepLatest(batch)
+          val merged = committed.maxOption match {
+            case None       => latest
+            case Some(prev) => keepLatest(
+              spark.read.parquet(s"$targetBase/v$prev").unionByName(latest))
+          }
+          merged.write.mode("overwrite").parquet(s"$targetBase/v$batchId")
+          if (batchId == failBeforeCommitOfBatch)
+            sys.error(s"injected crash: batch $batchId written but not committed")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$targetBase/v$batchId/_GRAFT_COMMIT"))
+          // GC fully superseded committed versions
+          committed.filter(_ < batchId).foreach { v =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(s"$targetBase/v$v"))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Latest committed keep-latest table of [[startCheckpointedUpsert]]. */
+  def upsertTarget(spark: SparkSession, targetBase: String): DataFrame = {
+    val committed = Option(new java.io.File(targetBase).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_GRAFT_COMMIT").isFile)
+      .map(_.getName.drop(1).toLong)
+    require(committed.nonEmpty, s"no committed version under $targetBase")
+    spark.read.parquet(s"$targetBase/v${committed.max}")
+  }
+
   val streamTopkSql: String =
     """WITH c AS (
       |  SELECT

@@ -26,11 +26,22 @@ object PinGen {
     * /tmp/graft_sfx1 10" (ScaleUp is a map-only deterministic
     * transform, so a rebuild reproduces the same content). */
   val Sfx1Dir: String = sys.env.getOrElse("GRAFT_SFX1_DIR", "/tmp/graft_sfx1")
+
+  /** Tier 5 (round 15): the ScaleUp ×100 corpus. Joins the capture
+    * when present, exactly like tier 4 — rebuild with
+    * `graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sfx10 100`
+    * (content-deterministic, so a rebuild reproduces the captures).
+    * Capturing at ×100 is a heavy pass (the HMM family trains/decodes
+    * over 10M events) — set GRAFT_PIN_NO_SFX10=1 to skip it knowingly
+    * on a host without the corpus. */
+  val Sfx10Dir: String = sys.env.getOrElse("GRAFT_SFX10_DIR", "/tmp/graft_sfx10")
   val tiers: Seq[(Int, String)] = Seq(
     1 -> "/root/testdata/sf0.001",
     2 -> "/root/testdata/sf0.01",
     3 -> "/root/testdata/sf0.1") ++
-    (if (new java.io.File(Sfx1Dir).isDirectory) Seq(4 -> Sfx1Dir) else Nil)
+    (if (new java.io.File(Sfx1Dir).isDirectory) Seq(4 -> Sfx1Dir) else Nil) ++
+    (if (new java.io.File(Sfx10Dir).isDirectory &&
+         !sys.env.get("GRAFT_PIN_NO_SFX10").contains("1")) Seq(5 -> Sfx10Dir) else Nil)
 
   /** Queries whose outputs are deterministic by construction.
     * knn_ivf's pin captures the DEFAULT index knobs — running the
@@ -143,11 +154,14 @@ object PinGen {
           }
         }
       case Some(out) =>
-        // A tsv written without the scaled tier would silently retire
-        // the sfx1 pin coverage — refuse unless told explicitly.
+        // A tsv written without a scaled tier would silently retire
+        // that tier's pin coverage — refuse unless told explicitly.
         require(tiers.exists(_._1 == 4) || sys.env.get("GRAFT_PIN_NO_SFX1").contains("1"),
           s"$Sfx1Dir missing: rebuild it with graft.tools.ScaleUp (or set " +
             "GRAFT_PIN_NO_SFX1=1 to knowingly write a tsv without tier-4 pins)")
+        require(tiers.exists(_._1 == 5) || sys.env.get("GRAFT_PIN_NO_SFX10").contains("1"),
+          s"$Sfx10Dir missing: rebuild it with graft.tools.ScaleUp ... 100 (or set " +
+            "GRAFT_PIN_NO_SFX10=1 to knowingly write a tsv without tier-5 pins)")
         // resource format parsed by PinnedOracleData (see its docs)
         val sb = new StringBuilder
         captured.foreach { case (name, cols, rows) =>

@@ -58,8 +58,46 @@ object StreamScale {
     }
     spark.streams.addListener(listener)
 
+    // HARD state bounds (round-15 verdict item 7): the final
+    // (post-eviction) state of every watermarked job must be bounded
+    // by the event-time HORIZON, not by corpus size — a corpus-bounded
+    // final state means eviction silently stopped working and the job
+    // leaks at 100 TB. Bounds come from batch queries over the corpus:
+    //   - horizonRows(m) = events in the last m minutes of event time
+    //     (what a watermark of that horizon may legitimately retain);
+    //   - nUsers / nTypes / nHourWindows bound the keyed-state jobs
+    //     whose state plateaus at the key space, not the stream.
+    // Factor 4 absorbs per-operator bookkeeping rows (session-window
+    // state keeps per-window entries pre-merge; the interval join
+    // keeps both sides) without letting a leak through: a leak is
+    // corpus-shaped (×10..×100 the bound), not ×4.
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")).persist()
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def horizonRows(minutes: Long): Long =
+      ev.filter(col("ts") >= lit(new java.sql.Timestamp(
+        maxTs.getTime - minutes * 60000L))).count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val nTypes = ev.select("event_type").distinct().count()
+    val nHourWindows = ev
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    ev.unpersist()
+    // stream_join retains signups for (interval 2h + wm 30m) and
+    // purchases for the watermark; sessionize/session_window retain
+    // open sessions (30m gap + 30m wm) plus per-user counters
+    val bounds: Map[String, (Long, String)] = Map(
+      "stream_join" -> ((4 * horizonRows(150), "4 x events in last 2h30m")),
+      "stream_sessionize" -> ((4 * (horizonRows(60) + nUsers), "4 x (events in last 60m + user counters)")),
+      "stream_session_window" -> ((4 * (horizonRows(60) + nUsers), "4 x (events in last 60m + users)")),
+      "stream_session_agg" -> ((4 * (horizonRows(90) + nTypes * 4), "4 x events in last 90m")),
+      "stream_dedup" -> ((4 * nUsers * nTypes, "4 x |user x type| keyspace")),
+      "stream_topk" -> ((4 * nHourWindows * nTypes, "4 x |hour-window x type|")),
+      "stream_hll_distinct" -> ((4 * nTypes, "4 x |event types| (one sketch each)")))
+
     val sb = new StringBuilder
     var totalWall = 0.0
+    val violations = ArrayBuffer.empty[String]
     streamingEntries.foreach { name =>
       batches.synchronized(batches.clear())
       val t0 = System.nanoTime()
@@ -74,19 +112,28 @@ object StreamScale {
           batches.flatMap(_.stateRows).maxOption.getOrElse(-1L),
           batches.flatMap(_.stateRows).lastOption.getOrElse(-1L))
       }
+      val boundTxt = bounds.get(name) match {
+        case Some((bound, why)) =>
+          if (lastState > bound)
+            violations += s"$name: final state $lastState > bound $bound ($why)"
+          s""","state_bound":$bound,"state_bound_ok":${lastState <= bound}"""
+        case None => ""
+      }
       val line =
         s"""{"query":"$name","wall_sec":${math.round(wall * 100) / 100.0},""" +
           s""""out_rows":$rows,"input_rows":$inputRows,""" +
           s""""rows_per_sec":${if (wall > 0) math.round(inputRows / wall) else 0},""" +
-          s""""batches":$nBatches,"state_rows_max":$maxState,"state_rows_final":$lastState}"""
+          s""""batches":$nBatches,"state_rows_max":$maxState,"state_rows_final":$lastState$boundTxt}"""
       println(line); sb ++= line + "\n"
     }
-    val totalLine = s"""{"query":"total","wall_sec":${math.round(totalWall * 100) / 100.0},"sf_dir":"$dir"}"""
+    val totalLine = s"""{"query":"total","wall_sec":${math.round(totalWall * 100) / 100.0},"sf_dir":"$dir","state_bound_violations":${violations.size}}"""
     println(totalLine); sb ++= totalLine + "\n"
     sys.env.get("STREAM_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), sb.toString)
     }
     spark.streams.removeListener(listener)
     spark.stop()
+    require(violations.isEmpty,
+      s"STATE BOUND VIOLATIONS:\n${violations.mkString("\n")}")
   }
 }

@@ -63,6 +63,19 @@ class PinnedOraclesSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"tier-4 pinned oracles drifted:\n${diffs.mkString("\n")}")
   }
 
+  // Tier 5 = the ScaleUp ×100 corpus (round 15): the pinned surface —
+  // the reference's own HMM family, kmeans/PQ/IVF, BPE, the sketches —
+  // content-checked at the tier that keeps finding bugs. Heavy (the
+  // trainers run over 10M events); opt-in like tier 4.
+  test("tier-5 pins match a recompute on the sfx10 corpus (opt-in: GRAFT_PIN_SFX10=1)") {
+    assume(sys.env.get("GRAFT_PIN_SFX10").contains("1"),
+      "set GRAFT_PIN_SFX10=1 to run the tier-5 pin sweep")
+    val dir = sys.env.getOrElse("GRAFT_SFX10_DIR", "/tmp/graft_sfx10")
+    assume(new java.io.File(dir).isDirectory, s"$dir missing — run graft.tools.ScaleUp first")
+    val diffs = recomputeDiffs(5, dir)
+    assert(diffs.isEmpty, s"tier-5 pinned oracles drifted:\n${diffs.mkString("\n")}")
+  }
+
   test("pinned SQL embeds the tier discriminator iff the result is corpus-dependent") {
     PinnedOracleData.byName.foreach { case (name, pin) =>
       val tiered = pin.rows.size > 1

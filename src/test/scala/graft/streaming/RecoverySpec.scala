@@ -222,4 +222,59 @@ class RecoverySpec extends AnyFunSuite {
     assert(store.get("view") == batch("view"),
       s"view estimate ${store.get("view")} != batch ${batch("view")}")
   }
+
+  test("mid-batch crash inside the foreachBatch MERGE: the torn uncommitted version is replayed idempotently") {
+    val (src, ckpt, _) = freshDirs("recovery_upsert")
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_recovery_upsert_target").toFile.getAbsolutePath
+    def ev(id: Long, min: Long, user: Long, tpe: String, v: Double) =
+      Row(id, atMin(min), user, tpe, v, "{}")
+
+    // batch 0 commits cleanly; batch 1 (an update for user 1 + new
+    // user 3) CRASHES after its merge result is fully written but
+    // before the commit marker — the exact torn window a driver death
+    // mid-MERGE leaves behind.
+    addChunk(src, 0, Seq(ev(1, 0, 1L, "click", 1.0), ev(2, 1, 2L, "view", 2.0)))
+    addChunk(src, 1, Seq(ev(3, 5, 1L, "purchase", 5.0), ev(4, 6, 3L, "click", 3.0)))
+    val q1 = StreamingJobs.startCheckpointedUpsert(
+      spark, src, "chunk*.parquet", ckpt, target, failBeforeCommitOfBatch = 1L)
+    try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
+    assert(q1.exception.isDefined &&
+      q1.exception.get.getMessage.contains("injected crash"),
+      s"lifetime 1 must die on the injected mid-batch failure, got ${q1.exception}")
+    // torn state on disk: v0 committed, v1 fully written but UNcommitted
+    assert(new java.io.File(s"$target/v0/_GRAFT_COMMIT").isFile,
+      "batch 0 must have committed before the crash")
+    assert(new java.io.File(s"$target/v1").isDirectory &&
+      !new java.io.File(s"$target/v1/_GRAFT_COMMIT").exists(),
+      "the crash must leave v1 written but uncommitted")
+
+    // lifetime 2, same checkpoint, no failure injection: Spark replays
+    // batch 1 (its offsets were logged before execution, its commit
+    // wasn't) — the merge re-derives v1 from v0 + the replayed rows,
+    // overwrites the torn dir, commits, then processes batch 2.
+    addChunk(src, 2, Seq(ev(5, 10, 2L, "purchase", 9.0)))
+    val q2 = StreamingJobs.startCheckpointedUpsert(
+      spark, src, "chunk*.parquet", ckpt, target)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.exception.isEmpty, s"lifetime 2 failed: ${q2.exception}")
+
+    // the converged target == the batch keep-latest over ALL events:
+    // no key lost to the torn version, none duplicated by the replay
+    val got = StreamingJobs.upsertTarget(spark, target)
+      .select("user_id", "event_type", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).distinct.length == got.length,
+      s"duplicate keys after replay: ${got.mkString(", ")}")
+    assert(got.toSeq == Seq(
+      (1L, "purchase", atMin(5) / 1000L, 5.0),
+      (2L, "purchase", atMin(10) / 1000L, 9.0),
+      (3L, "click", atMin(6) / 1000L, 3.0)),
+      s"target diverged from the batch keep-latest: ${got.mkString(", ")}")
+    // GC: only the final committed version survives
+    val dirs = Option(new java.io.File(target).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs == Seq("v2"), s"superseded versions must be GC'd, got $dirs")
+  }
 }
