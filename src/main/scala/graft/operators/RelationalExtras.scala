@@ -102,7 +102,12 @@ object RelationalExtras {
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
-      .withColumn("trailing_spend", round(sum(col("o_totalprice")).over(w), 4))
+      // decimal accumulation — hot-key trailing sums are corpus-
+      // magnitude and DuckDB's segment-tree window fold diverges from
+      // Spark's (round-15 skew-oracle catch; see windowRunning)
+      .withColumn("trailing_spend",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("decimal(38,2)").cast("double"))
       .withColumn("n_trailing", count(lit(1)).over(w))
       .orderBy("o_custkey", "ts_us", "o_orderkey")
   }
@@ -110,7 +115,7 @@ object RelationalExtras {
   val windowRangeFrameSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice,
       |  epoch_us(o_orderdate) AS ts_us,
-      |  round(sum(o_totalprice) OVER w, 4) AS trailing_spend,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS trailing_spend,
       |  count(*) OVER w AS n_trailing
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
@@ -241,7 +246,10 @@ object RelationalExtras {
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        round(sum(col("o_totalprice")), 4).as("monetary"))
+        // decimal accumulation: the skew tier's hot customer is a
+        // corpus-magnitude exchange-reordered sum (round-15 catch)
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(38,2)").cast("double").as("monetary"))
 
   /** The single-task ntile-window formulation rfmSegment must match
     * bit-for-bit — kept as the parity reference for ExtrasSpec, not
@@ -270,7 +278,8 @@ object RelationalExtras {
   val rfmSegmentSql: String =
     """WITH per AS (
       |  SELECT o_custkey, max(o_orderdate) AS last_order,
-      |    count(*) AS frequency, round(sum(o_totalprice), 4) AS monetary
+      |    count(*) AS frequency,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS monetary
       |  FROM orders GROUP BY o_custkey
       |), s AS (
       |  SELECT o_custkey, last_order, frequency, monetary,
@@ -289,6 +298,15 @@ object RelationalExtras {
 
   /** Per-customer running order totals: cumulative sum + row index
     * over an event-time window — one shuffle by customer.
+    *
+    * DECIMAL accumulation (round-15 skew-ORACLE gate catch): the hot
+    * customer's running total reaches ~5.7e9 on the 63%-head-mass
+    * corpus, and DuckDB computes windowed sums with a SEGMENT TREE
+    * (different fold shape than Spark's sequential accumulation) —
+    * round(sum(double), 4) flipped its last digit cross-engine.
+    * Scale 4 absorbs the relfuzz half-cent price plants exactly on
+    * both engines; the final rescale to 2 keeps the decimal→double
+    * conversion single-rounding (2^53 refinement, CLAUDE.md).
     */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -297,7 +315,9 @@ object RelationalExtras {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .withColumn("order_seq", row_number().over(w))
       .withColumn("running_total",
-        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(38,2)").cast("double"))
       .select("o_custkey", "o_orderkey", "order_seq", "running_total")
       .orderBy("o_custkey", "order_seq")
   }
@@ -305,9 +325,9 @@ object RelationalExtras {
   val windowRunningSql: String =
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER w AS order_seq,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
@@ -869,7 +889,12 @@ object RelationalExtras {
     val spend = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("spend"))
+      // decimal accumulation (round-15 skew-oracle class): hot-key
+      // spend is corpus-magnitude; the later acctbal + spend round(4)
+      // is safe because both addends are exact 2-decimal values
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(38,2)").cast("double").as("spend"))
     val source = Tables.customer(spark, dir)
       .join(spend, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
@@ -889,7 +914,8 @@ object RelationalExtras {
 
   val mergeUpsertSql: String =
     """WITH spend AS (
-      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
       |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY o_custkey
       |), source AS (
       |  SELECT c_custkey, c_name, c_acctbal,

@@ -35,7 +35,13 @@ object SkewJoin {
       .select(col("user_id"), col("event_id"), col("event_type"))
     val userOrders = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("user_id"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("orders_total"))
+      // decimal accumulation: the hot user's total is corpus-magnitude
+      // on the skew tier and exchange-reordered (round-15 skew-oracle
+      // catch; scale-4 cast absorbs half-cent plants, rescale-2 keeps
+      // the decimal→double conversion single-rounding)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("decimal(38,2)").cast("double").as("orders_total"))
     // pmod already maps negative hashes into [0, salts); abs() would
     // throw ARITHMETIC_OVERFLOW under ANSI mode at hash==Int.MinValue.
     saltedJoin(ev, userOrders, "user_id", salts = 8,
@@ -49,7 +55,7 @@ object SkewJoin {
       |FROM events
       |JOIN (
       |  SELECT o_custkey AS user_id, count(*) AS n_orders,
-      |         round(sum(o_totalprice), 4) AS orders_total
+      |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS orders_total
       |  FROM orders GROUP BY o_custkey
       |) USING (user_id)
       |ORDER BY event_id""".stripMargin
