@@ -131,6 +131,9 @@ object SparkEntry {
     // the character-granular span finder dedup_span's fixed token
     // 10-grams approximate
     "dedup_substring"     -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
+    // round 16: the span relation's CONSUMER — re-emit the corpus with
+    // duplicated spans cut, one canonical occurrence kept per window
+    "dedup_substring_apply" -> ((s: SparkSession, d: String) => Dedup.dedupSubstringApply(s, d)),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE
@@ -279,6 +282,7 @@ object SparkEntry {
     "contam_minhash"      -> Dedup.contamMinhashSql,
     "dedup_minhash_lsh"   -> Dedup.minhashLshSql, // exact all-pairs Jaccard; deterministic LSH family ⇒ FN-free is a fixed corpus property (≤5e-8/pair)
     "dedup_substring"     -> Dedup.dedupSubstringSql, // contracted window-group → islands recompute, code-point exact
+    "dedup_substring_apply" -> Dedup.dedupSubstringApplySql, // canonical-kept span cut; cleaned text rebuilt per char row
     "media_dedup"         -> Multimodal.mediaDedupSql, // full block-mean-hash recompute from the closed-form gradient
     "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,

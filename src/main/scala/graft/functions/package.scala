@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayDotProduct, CharWindows, GraftExprBridge, KmvEstimate, KmvIntersect, KmvSketchAgg, KmvUnion}
+import org.apache.spark.sql.graft.{ArrayDotProduct, CharWindows, CutSpans, GraftExprBridge, KmvEstimate, KmvIntersect, KmvSketchAgg, KmvUnion}
 
 /** Public column helpers backed by graft's native Catalyst
   * expressions (no Scala UDFs, no interpreted lambdas in hot paths).
@@ -14,6 +14,16 @@ package object functions {
     * lambda pays on UTF8String (no random char access). */
   def charWindows(text: Column, n: Int): Column =
     GraftExprBridge.column(CharWindows(GraftExprBridge.expression(text), n))
+
+  /** Remove sorted, disjoint 1-based inclusive code-point ranges
+    * (array<long> starts / ends) from a string in one byte pass —
+    * O(len + spans), never the O(len·spans) a substring-concat
+    * reconstruction pays on UTF8String. */
+  def cutSpans(text: Column, starts: Column, ends: Column): Column =
+    GraftExprBridge.column(CutSpans(
+      GraftExprBridge.expression(text),
+      GraftExprBridge.expression(starts),
+      GraftExprBridge.expression(ends)))
 
   /** dot(a, b) as double; a, b are array<float> columns. */
   def arrayDot(a: Column, b: Column): Column =

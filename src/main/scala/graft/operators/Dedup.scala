@@ -900,39 +900,82 @@ object Dedup {
     * span set itself, linear in the corpus at any clone factor.
     */
   def dedupSubstring(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val L = minLen
     val g = allTextGroups(spark, dir)
-    // CharWindows is a native single-pass expression: a
-    // substring(text, p, L) lambda is O(len²) per doc (UTF8String has
-    // no random char access — wedged a core on the 1 MB fuzz doc),
-    // and it is TOTAL in the doc length (round-12 rule: len < L yields
-    // array(), safe under InferFiltersFromGenerate's cloned conjunct).
+    val dupSites = dupWindowSites(g, L).select("rep", "p")
+    val spans = islandSpans(dupSites, L)
+    spans.join(g.select(col("rep"), col("ids")), "rep")
+      .select(explode(col("ids")).as("doc_id"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Window sites of the contracted corpus with the duplicate test
+    * resolved: one row per (rep, p) whose L-char window occurs at ≥ 2
+    * (text, pos) sites — across docs OR twice within one (within-doc
+    * verbatim repeats are duplicated training content too, same as
+    * Lee et al.) — carrying the window's canonical site
+    * (crep, cp) = min (rep, p) over its occurrences.
+    *
+    * CharWindows is a native single-pass expression: a
+    * substring(text, p, L) lambda is O(len²) per doc (UTF8String has
+    * no random char access — wedged a core on the 1 MB fuzz doc),
+    * and it is TOTAL in the doc length (round-12 rule: len < L yields
+    * array(), safe under InferFiltersFromGenerate's cloned conjunct).
+    *
+    * Round-16 (r15 verdict #4): both exchanges here are keyed by a
+    * 128-bit digest pair (xxhash64 under two seeds) instead of the raw
+    * L-char window string — the sites relation is CORPUS-POSITION
+    * sized (one row per char position), so shipping a 40–160-byte
+    * string key per row dominated the shuffle; 16 digest bytes cut it
+    * ~5-10×. Collision safety is the textGroups pattern verbatim: the
+    * window travels once per (partition, distinct window) as min/max
+    * agg buffers, and min = max within every digest group is a
+    * COMPLETE check — any 128-bit collision between distinct windows
+    * trips raise_error instead of fabricating a duplicate
+    * (p ≈ n²/2¹²⁹ — never, but checked).
+    */
+  private def dupWindowSites(g: DataFrame, L: Int): DataFrame = {
     val sites = g.select(col("rep"),
         posexplode(_root_.graft.functions.charWindows(col("text"), L)).as(Seq("pidx", "win")))
-      .select(col("rep"), (col("pidx") + lit(1)).as("p"), col("win"))
-    // a window is duplicated if it occurs at ≥ 2 (text, pos) sites —
-    // across docs OR twice within one (within-doc verbatim repeats are
-    // duplicated training content too, same as Lee et al.)
-    val dup = sites.groupBy("win").agg(count(lit(1)).as("nw"))
-      .filter(col("nw") >= 2).select("win")
-    val dupSites = sites.join(dup, Seq("win"), "left_semi").select("rep", "p")
-    // gaps-and-islands: spans [p, p+L-1] and [q, q+L-1] (p < q) merge
-    // iff q ≤ p + L (overlap or adjacency); consecutive duplicated
-    // starts always merge, so each island is one maximal span
+      .select(col("rep"), (col("pidx") + lit(1)).as("p"),
+        xxhash64(col("win")).as("wk1"), xxhash64(lit(42L), col("win")).as("wk2"),
+        col("win"))
+    val dup = sites.groupBy("wk1", "wk2")
+      .agg(count(lit(1)).as("nw"),
+        min(struct(col("rep"), col("p"))).as("canon"),
+        min(col("win")).as("wmin"), max(col("win")).as("wmax"))
+      .filter(col("nw") >= 2)
+      .select(
+        // collision check rides the JOIN KEY so column pruning can
+        // never drop it (a pruned standalone check column would be
+        // optimized away before evaluation)
+        when(col("wmin") === col("wmax"), col("wk1"))
+          .otherwise(raise_error(lit("dedupSubstring: 128-bit window digest collision"))
+            .cast("long")).as("wk1"),
+        col("wk2"), col("canon.rep").as("crep"), col("canon.p").as("cp"))
+    sites.select("rep", "p", "wk1", "wk2")
+      .join(dup, Seq("wk1", "wk2"))
+      .select("rep", "p", "crep", "cp")
+  }
+
+  /** Gaps-and-islands merge of duplicated window starts into maximal
+    * spans: starts p < q with q ≤ p + L overlap or touch (consecutive
+    * duplicated starts always merge), so each island is one maximal
+    * duplicated span [min p, max p + L − 1] — exactly the coverage
+    * union of the member windows.
+    */
+  private def islandSpans(dupSites: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("rep").orderBy("p")
-    val spans = dupSites
+    dupSites
       .withColumn("brk", when(col("p") - lag("p", 1).over(w) > L, lit(1)).otherwise(lit(0)))
       .withColumn("isl", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("rep", "isl")
-      .agg(min(col("p")).as("span_start"), (max(col("p")) + lit(L - 1)).as("span_end"))
-    spans.join(g.select(col("rep"), col("ids")), "rep")
-      .select(explode(col("ids")).as("doc_id"),
-        col("span_start").cast("long").as("span_start"),
-        col("span_end").cast("long").as("span_end"),
-        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
-      .orderBy("doc_id", "span_start")
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + lit(L - 1)).cast("long").as("span_end"))
   }
 
   /** Contracted oracle for [[dedupSubstring]]: same window-group →
@@ -986,6 +1029,113 @@ object Dedup {
       |  CAST(span_end - span_start + 1 AS BIGINT) AS span_len
       |FROM sp JOIN grp USING (rep), unnest(grp.ids) AS u(doc_id)
       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** The CONSUMER of the duplicated-span relation (r15 verdict #2):
+    * re-emit the corpus with every ≥ L-char duplicated span CUT,
+    * keeping one canonical occurrence per duplicated window — Lee et
+    * al.'s actual pipeline step (their released tool's default cuts
+    * every occurrence; the paper's stated semantics keep one, which is
+    * what a training corpus wants — content must survive somewhere).
+    *
+    * Canonical rule, exact on both engines: for each duplicated
+    * window VALUE, the occurrence at min (rep, p) — document order,
+    * then position — is canonical and is never cut; all other
+    * occurrences are cut sites. An APERIODIC repeated span keeps its
+    * full first occurrence intact (each window value's canonical site
+    * is there); within-doc repeats keep the first occurrence. A
+    * PERIODIC span (period < L) is internally duplicated — every
+    * window inside it is one value — so only the first window's
+    * coverage survives, which is the desired dedup of self-repeating
+    * boilerplate. Cut coverage is the
+    * union of [p, p+L−1] over cut sites — the same gaps-and-islands
+    * merge as [[dedupSubstring]] — removed from the text in ONE byte
+    * pass by the native CutSpans expression (a substring-concat
+    * rebuild is O(len·spans) on UTF8String; the megadoc rule).
+    *
+    * Output: one row per non-NULL-text document (clones inherit their
+    * rep's cleaned text — exact-duplicate removal is dedup_exact's
+    * job, not this operator's): (doc_id, cleaned_text, chars_removed,
+    * bytes_removed). Linear at any clone factor: the kernel runs over
+    * distinct texts, the expansion over documents.
+    */
+  def dedupSubstringApply(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
+    val L = minLen
+    val g = allTextGroups(spark, dir)
+    val cutSites = dupWindowSites(g, L)
+      .filter(!(col("rep") === col("crep") && col("p") === col("cp")))
+      .select("rep", "p")
+    // islands first: collecting merged SPANS per doc is O(spans) per
+    // row, never the O(positions) a raw cut-site collect pays on a
+    // fully-duplicated megadoc
+    val spanArr = islandSpans(cutSites, L)
+      .groupBy("rep")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+      .select(col("rep"),
+        expr("transform(sp, x -> x.span_start)").as("cut_starts"),
+        expr("transform(sp, x -> x.span_end)").as("cut_ends"))
+    g.join(spanArr, Seq("rep"), "left")
+      .select(explode(col("ids")).as("doc_id"), col("text"),
+        col("cut_starts"), col("cut_ends"))
+      .select(col("doc_id"),
+        when(col("cut_starts").isNull, col("text"))
+          .otherwise(_root_.graft.functions.cutSpans(
+            col("text"), col("cut_starts"), col("cut_ends"))).as("cleaned_text"),
+        col("text"))
+      .select(col("doc_id"), col("cleaned_text"),
+        (length(col("text")) - length(col("cleaned_text"))).cast("long").as("chars_removed"),
+        (octet_length(col("text")) - octet_length(col("cleaned_text"))).cast("long").as("bytes_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Contracted oracle for [[dedupSubstringApply]]: the
+    * [[dedupSubstringSql]] window pipeline, plus the canonical test
+    * (row_number over (rep, p) within each window value), cut-site
+    * coverage via a moving-frame MAX over char rows (covered(p) ⇔ a
+    * cut start in [p−L+1, p] — linear, no range join), and the cleaned
+    * text as a per-position string_agg (empty string, not NULL, when
+    * everything is covered). DuckDB strlen is BYTES (= Spark
+    * octet_length); DuckDB length is code points (= Spark length).
+    */
+  val dedupSubstringApplySql: String =
+    """WITH grp AS (
+      |  SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+      |  FROM documents WHERE text IS NOT NULL GROUP BY text
+      |), t AS (
+      |  SELECT rep, string_split(text, '') AS cs FROM grp
+      |  WHERE length(text) >= 40
+      |), c AS (
+      |  SELECT rep, unnest(cs) AS ch, unnest(range(1, len(cs) + 1)) AS p FROM t
+      |), wn AS (
+      |  SELECT rep, p,
+      |    string_agg(ch, '') OVER (PARTITION BY rep ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 39 FOLLOWING) AS win,
+      |    count(*) OVER (PARTITION BY rep) AS nc
+      |  FROM c
+      |), s AS (
+      |  SELECT rep, p, win FROM wn WHERE p <= nc - 39
+      |), wk AS (
+      |  SELECT rep, p,
+      |    count(*) OVER (PARTITION BY win) AS nw,
+      |    row_number() OVER (PARTITION BY win ORDER BY rep, p) AS rn
+      |  FROM s
+      |), cutf AS (
+      |  SELECT rep, p, 1 AS f FROM wk WHERE nw >= 2 AND rn > 1
+      |), cov AS (
+      |  SELECT rep, p, ch,
+      |    max(coalesce(f, 0)) OVER (PARTITION BY rep ORDER BY p
+      |      ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS covered
+      |  FROM c LEFT JOIN cutf USING (rep, p)
+      |), cl AS (
+      |  SELECT rep,
+      |    string_agg(CASE WHEN covered = 1 THEN '' ELSE ch END, '' ORDER BY p) AS cleaned
+      |  FROM cov GROUP BY rep
+      |)
+      |SELECT u.doc_id AS doc_id,
+      |  coalesce(cl.cleaned, grp.text) AS cleaned_text,
+      |  CAST(length(grp.text) - length(coalesce(cl.cleaned, grp.text)) AS BIGINT) AS chars_removed,
+      |  CAST(strlen(grp.text) - strlen(coalesce(cl.cleaned, grp.text)) AS BIGINT) AS bytes_removed
+      |FROM grp LEFT JOIN cl ON cl.rep = grp.rep, unnest(grp.ids) AS u(doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // SimHash(64) + Hamming ≤ 3 via the 4-block pigeonhole: distance ≤ 3

@@ -1,8 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,4 +71,59 @@ case class CharWindows(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CharWindows =
     copy(child = newChild)
+}
+
+/** Remove the code-point ranges `[starts(i), ends(i)]` (1-based,
+  * inclusive, sorted by start, pairwise disjoint — the shape the
+  * gaps-and-islands merge in dedup_substring_apply emits) from a
+  * string, in ONE byte pass.
+  *
+  * Why an Expression: reconstructing the kept text from k spans via
+  * `substring(text, a, b)` concatenation pays an O(offset) code-point
+  * scan per segment on UTF8String (no random character access) —
+  * O(len·k) per document, quadratic on a heavily-duplicated megadoc
+  * (the same failure mode that killed dedup_substring's first draft,
+  * round 15). This walks the byte buffer once with a span cursor:
+  * O(len + k) bytes per document at any span count.
+  *
+  * Positions are CODE POINTS (numBytesForFirstByte walks whole code
+  * points), matching CharWindows and DuckDB length()/string_split
+  * semantics on every planted class including astral emoji.
+  */
+case class CutSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_cut_spans"
+
+  override def nullSafeEval(t: Any, s: Any, e: Any): Any = {
+    val bytes = t.asInstanceOf[UTF8String].getBytes
+    val starts = s.asInstanceOf[ArrayData].toLongArray()
+    val ends = e.asInstanceOf[ArrayData].toLongArray()
+    require(starts.length == ends.length,
+      s"cut_spans: ${starts.length} starts vs ${ends.length} ends")
+    if (starts.isEmpty) t
+    else {
+      val out = new Array[Byte](bytes.length)
+      var oi = 0    // bytes written
+      var i = 0     // byte cursor
+      var p = 1L    // 1-based code-point position
+      var si = 0    // span cursor (spans sorted by start, disjoint)
+      while (i < bytes.length) {
+        val w = UTF8String.numBytesForFirstByte(bytes(i))
+        while (si < starts.length && ends(si) < p) si += 1
+        val covered = si < starts.length && starts(si) <= p && p <= ends(si)
+        if (!covered) { System.arraycopy(bytes, i, out, oi, w); oi += w }
+        i += w
+        p += 1
+      }
+      UTF8String.fromBytes(out, 0, oi)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CutSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

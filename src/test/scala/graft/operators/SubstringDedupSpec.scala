@@ -115,6 +115,82 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // dedup_substring_apply (round-16 verdict item 2): the span
+  // relation's consumer — cut duplicated spans, keep one canonical
+  // occurrence per duplicated window value.
+  // ------------------------------------------------------------------
+
+  private def runApply(docs: Seq[(Long, String)]): Map[Long, (String, Long, Long)] =
+    Dedup.dedupSubstringApply(spark, corpus(docs))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("apply: canonical copy survives intact, later doc's span is cut") {
+    val span = "the quick brown fox jumps over the lazy dog again and once"
+    val a = filler("alpha", 10) + "x " + span + " y" + filler("beta", 10)
+    val b = filler("gamma", 20) + "w " + span + " z" + filler("delta", 5)
+    val shared = " " + span + " " // maximal duplicated region (flank chars differ)
+    val out = runApply(Seq(1L -> a, 2L -> b))
+    assert(out(1L) === ((a, 0L, 0L)), "doc 1 holds every canonical window site")
+    val cleanedB = b.replace(shared, "")
+    assert(out(2L) === ((cleanedB, shared.length.toLong, shared.length.toLong)))
+  }
+
+  test("apply: a doc that is entirely a duplicated span cleans to empty string") {
+    val span = "unique aperiodic duplicated content block of forty plus characters!"
+    assert(span.length >= 40)
+    val a = filler("host", 12) + " " + span + " " + filler("rest", 12)
+    val out = runApply(Seq(1L -> a, 2L -> span))
+    assert(out(1L)._1 === a)
+    assert(out(2L) === (("", span.length.toLong, span.length.toLong)))
+  }
+
+  test("apply: within-doc verbatim repeat keeps the first occurrence") {
+    // aperiodic 50-char chunk: every 40-window value occurs once per
+    // occurrence, so the first occurrence is fully canonical
+    val chunk = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 qA qB qC qD qE q" // 47 chars
+    val doc = chunk + "## " + filler("mid", 30) + " ##" + chunk
+    assert(doc.indexOf(chunk) != doc.lastIndexOf(chunk))
+    val out = runApply(Seq(7L -> doc))
+    val (cleaned, removed, _) = out(7L)
+    assert(removed == chunk.length.toLong, s"second occurrence cut exactly: $out")
+    assert(cleaned === doc.substring(0, doc.length - chunk.length),
+      "the SECOND occurrence is the non-canonical one")
+  }
+
+  test("apply: exact clones inherit the rep's cleaned text") {
+    val span = "shared span content used across distinct texts forty chars plus"
+    val a = filler("first", 12) + " " + span + " " + filler("more", 12)
+    val b = filler("clonebase", 14) + " " + span
+    val out = runApply(Seq(1L -> a, 3L -> b, 4L -> b))
+    assert(out(1L)._1 === a)
+    assert(out(3L) === out(4L), "clone images inherit the rep's cleaned text")
+    assert(out(3L)._1 === b.replace(" " + span, ""),
+      s"shared region incl. the flanking space is cut: ${out(3L)}")
+  }
+
+  test("apply: multibyte spans report bytes_removed > chars_removed") {
+    val span = "😀🚀 astral emoji span with enough characters for forty minimum 😀"
+    assert(span.codePointCount(0, span.length) >= 40)
+    val a = filler("keep", 12) + "x" + span + "y" + filler("tail", 12)
+    val b = filler("drop", 15) + "w" + span + "z"
+    val out = runApply(Seq(1L -> a, 2L -> b))
+    assert(out(1L)._1 === a)
+    val (cleanedB, chars, bytes) = out(2L)
+    assert(cleanedB === b.replace(span, ""))
+    val spanChars = span.codePointCount(0, span.length).toLong
+    val spanBytes = span.getBytes("UTF-8").length.toLong
+    assert(chars === spanChars && bytes === spanBytes && bytes > chars)
+  }
+
+  test("apply: corpus with no duplicated windows passes through unchanged") {
+    val docs = Seq(1L -> filler("aaa", 40), 2L -> filler("bbb", 40), 3L -> "tiny")
+    val out = runApply(docs)
+    assert(out === docs.map { case (id, t) => id -> ((t, 0L, 0L)) }.toMap)
+  }
+
   test("positions are code points: astral emoji prefix offsets correctly") {
     val span = "shared astral span content for dedup forty!"
     assert(span.length >= 40)
