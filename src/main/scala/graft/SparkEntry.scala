@@ -155,6 +155,10 @@ object SparkEntry {
     // round 15: perceptual-hash (block-mean) image near-dup over the
     // decoded BMP payloads, contracted to distinct hashes
     "media_dedup"       -> ((s: SparkSession, d: String) => Multimodal.mediaDedup(s, d)),
+    // round 16: banded-energy fingerprint near-dup over the decoded
+    // PCM payloads — the audio sibling of media_dedup, emitted as the
+    // canonical-assignment (keep/drop) relation over distinct prints
+    "media_audio_dedup" -> ((s: SparkSession, d: String) => Multimodal.mediaAudioDedup(s, d)),
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
@@ -284,6 +288,7 @@ object SparkEntry {
     "dedup_substring"     -> Dedup.dedupSubstringSql, // contracted window-group → islands recompute, code-point exact
     "dedup_substring_apply" -> Dedup.dedupSubstringApplySql, // canonical-kept span cut; cleaned text rebuilt per char row
     "media_dedup"         -> Multimodal.mediaDedupSql, // full block-mean-hash recompute from the closed-form gradient
+    "media_audio_dedup"   -> Multimodal.mediaAudioDedupSql, // full banded-energy-fingerprint recompute from the closed-form PCM
     "dedup_simhash"       -> Dedup.simhashSql,    // full bit-for-bit md5-60 recomputation in DuckDB
     "knn_brute" -> Similarity.knnBruteSql,
     "vec_norms" -> Similarity.vecNormsSql,

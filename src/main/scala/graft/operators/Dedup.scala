@@ -83,7 +83,7 @@ object Dedup {
     * nested computeIfAbsent on one ConcurrentHashMap risks a
     * same-bin recursive-update failure.
     */
-  private def memo(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+  private[operators] def memo(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
       spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()

@@ -478,36 +478,58 @@ object Multimodal {
     * — the image-side mirror of the round-14 text contraction.
     */
   def mediaDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    mediaDedupFor(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "bmp"), maxHamming)
+    mediaDedupPairs(mediaHashGroups(spark, dir), maxHamming)
 
-  /** Payload-injectable form (spec plants 1-px perturbations and
-    * hostile headers). Blocking is the 4×16-bit pigeonhole: Hamming
-    * ≤ 3 forces ≥ 1 equal block, so the equi-join on (block, value)
-    * has exact recall at the default threshold.
+  /** Distinct-hash group relation (phash, rep = min doc_id, sz) over
+    * the corpus BMPs — one row per distinct perceptual hash on top of
+    * the full decode. Memoized per (session, dir) and persisted
+    * (round-16, r15 advice): repeated media_dedup calls in one session
+    * (bench loops, entry + verify paths) must neither re-decode the
+    * corpus nor leak an unkeyed cached relation per call; the
+    * pigeonhole self-join below would otherwise decode every image
+    * TWICE even within one call.
     */
-  private[graft] def mediaDedupFor(spark: SparkSession,
-      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  private val mediaGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def mediaHashGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(mediaGroupCache, spark, dir)(
+      hashGroupsOf(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "bmp"),
+        blockMeanHash).persist())
+
+  /** (doc_id → 64-bit fingerprint) → distinct-fingerprint groups, for
+    * any media fingerprint family (image block-mean, audio band
+    * energy). Batched partition-local decode, one shuffle of
+    * (hash, id) — the payload never moves.
+    */
+  private def hashGroupsOf(spark: SparkSession, media: Dataset[MediaRow],
+      fp: (Array[Byte], MediaParsed) => Option[Long]): DataFrame = {
     import spark.implicits._
-    require(maxHamming <= 3, "4x16 pigeonhole blocking is exact only for hamming <= 3")
-    val hashed = media
+    media
       .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.flatMap { r =>
-        blockMeanHash(r.payload, RiffCodec.parse(r.doc_id, r.payload))
-          .map(hv => (r.doc_id, hv))
+        fp(r.payload, RiffCodec.parse(r.doc_id, r.payload)).map(hv => (r.doc_id, hv))
       }))
       .toDF("doc_id", "phash")
-    // persisted: the contracted group relation is tiny (one row per
-    // distinct hash) but sits on top of the full decode — without the
-    // cache the pigeonhole self-join would decode every image TWICE
-    val g = hashed.groupBy("phash")
+      .groupBy("phash")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("sz"))
-      .persist()
-    val blockCols = (0 until 4).map { j =>
-      struct(lit(j).as("blk"),
-        (shiftright(col("phash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
-    }
-    val blocked = g.select(col("rep"), col("sz"), col("phash"),
-        explode(array(blockCols: _*)).as("bb"))
-      .select(col("rep"), col("sz"), col("phash"), col("bb.blk"), col("bb.bval"))
+  }
+
+  /** Payload-injectable form (spec plants 1-px perturbations and
+    * hostile headers). Unmemoized and unpersisted — spec corpora are
+    * tiny; the dir-based [[mediaDedup]] path goes through the
+    * session-keyed cache above.
+    */
+  private[graft] def mediaDedupFor(spark: SparkSession,
+      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    mediaDedupPairs(hashGroupsOf(spark, media, blockMeanHash), maxHamming)
+
+  /** The pairwise stage over distinct hashes. Blocking is the
+    * 4×16-bit pigeonhole: Hamming ≤ 3 forces ≥ 1 equal block, so the
+    * equi-join on (block, value) has exact recall at the default
+    * threshold.
+    */
+  private def mediaDedupPairs(g: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16 pigeonhole blocking is exact only for hamming <= 3")
+    val blocked = pigeonholeBlocked(g.select(col("rep"), col("sz"), col("phash")))
     blocked.as("a").join(blocked.as("b"), Seq("blk", "bval"))
       .filter(col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("a_id"), col("b.rep").as("b_id"),
@@ -516,6 +538,17 @@ object Multimodal {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Explode a group relation into its 4×16-bit pigeonhole blocks
+    * (every non-phash column carried through). */
+  private def pigeonholeBlocked(g: DataFrame): DataFrame = {
+    val blockCols = (0 until 4).map { j =>
+      struct(lit(j).as("blk"),
+        (shiftright(col("phash"), j * 16) bitwiseAND lit(0xFFFFL)).as("bval"))
+    }
+    g.withColumn("bb", explode(array(blockCols: _*)))
+      .select(g.columns.map(col) :+ col("bb.blk") :+ col("bb.bval"): _*)
   }
 
   /** Oracle for [[mediaDedup]]: DuckDB recomputes the block-mean hash
@@ -573,4 +606,155 @@ object Multimodal {
       |FROM ham JOIN grp ga ON ga.hkey = ha JOIN grp gb ON gb.hkey = hb
       |WHERE hamming <= 3
       |ORDER BY a_id, b_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Audio-content near-dup (round 16, r15 verdict #3): a 64-bit
+  // banded-energy fingerprint over the REAL decoded PCM samples — the
+  // audio sibling of blockMeanHash. The signal is split into 64 time
+  // frames (frame of sample j is j·64/n, the same exact integer map
+  // the image grid uses), per-frame energy is the exact integer
+  // Σ sample², and bit k is set iff frame k's MEAN energy exceeds the
+  // clip mean (integer cross-multiplication through 128-bit compares —
+  // no FP anywhere, bit-deterministic across engines and layouts).
+  // Near-identical clips (a few perturbed samples, a trimmed tail)
+  // land within a few bits; unrelated signals scatter.
+  // -------------------------------------------------------------------
+
+  /** 64-bit banded-energy fingerprint of a validated PCM-WAV payload.
+    * Returns None for anything [[RiffCodec.parse]] rejects and for
+    * empty (but valid) data chunks — mirrors [[mediaAudioStatsFor]].
+    * The sample loop bound is the VALIDATED dataLen (44 + dataLen ≤
+    * payload.length), so a lying header cannot drive the read off the
+    * buffer; energy sums stay exact in Long for any payload ≤ 1 GiB
+    * (v² ≤ 2³⁰, n ≤ 2²⁹), and every comparison is 128-bit anyway.
+    */
+  private[graft] def audioFingerprint(payload: Array[Byte], p: MediaParsed): Option[Long] = {
+    if (p.kind != "wav") None
+    else {
+      val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val n = b.getInt(40) / 2
+      if (n == 0) None
+      else {
+        val fs = new Array[Long](64)
+        val fc = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < n) {
+          val v = b.getShort(44 + 2 * j).toLong
+          val e = v * v
+          val k = (j.toLong * 64 / n).toInt
+          fs(k) += e; fc(k) += 1; tot += e
+          j += 1
+        }
+        var hv = 0L
+        var k = 0
+        while (k < 64) {
+          if (fc(k) > 0 && mulGt(fs(k), n.toLong, tot, fc(k))) hv |= (1L << k)
+          k += 1
+        }
+        Some(hv)
+      }
+    }
+  }
+
+  /** Audio near-dup / canonical-assignment relation at fingerprint-
+    * GROUP level: one row per distinct 64-bit banded-energy
+    * fingerprint — (rep = min doc_id, sz, fp_bits rendered MSB-first,
+    * dup_of = min rep of any earlier group within Hamming ≤
+    * `maxHamming`, NULL if none). This is the keep/drop decision a
+    * dedup pipeline consumes: rows with dup_of set fold into the
+    * earlier group. The corpus's WAV classes genuinely merge at the
+    * GROUP level (distinct (rate, duration) classes with equal sample
+    * counts produce identical fingerprints — the contraction is
+    * visible in sz), while the pair stage's recall on perturbed
+    * near-identical clips is proven on planted payloads in
+    * MediaDedupSpec. Pairwise work runs over distinct fingerprints
+    * only, via the same exact-recall 4×16 pigeonhole as [[mediaDedup]].
+    */
+  def mediaAudioDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    audioDedupFromGroups(audioHashGroups(spark, dir), maxHamming)
+
+  private val audioGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def audioHashGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(audioGroupCache, spark, dir)(
+      hashGroupsOf(spark, mediaBinaryTable(spark, dir).filter(_.media_type == "wav"),
+        audioFingerprint).persist())
+
+  /** Payload-injectable form (spec plants near-identical and far
+    * clips; unmemoized like [[mediaDedupFor]]). */
+  private[graft] def mediaAudioDedupFor(spark: SparkSession,
+      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    audioDedupFromGroups(hashGroupsOf(spark, media, audioFingerprint), maxHamming)
+
+  private def audioDedupFromGroups(g: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16 pigeonhole blocking is exact only for hamming <= 3")
+    val blocked = pigeonholeBlocked(g.select(col("rep"), col("phash")))
+    val dups = blocked.as("a").join(blocked.as("b"), Seq("blk", "bval"))
+      .filter(col("b.rep") < col("a.rep") &&
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= maxHamming)
+      .groupBy(col("a.rep").as("rep")).agg(min(col("b.rep")).as("dup_of"))
+    g.select(col("rep"), col("sz"),
+        lpad(bin(col("phash")), 64, "0").as("fp_bits"))
+      .join(dups, Seq("rep"), "left")
+      .select(col("rep"), col("sz"), col("fp_bits"), col("dup_of"))
+      .orderBy("rep")
+  }
+
+  /** Oracle for [[mediaAudioDedup]]: DuckDB recomputes every
+    * fingerprint bit from the closed-form PCM pattern (byte_i =
+    * i & 0x7F ⇒ sample_j = (2j mod 128) + ((2j+1) mod 128)·256 —
+    * exactly what synthWav wrote), frame-bins with the same integer
+    * map, groups classes by the 64-bit pattern, and derives dup_of
+    * from all-pairs Hamming over distinct fingerprints. Classes are
+    * keyed by doc_id % 40 (rate is doc_id % 8, duration doc_id % 20 —
+    * both divide 40), so the oracle is corpus-scale-free: ≤ 20 classes
+    * at every tier. All arithmetic is exact integers (energy products
+    * ≤ 8·10¹⁶ < 2⁶³, and DuckDB sums in HUGEINT anyway); fp_bits is
+    * rendered MSB-first to match Spark's lpad(bin(x), 64, '0').
+    */
+  val mediaAudioDedupSql: String =
+    """WITH cls AS (
+      |  SELECT doc_id % 40 AS c, min(doc_id) AS rep0, count(*) AS csz
+      |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+      |), geom AS (
+      |  SELECT c, rep0, csz,
+      |    CAST((100 + (c % 20) * 10) *
+      |         ((8000 + (c % 8) * 1000) * 2 * 2 // 1000) // 2 AS BIGINT) AS n
+      |  FROM cls
+      |), smp AS (
+      |  SELECT c, n, (j * 64) // n AS k,
+      |    CAST((2 * j) % 128 + ((2 * j + 1) % 128) * 256 AS BIGINT) AS v
+      |  FROM geom, unnest(range(0, n)) AS t(j)
+      |), frame AS (
+      |  SELECT c, k, sum(v * v) AS fs, count(*) AS fc FROM smp GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT c, sum(v * v) AS ts, count(*) AS tc FROM smp GROUP BY 1
+      |), bits AS (
+      |  SELECT f.c, f.k, CASE WHEN f.fs * t.tc > t.ts * f.fc THEN 1 ELSE 0 END AS bit
+      |  FROM frame f JOIN tot t USING (c)
+      |), hk AS (
+      |  SELECT c, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k DESC) AS fp
+      |  FROM bits GROUP BY c
+      |), grp AS (
+      |  SELECT fp, min(rep0) AS rep, CAST(sum(csz) AS BIGINT) AS sz
+      |  FROM hk JOIN geom USING (c) GROUP BY fp
+      |), repc AS (
+      |  SELECT fp, min(c) AS c FROM hk GROUP BY 1
+      |), rb AS (
+      |  SELECT r.fp, b.k, b.bit FROM repc r JOIN bits b ON b.c = r.c
+      |), ham AS (
+      |  SELECT a.fp AS fa, b.fp AS fb,
+      |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM rb a JOIN rb b ON a.k = b.k AND a.fp <> b.fp
+      |  GROUP BY 1, 2
+      |), dup AS (
+      |  SELECT ga.rep AS rep, CAST(min(gb.rep) AS BIGINT) AS dup_of
+      |  FROM ham JOIN grp ga ON ga.fp = fa JOIN grp gb ON gb.fp = fb
+      |  WHERE hamming <= 3 AND gb.rep < ga.rep
+      |  GROUP BY 1
+      |)
+      |SELECT g.rep, g.sz, g.fp AS fp_bits, d.dup_of
+      |FROM grp g LEFT JOIN dup d ON d.rep = g.rep
+      |ORDER BY g.rep""".stripMargin
 }
