@@ -691,11 +691,23 @@ object StreamingJobs {
     * continue session numbering instead of restarting at 1 (the
     * counter-only state kept across timeouts, CLAUDE.md rule). Driven
     * by RecoverySpec across two process lifetimes.
+    *
+    * `poisonUserId` injects a MID-BATCH crash for the recovery spec
+    * (lifetime #7): the group function throws AFTER updating that
+    * user's state within its task — the task's state-store commit is
+    * aborted while sibling partitions may have already committed their
+    * batch-N deltas, leaving the checkpoint's state versions TORN
+    * across partitions (the exact debris a mid-microbatch driver death
+    * leaves). The batch is uncommitted, so the restarted lifetime
+    * replays it from logged offsets; per-partition stores load version
+    * N−1 and overwrite the orphan deltas.
     */
   def startCheckpointedSessionize(
       spark: SparkSession, srcDir: String, glob: String,
-      checkpointDir: String, outDir: String): StreamingQuery = {
+      checkpointDir: String, outDir: String,
+      poisonUserId: Long = -1L): StreamingQuery = {
     import spark.implicits._
+    val fn = sessionizeFn(emitOpen = false) _
     eventsStream(spark, srcDir, glob)
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -703,7 +715,12 @@ object StreamingJobs {
       .as[SessEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        sessionizeFn(emitOpen = false))
+        (u: Long, it: Iterator[SessEvent], st: GroupState[SessState]) => {
+          val out = fn(u, it, st)
+          if (u == poisonUserId)
+            sys.error(s"injected mid-batch crash: user $u after state update")
+          out
+        })
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", outDir)
@@ -715,11 +732,20 @@ object StreamingJobs {
     * store, so a session extended by post-restart events must be
     * emitted once with its full pre+post event count when the
     * watermark finally closes it.
+    *
+    * `poisonStartUs` injects a MID-BATCH crash (recovery lifetime #7):
+    * the post-aggregation consumer throws when the watermark-closed
+    * session starting at that timestamp is EMITTED — inside the same
+    * task that would commit that partition's state-store delta, so the
+    * poisoned partition aborts while sibling partitions may already
+    * have committed batch N (torn state versions). The uncommitted
+    * batch replays on restart and overwrites the orphan deltas.
     */
   def startCheckpointedSessionWindow(
       spark: SparkSession, srcDir: String, glob: String,
-      checkpointDir: String, outDir: String): StreamingQuery = {
-    eventsStream(spark, srcDir, glob)
+      checkpointDir: String, outDir: String,
+      poisonStartUs: Long = -1L): StreamingQuery = {
+    val agg = eventsStream(spark, srcDir, glob)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
@@ -727,7 +753,13 @@ object StreamingJobs {
         round(sum(col("value")), 4).as("session_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("session_value"))
-      .writeStream.outputMode("append")
+    val out =
+      if (poisonStartUs < 0L) agg
+      else agg.filter((r: org.apache.spark.sql.Row) =>
+        if (r.getLong(1) == poisonStartUs)
+          sys.error(s"injected mid-batch crash: session @$poisonStartUs emitted")
+        else true)
+    out.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", outDir)
       .start()
@@ -785,20 +817,14 @@ object StreamingJobs {
       .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     def keepLatest(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    def committedVersions(): Seq[Long] = {
-      val base = new java.io.File(targetBase)
-      Option(base.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-          new java.io.File(f, "_GRAFT_COMMIT").isFile)
-        .map(_.getName.drop(1).toLong)
-    }
     eventsStream(spark, srcDir, glob)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("value"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val committed = committedVersions()
+        val (fs, base) = upsertFs(spark, targetBase)
+        val committed = committedVersionsOf(fs, base)
         // replay of an ALREADY-committed batch (crash after marker,
         // before Spark's own commit log): the target is already right
         if (!committed.contains(batchId)) {
@@ -811,14 +837,11 @@ object StreamingJobs {
           merged.write.mode("overwrite").parquet(s"$targetBase/v$batchId")
           if (batchId == failBeforeCommitOfBatch)
             sys.error(s"injected crash: batch $batchId written but not committed")
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(s"$targetBase/v$batchId/_GRAFT_COMMIT"))
+          fs.create(new org.apache.hadoop.fs.Path(
+            s"$targetBase/v$batchId/_GRAFT_COMMIT"), false).close()
           // GC fully superseded committed versions
           committed.filter(_ < batchId).foreach { v =>
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
-            rm(new java.io.File(s"$targetBase/v$v"))
+            fs.delete(new org.apache.hadoop.fs.Path(s"$targetBase/v$v"), true); ()
           }
         }
         ()
@@ -826,12 +849,31 @@ object StreamingJobs {
       .start()
   }
 
+  /** Version discovery for the checkpointed upsert goes through the
+    * Hadoop FileSystem resolved from the target's OWN scheme (r15
+    * advice #2): `java.io.File.listFiles` silently returns nothing
+    * for an `hdfs://`/`s3a://` target, which would make every batch
+    * look like the first and silently drop all previously committed
+    * keys. The FS resolve supports any scheme the cluster's Hadoop
+    * conf does, and THROWS on an unsupported one — loud, not lossy.
+    */
+  private def upsertFs(spark: SparkSession, targetBase: String) = {
+    val p = new org.apache.hadoop.fs.Path(targetBase)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def committedVersionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_GRAFT_COMMIT")))
+      .map(_.getPath.getName.drop(1).toLong)
+
   /** Latest committed keep-latest table of [[startCheckpointedUpsert]]. */
   def upsertTarget(spark: SparkSession, targetBase: String): DataFrame = {
-    val committed = Option(new java.io.File(targetBase).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        new java.io.File(f, "_GRAFT_COMMIT").isFile)
-      .map(_.getName.drop(1).toLong)
+    val (fs, base) = upsertFs(spark, targetBase)
+    val committed = committedVersionsOf(fs, base)
     require(committed.nonEmpty, s"no committed version under $targetBase")
     spark.read.parquet(s"$targetBase/v${committed.max}")
   }

@@ -223,6 +223,93 @@ class RecoverySpec extends AnyFunSuite {
       s"view estimate ${store.get("view")} != batch ${batch("view")}")
   }
 
+  test("mid-batch crash inside the stateful sessionizer: torn per-partition state deltas converge on replay") {
+    val (src, ckpt, out) = freshDirs("recovery_sess_kill")
+    def ev(id: Long, min: Long, user: Long) = Row(id, atMin(min), user, "click", 1.0, "{}")
+
+    // batch 0 commits cleanly (opens sessions for users 1 and 2).
+    // batch 1 carries user 1's gap-split (emits session 1), user 2's
+    // extension, and POISON user 3 — whose group function throws AFTER
+    // updating its state, aborting that partition's store commit while
+    // sibling partitions may already have committed their batch-1
+    // deltas: the checkpoint is left with TORN state versions and an
+    // uncommitted batch.
+    addChunk(src, 0, Seq(ev(1, 0, 1L), ev(2, 5, 1L), ev(3, 0, 2L)))
+    addChunk(src, 1, Seq(ev(4, 60, 1L), ev(5, 10, 2L), ev(6, 60, 3L)))
+    val q1 = StreamingJobs.startCheckpointedSessionize(
+      spark, src, "chunk*.parquet", ckpt, out, poisonUserId = 3L)
+    try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
+    assert(q1.exception.isDefined &&
+      q1.exception.get.getMessage.contains("injected mid-batch crash"),
+      s"lifetime 1 must die inside batch 1, got ${q1.exception}")
+
+    // lifetime 2, same checkpoint, no poison: batch 1 replays from its
+    // logged offsets — every partition's store reloads version 0 and
+    // overwrites the orphan batch-1 deltas. chunk 2 then gap-splits
+    // users 2 and 3 and closes user 1's second session via timeout
+    // horizon (@260 pushes the watermark past @90).
+    addChunk(src, 2, Seq(ev(7, 260, 1L), ev(8, 260, 2L), ev(9, 260, 3L)))
+    val q2 = StreamingJobs.startCheckpointedSessionize(
+      spark, src, "chunk*.parquet", ckpt, out)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.exception.isEmpty, s"lifetime 2 failed: ${q2.exception}")
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_id", "n_events", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly-once: the session emitted by the torn batch appears once
+    assert(got.map(x => (x._1, x._2)).distinct.length == got.length,
+      s"duplicate (user, session) after mid-batch replay: ${got.mkString(", ")}")
+    // the converged CLOSED-session set (open @260 sessions still in
+    // state): user 1 = {@0,@5} then {@60}; user 2 = {@0,@10}; user 3 = {@60}
+    assert(got.toSet == Set(
+      (1L, 1L, 2L, atMin(0) / 1000L),
+      (1L, 2L, 1L, atMin(60) / 1000L),
+      (2L, 1L, 2L, atMin(0) / 1000L),
+      (3L, 1L, 1L, atMin(60) / 1000L)),
+      s"emitted session set diverged after the torn-state replay: ${got.mkString(", ")}")
+  }
+
+  test("mid-batch crash at session-window emission: torn state deltas converge on replay") {
+    val (src, ckpt, out) = freshDirs("recovery_sesswin_kill")
+    def ev(id: Long, min: Long, user: Long) = Row(id, atMin(min), user, "click", 1.0, "{}")
+
+    // batch 0: session A (user 1 @0,@10) + user 2 @0 — commits, emits
+    // nothing (watermark hasn't closed anything). Batch 1: @120 events
+    // push the watermark to 90min, CLOSING session A — and the poison
+    // fires exactly when A's row is emitted, inside the task that
+    // would commit that partition's state delta.
+    addChunk(src, 0, Seq(ev(1, 0, 1L), ev(2, 10, 1L), ev(3, 0, 2L)))
+    addChunk(src, 1, Seq(ev(4, 120, 1L), ev(5, 120, 2L)))
+    val q1 = StreamingJobs.startCheckpointedSessionWindow(
+      spark, src, "chunk*.parquet", ckpt, out, poisonStartUs = atMin(0) / 1000L)
+    try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
+    assert(q1.exception.isDefined &&
+      q1.exception.get.getMessage.contains("injected mid-batch crash"),
+      s"lifetime 1 must die emitting session A, got ${q1.exception}")
+
+    // lifetime 2, no poison: batch 1 replays (A emitted once), then
+    // chunk 2 closes the @120 sessions.
+    addChunk(src, 2, Seq(ev(6, 300, 1L)))
+    val q2 = StreamingJobs.startCheckpointedSessionWindow(
+      spark, src, "chunk*.parquet", ckpt, out)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(q2.exception.isEmpty, s"lifetime 2 failed: ${q2.exception}")
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "start_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.distinct.length == got.length,
+      s"duplicate session rows after mid-batch replay: ${got.mkString(", ")}")
+    // converged closed set: user1 {@0,@10} and {@120}; user2 {@0} and {@120}
+    assert(got.toSet == Set(
+      (1L, atMin(0) / 1000L, 2L),
+      (1L, atMin(120) / 1000L, 1L),
+      (2L, atMin(0) / 1000L, 1L),
+      (2L, atMin(120) / 1000L, 1L)),
+      s"session-window set diverged after the torn-state replay: ${got.mkString(", ")}")
+  }
+
   test("mid-batch crash inside the foreachBatch MERGE: the torn uncommitted version is replayed idempotently") {
     val (src, ckpt, _) = freshDirs("recovery_upsert")
     val target = java.nio.file.Files
@@ -276,5 +363,15 @@ class RecoverySpec extends AnyFunSuite {
     val dirs = Option(new java.io.File(target).listFiles()).toSeq.flatten
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs == Seq("v2"), s"superseded versions must be GC'd, got $dirs")
+  }
+
+  test("upsert target on an unsupported filesystem scheme fails loudly, not lossily") {
+    // java.io.File.listFiles would silently return nothing for a
+    // remote URI and re-merge from scratch (r15 advice); the Hadoop
+    // FS resolve must throw instead
+    val e = intercept[Exception](
+      StreamingJobs.upsertTarget(spark, "nosuchscheme://bucket/upsert"))
+    assert(e.getMessage.toLowerCase.contains("nosuchscheme"),
+      s"expected an unsupported-scheme error, got: ${e.getMessage}")
   }
 }
