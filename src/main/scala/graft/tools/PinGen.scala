@@ -93,7 +93,28 @@ object PinGen {
     // for float arrays and codes), so the output pins identically
     "ann_index_persist")
 
+  /** Fail-fast scaled-tier prerequisite (round 16, r15 verdict #7): a
+    * wiped /tmp silently shrinks future pin coverage, and the old
+    * post-capture check only fired AFTER the hour-long capture pass.
+    * Write mode aborts up front with the exact rebuild command.
+    */
+  def requireTierCorpora(): Unit = {
+    require(tiers.exists(_._1 == 4) || sys.env.get("GRAFT_PIN_NO_SFX1").contains("1"),
+      s"$Sfx1Dir missing — a /tmp wipe silently retires tier-4 pin coverage. Rebuild it:\n" +
+        "  sbt -batch \"runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sfx1 10\"\n" +
+        "(ScaleUp is map-only deterministic over sf0.1, so the rebuild reproduces the " +
+        "pinned content exactly; or set GRAFT_PIN_NO_SFX1=1 to knowingly write a tsv " +
+        "without tier-4 pins)")
+    require(tiers.exists(_._1 == 5) || sys.env.get("GRAFT_PIN_NO_SFX10").contains("1"),
+      s"$Sfx10Dir missing — a /tmp wipe silently retires tier-5 pin coverage. Rebuild it:\n" +
+        "  sbt -batch \"runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sfx10 100\"\n" +
+        "(deterministic rebuild, ~20 min; or set GRAFT_PIN_NO_SFX10=1 to knowingly " +
+        "write a tsv without tier-5 pins)")
+  }
+
   def main(args: Array[String]): Unit = {
+    // abort a doomed WRITE before the capture pass, not after it
+    if (!args.headOption.forall(_ == "--dump")) requireTierCorpora()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,14 +175,8 @@ object PinGen {
           }
         }
       case Some(out) =>
-        // A tsv written without a scaled tier would silently retire
-        // that tier's pin coverage — refuse unless told explicitly.
-        require(tiers.exists(_._1 == 4) || sys.env.get("GRAFT_PIN_NO_SFX1").contains("1"),
-          s"$Sfx1Dir missing: rebuild it with graft.tools.ScaleUp (or set " +
-            "GRAFT_PIN_NO_SFX1=1 to knowingly write a tsv without tier-4 pins)")
-        require(tiers.exists(_._1 == 5) || sys.env.get("GRAFT_PIN_NO_SFX10").contains("1"),
-          s"$Sfx10Dir missing: rebuild it with graft.tools.ScaleUp ... 100 (or set " +
-            "GRAFT_PIN_NO_SFX10=1 to knowingly write a tsv without tier-5 pins)")
+        // belt-and-braces re-check (the fail-fast ran before capture)
+        requireTierCorpora()
         // resource format parsed by PinnedOracleData (see its docs)
         val sb = new StringBuilder
         captured.foreach { case (name, cols, rows) =>

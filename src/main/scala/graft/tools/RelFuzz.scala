@@ -266,7 +266,16 @@ object RelFuzz {
       // the q16 boundary suppliers trade an ELIGIBLE part so the
       // 1500.00-vs-1499.99 acctbal cut is visible in a counted group
       (1511L, eligPart, 200L, 3, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-02 00:00:00")),
-      (1511L, eligPart, 201L, 4, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-03 00:00:00"))
+      (1511L, eligPart, 201L, 4, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1997-06-03 00:00:00")),
+      // 1512 (round 16): a PRICELESS returnflag group — every "Z" line
+      // has extendedprice <= 0 (a failed-feed shape), so approx_stats'
+      // log-bucket quantile relation is EMPTY for Z and only the
+      // left-join branch keeps the group in the profile (NULL p50/p95,
+      // distinct-order estimate intact). Whole numbers keep every
+      // rounded revenue sum off half-cent boundaries.
+      (1512L, 41L, 1L, 1, 2.0, 0.0,    0.0, 0.0, "Z", "F", ts("1996-08-01 00:00:00")),
+      (1512L, 42L, 2L, 2, 2.0, -100.0, 0.0, 0.0, "Z", "F", ts("1996-08-02 00:00:00")),
+      (1513L, 43L, 3L, 1, 3.0, 0.0,    0.0, 0.0, "Z", "F", ts("1996-08-03 00:00:00"))
     ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
       .withColumn("l_linenumber", col("l_linenumber").cast("int"))
@@ -290,7 +299,7 @@ object RelFuzz {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     System.err.println(s"[relfuzz] wrote boundary corpus to $out " +
-      s"(+${planted.size} events, +3 customers, +2 suppliers, +12 orders, +34 lineitems)")
+      s"(+${planted.size} events, +3 customers, +2 suppliers, +12 orders, +37 lineitems incl. the priceless Z returnflag group)")
     spark.stop()
   }
 }

@@ -100,6 +100,35 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_stats keeps a priceless returnflag group with NULL quantiles (left-join branch)") {
+    // a returnflag whose every price is <= 0 (failed-feed shape): the
+    // log-bucket quantile relation is EMPTY for it, and only the
+    // round-15 left join keeps the group in the profile. Mirrored by
+    // the relfuzz "Z" plant (round 16); this is the deterministic gate
+    // on the NULL-quantile output path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_priceless").toString
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val s = base.schema
+    val plants = base.limit(3).collect().zipWithIndex.map { case (r, i) =>
+      val vals = r.toSeq.toArray
+      vals(s.fieldIndex("l_returnflag")) = "Z"
+      vals(s.fieldIndex("l_extendedprice")) = if (i == 1) -100.0 else 0.0
+      vals(s.fieldIndex("l_orderkey")) = 900000L + i
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+    }
+    base.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(plants.toIndexedSeq, 1), s))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = RelationalExtras.approxStats(spark, dir).collect()
+    val z = out.filter(_.getString(0) == "Z")
+    assert(z.length == 1, s"priceless group vanished from the profile: ${out.mkString(", ")}")
+    assert(z(0).getLong(1) == 3L, s"distinct-order estimate must survive: ${z(0)}")
+    assert(z(0).isNullAt(2) && z(0).isNullAt(3),
+      s"priceless group must report NULL quantiles, got ${z(0)}")
+    assert(out.filter(_.getString(0) != "Z").forall(r => !r.isNullAt(2) && !r.isNullAt(3)),
+      "priced groups must keep their quantiles")
+  }
+
   test("streaming dedup (keep-earliest) equals batch groupBy-min") {
     val streamed = StreamingJobs.streamDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
