@@ -902,7 +902,7 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
     val L = minLen
     val g = allTextGroups(spark, dir)
-    val dupSites = dupWindowSites(g, L).select("rep", "p")
+    val dupSites = dupWindowSites(g, L, withCanon = false).select("rep", "p")
     val spans = islandSpans(dupSites, L)
     spans.join(g.select(col("rep"), col("ids")), "rep")
       .select(explode(col("ids")).as("doc_id"),
@@ -935,29 +935,43 @@ object Dedup {
     * COMPLETE check — any 128-bit collision between distinct windows
     * trips raise_error instead of fabricating a duplicate
     * (p ≈ n²/2¹²⁹ — never, but checked).
+    *
+    * `withCanon` adds each window's canonical site (crep, cp) =
+    * min (rep, p) — only the apply path needs it.
+    *
+    * Aggregation shape matters here: the duplicate test runs over the
+    * CORPUS-POSITION relation, and a string (or struct) aggregation
+    * buffer demotes HashAggregate to SortAggregate — a per-partition
+    * sort of every window position (caught by the plan-fingerprint
+    * diff on the round-16 rewrite). So the big agg carries a LONG
+    * count only, and the collision check + canonical site are computed
+    * as window functions over the DUPLICATED sites — which is still a
+    * COMPLETE collision check: a 128-bit collision needs ≥ 2 sites, so
+    * every colliding group has nw ≥ 2 and lands in the checked set.
     */
-  private def dupWindowSites(g: DataFrame, L: Int): DataFrame = {
+  private def dupWindowSites(g: DataFrame, L: Int, withCanon: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sites = g.select(col("rep"),
         posexplode(_root_.graft.functions.charWindows(col("text"), L)).as(Seq("pidx", "win")))
       .select(col("rep"), (col("pidx") + lit(1)).as("p"),
         xxhash64(col("win")).as("wk1"), xxhash64(lit(42L), col("win")).as("wk2"),
         col("win"))
-    val dup = sites.groupBy("wk1", "wk2")
-      .agg(count(lit(1)).as("nw"),
-        min(struct(col("rep"), col("p"))).as("canon"),
-        min(col("win")).as("wmin"), max(col("win")).as("wmax"))
-      .filter(col("nw") >= 2)
-      .select(
-        // collision check rides the JOIN KEY so column pruning can
-        // never drop it (a pruned standalone check column would be
-        // optimized away before evaluation)
-        when(col("wmin") === col("wmax"), col("wk1"))
-          .otherwise(raise_error(lit("dedupSubstring: 128-bit window digest collision"))
-            .cast("long")).as("wk1"),
-        col("wk2"), col("canon.rep").as("crep"), col("canon.p").as("cp"))
-    sites.select("rep", "p", "wk1", "wk2")
-      .join(dup, Seq("wk1", "wk2"))
-      .select("rep", "p", "crep", "cp")
+    val dupKeys = sites.groupBy("wk1", "wk2").agg(count(lit(1)).as("nw"))
+      .filter(col("nw") >= 2).select("wk1", "wk2")
+    val dupSites = sites.join(dupKeys, Seq("wk1", "wk2"))
+    val w = Window.partitionBy("wk1", "wk2")
+    // the check rides the OUTPUT position column so column pruning can
+    // never drop it (a standalone check column would be optimized away
+    // before evaluation)
+    val checkedP =
+      when(min(col("win")).over(w) === max(col("win")).over(w), col("p"))
+        .otherwise(raise_error(lit("dedupSubstring: 128-bit window digest collision"))
+          .cast("int")).as("p")
+    if (withCanon) {
+      val canon = min(struct(col("rep"), col("p"))).over(w)
+      dupSites.select(col("rep"), checkedP,
+        canon.getField("rep").as("crep"), canon.getField("p").as("cp"))
+    } else dupSites.select(col("rep"), checkedP)
   }
 
   /** Gaps-and-islands merge of duplicated window starts into maximal
@@ -1061,7 +1075,7 @@ object Dedup {
   def dedupSubstringApply(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
     val L = minLen
     val g = allTextGroups(spark, dir)
-    val cutSites = dupWindowSites(g, L)
+    val cutSites = dupWindowSites(g, L, withCanon = true)
       .filter(!(col("rep") === col("crep") && col("p") === col("cp")))
       .select("rep", "p")
     // islands first: collecting merged SPANS per doc is O(spans) per

@@ -694,9 +694,13 @@ object Multimodal {
       .filter(col("b.rep") < col("a.rep") &&
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= maxHamming)
       .groupBy(col("a.rep").as("rep")).agg(min(col("b.rep")).as("dup_of"))
+    // dups is bounded by the contracted group count (one row per
+    // dup-partnered fingerprint), but the planner sizes it from the
+    // corpus-wide decode beneath — hint it (CLAUDE.md r13 rule; the
+    // unhinted plan chose SMJ for an 18-row relation)
     g.select(col("rep"), col("sz"),
         lpad(bin(col("phash")), 64, "0").as("fp_bits"))
-      .join(dups, Seq("rep"), "left")
+      .join(broadcast(dups), Seq("rep"), "left")
       .select(col("rep"), col("sz"), col("fp_bits"), col("dup_of"))
       .orderBy("rep")
   }
