@@ -178,9 +178,12 @@ object Relational {
     // concentrates ~63% of lineitem on one hot part, making this a
     // corpus-magnitude sum — round(sum(double), 4) flipped under
     // exchange reordering there (skew layout gate, round 14). The
-    // scale-4 product sum is exact and associative; unscaled stays
-    // inside 2^53 at any realistic per-part mass, so the one
-    // decimal→double cast is a single rounding on both engines.
+    // scale-4 product sum is exact and associative — but the FINAL
+    // cast must re-round to scale 2 first: the hot part's revenue at
+    // skew×100 is 2.09e12, whose scale-4 unscaled value (2.09e16)
+    // blows the 2^53 single-rounding bound and the engines disagreed
+    // in the last ulp (round-16 skew×100 oracle gate — the exact
+    // refinement the round-15 rules predicted).
     // CONTRACT (round-15 advice): the decimal(3,2) cast on l_discount
     // assumes the generator's 2-decimal discount domain. A 3-decimal
     // value near a half (0.015) would round differently cross-engine
@@ -192,7 +195,7 @@ object Relational {
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(BigDecimal(1)).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-        .cast("decimal(38,4)").cast("double").as("revenue"))
+        .cast("decimal(38,2)").cast("double").as("revenue"))
     val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
@@ -210,7 +213,7 @@ object Relational {
       |    -- (DuckDB decimal CAST truncates — CLAUDE.md)
       |    SELECT p_brand, p_partkey, p_name,
       |      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS revenue
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
       |    FROM lineitem JOIN part ON l_partkey = p_partkey
       |    GROUP BY p_brand, p_partkey, p_name
       |  )
@@ -238,7 +241,13 @@ object Relational {
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
-        round(sum(col("value")), 4).as("session_value"))
+        // the hot user's session is a CORPUS-magnitude sum at the skew
+        // tiers (3e9 at skew x100) - round(sum(double), 4) flipped
+        // cross-engine there (round-16 skew x100 oracle gate). The
+        // value domain is 2-decimal (generator + relfuzz plants), so
+        // the DECIMAL(18,4) sum is exact and the one double cast is
+        // single-rounding at any tier (unscaled <= 5e13 << 2^53).
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -261,7 +270,7 @@ object Relational {
       |  count(*) AS n_events,
       |  min(ts_us) AS start_us,
       |  max(ts_us) AS end_us,
-      |  round(sum(value), 4) AS session_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
@@ -282,7 +291,8 @@ object Relational {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"))
+        // same hot-session magnitude class as sessionize (decimal rule)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
       .select(col("user_id"),
         unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("session_value"))
@@ -306,7 +316,7 @@ object Relational {
       |SELECT user_id,
       |  min(ts_us) AS start_us,
       |  count(*) AS n_events,
-      |  round(sum(value), 4) AS session_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, start_us""".stripMargin

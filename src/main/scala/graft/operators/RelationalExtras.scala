@@ -680,7 +680,9 @@ object RelationalExtras {
       .agg(
         count(lit(1)).as("n_purchases"),
         countDistinct(col("user_id"), col("session_id")).as("n_sessions"),
-        round(sum(col("value")), 4).as("purchase_value"))
+        // per-channel purchase totals are corpus-magnitude at the
+        // skew tiers (decimal rule, r16 — 2-decimal value domain)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("purchase_value"))
       .orderBy("first_touch")
   }
 
@@ -705,7 +707,7 @@ object RelationalExtras {
       |SELECT first_touch,
       |  count(*) AS n_purchases,
       |  CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions,
-      |  round(sum(value), 4) AS purchase_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
       |FROM touched WHERE event_type = 'purchase'
       |GROUP BY first_touch ORDER BY first_touch""".stripMargin
 

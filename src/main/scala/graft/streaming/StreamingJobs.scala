@@ -81,7 +81,10 @@ object StreamingJobs {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        // 2-decimal value domain => exact decimal sum; a hot window at
+        // the skew tiers is corpus-magnitude (CLAUDE.md decimal rule,
+        // applied across the whole value-sum family in round 16)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
   /** Production-shape run of the windowed aggregate: UPDATE output
     * mode over a chunked directory, one file per trigger. Returns the
@@ -215,8 +218,17 @@ object StreamingJobs {
       val defined = s.flatMap(_.value)
       SessOut(userId, baseId + i, s.length.toLong,
         s.head.ts_us, s.last.ts_us,
-        // SQL-sum semantics: NULLs are skipped; an all-NULL session is NULL
-        if (defined.isEmpty) None else Some(math.rint(defined.sum * 1e4) / 1e4))
+        // SQL-sum semantics: NULLs are skipped; an all-NULL session is
+        // NULL. Exact-decimal accumulation (CLAUDE.md rule, r16): the
+        // hot user's session is a corpus-magnitude sum at the skew
+        // tiers, where the rounded double fold flipped cross-engine —
+        // per-value setScale(4) mirrors the oracle's DECIMAL(18,4)
+        // cast, the BigDecimal sum is exact, and doubleValue is the
+        // one correctly-rounded conversion.
+        if (defined.isEmpty) None
+        else Some(defined.map(java.math.BigDecimal.valueOf(_)
+            .setScale(4, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue))
     }
   }
 
@@ -262,7 +274,7 @@ object StreamingJobs {
       |  epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS window_start_us,
       |  event_type,
       |  count(*) AS n_events,
-      |  round(sum(value), 4) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY window_start_us, event_type
       |ORDER BY window_start_us, event_type""".stripMargin
@@ -622,7 +634,8 @@ object StreamingJobs {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"))
+        // hot-user sessions are corpus-magnitude (decimal rule, r16)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("session_value"))
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
@@ -750,7 +763,8 @@ object StreamingJobs {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("session_value"))
+        // hot-user sessions are corpus-magnitude (decimal rule, r16)
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("session_value"))
     val out =
