@@ -120,4 +120,19 @@ class MediaFuzzSpec extends AnyFunSuite {
       spark.createDataset(Seq(MediaRow(1L, "wav", empty)))).collect()
     assert(out.isEmpty)
   }
+
+  test("audio dedup fingerprints reject every hostile wav and the empty data chunk") {
+    import spark.implicits._
+    val rows = hostileWavs.zipWithIndex.map { case ((_, p), i) => MediaRow(300L + i, "wav", p) } ++
+      Seq(MediaRow(400L, "wav", lyingWav(1, 8000, 16000, 16, dataLen = 0)),
+        MediaRow(997L, "wav", RiffCodec.synthWav(8000, 1, 100)),
+        MediaRow(996L, "wav", RiffCodec.synthWav(8000, 1, 100)))
+    val out = Multimodal.mediaAudioDedupFor(spark, spark.createDataset(rows)).collect()
+    // only the two (identical) real clips survive: one group, rep =
+    // min doc_id, sz 2, no dup partner — hostile geometry and the
+    // zero-sample chunk contribute no fingerprint at all
+    assert(out.length == 1 && out(0).getLong(0) == 996L && out(0).getLong(1) == 2L &&
+      out(0).isNullAt(3),
+      s"hostile wavs leaked into the fingerprint relation: ${out.mkString(", ")}")
+  }
 }
