@@ -929,12 +929,22 @@ object Dedup {
     * L-char window string — the sites relation is CORPUS-POSITION
     * sized (one row per char position), so shipping a 40–160-byte
     * string key per row dominated the shuffle; 16 digest bytes cut it
-    * ~5-10×. Collision safety is the textGroups pattern verbatim: the
-    * window travels once per (partition, distinct window) as min/max
-    * agg buffers, and min = max within every digest group is a
-    * COMPLETE check — any 128-bit collision between distinct windows
-    * trips raise_error instead of fabricating a duplicate
-    * (p ≈ n²/2¹²⁹ — never, but checked).
+    * ~5-10× ON THE DUPLICATE-TEST AGGREGATION, whose input is every
+    * window position. (The collision-check exchange below still ships
+    * the win string once per DUPLICATED site — on a boilerplate-heavy
+    * corpus where most positions are duplicated, that second exchange
+    * approaches corpus-position size again; the saving there is only
+    * the dup fraction. r16 advice: comment corrected, formulation
+    * deliberate — see below.) Collision safety: min = max of the
+    * window string within every digest group is a COMPLETE check —
+    * any 128-bit collision between distinct windows trips raise_error
+    * instead of fabricating a duplicate (p ≈ n²/2¹²⁹ — never, but
+    * checked). Unlike textGroups, the min/max here are WINDOW
+    * functions over the duplicated sites, NOT agg buffers: a string
+    * min/max buffer would demote the corpus-position HashAggregate to
+    * SortAggregate (the CLAUDE.md round-16 rule), so the big agg
+    * carries a LONG count only and the string compare rides the
+    * (usually much smaller) duplicated-site set.
     *
     * `withCanon` adds each window's canonical site (crep, cp) =
     * min (rep, p) — only the apply path needs it.

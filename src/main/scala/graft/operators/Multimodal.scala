@@ -170,10 +170,15 @@ object Multimodal {
   // synthesize → real-bytes → parse round trip.
   // -------------------------------------------------------------------
 
+  /** `data_len` is the VALIDATED data-chunk byte length (wav only; 0
+    * otherwise) — downstream sample loops consume this field, never a
+    * re-read of the raw header (round-17 advice: a re-read is only as
+    * safe as the caller remembering which checks parse ran).
+    */
   final case class MediaParsed(
       doc_id: Long, kind: String, width: Int, height: Int,
       sample_rate: Int, channels: Int, bits: Int,
-      duration_ms: Long, n_bytes: Int)
+      duration_ms: Long, n_bytes: Int, data_len: Int = 0)
 
   object RiffCodec {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -257,18 +262,31 @@ object Multimodal {
         else MediaParsed(docId, "bmp", width, height, 0, 0, bpp, 0L, payload.length)
       } else if (payload.length >= 44 &&
         payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+        // Chunk-layout validation (round-17 advice): the numeric checks
+        // below only mean "this is the data chunk's length" if the
+        // canonical RIFF/WAVE layout actually holds — 'WAVE' form at 8,
+        // a 16-byte PCM 'fmt ' chunk at 12, and the 'data' tag at 36.
+        // A RIFF with any other chunk order would otherwise have
+        // arbitrary bytes at offset 40 read as a length that happens to
+        // pass the bounds check, and the sample loop would fingerprint
+        // the wrong bytes silently (in-bounds, but not PCM data).
+        def tag(off: Int, s: String): Boolean =
+          s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+        val layoutOk = tag(8, "WAVE") && tag(12, "fmt ") &&
+          b.getInt(16) == 16 && b.getShort(20) == 1 && tag(36, "data")
         val channels = b.getShort(22).toInt
         val rate = b.getInt(24)
         val byteRate = b.getInt(28)
         val bits = b.getShort(34).toInt
         val dataLen = b.getInt(40)
-        val pcmOk = channels > 0 && rate > 0 && bits == 16 &&
+        val pcmOk = layoutOk && channels > 0 && rate > 0 && bits == 16 &&
           byteRate.toLong == rate.toLong * channels * 2L &&
           dataLen >= 0 && 44L + dataLen <= payload.length
         if (!pcmOk) unknown
         else {
           val durMs = dataLen.toLong * 1000L / byteRate
-          MediaParsed(docId, "wav", 0, 0, rate, channels, bits, durMs, payload.length)
+          MediaParsed(docId, "wav", 0, 0, rate, channels, bits, durMs, payload.length,
+            data_len = dataLen)
         }
       } else unknown
     }
@@ -307,6 +325,10 @@ object Multimodal {
       .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.map(r =>
         RiffCodec.parse(r.doc_id, r.payload))))
       .toDF()
+      // data_len is an internal validated field, not part of the
+      // published parse relation (schema predates it)
+      .select("doc_id", "kind", "width", "height", "sample_rate",
+        "channels", "bits", "duration_ms", "n_bytes")
       .orderBy("doc_id")
   }
 
@@ -338,9 +360,10 @@ object Multimodal {
       .mapPartitions(_.grouped(CodecBatchSize).flatMap(_.flatMap { r =>
         val p = RiffCodec.parse(r.doc_id, r.payload)
         val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
-        // parse validated 44 + dataLen <= length; an empty (but valid)
-        // data chunk has no samples to report — no row, not NaN stats
-        val n = if (p.kind != "wav") 0 else b.getInt(40) / 2
+        // p.data_len is the VALIDATED chunk length (44 + data_len <=
+        // payload, canonical chunk layout verified); an empty (but
+        // valid) data chunk has no samples to report — no row, not NaN
+        val n = if (p.kind != "wav") 0 else p.data_len / 2
         if (n == 0) None
         else {
           var i = 0
@@ -632,7 +655,7 @@ object Multimodal {
     if (p.kind != "wav") None
     else {
       val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-      val n = b.getInt(40) / 2
+      val n = p.data_len / 2
       if (n == 0) None
       else {
         val fs = new Array[Long](64)

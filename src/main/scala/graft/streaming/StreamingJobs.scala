@@ -705,9 +705,19 @@ object StreamingJobs {
     * counter-only state kept across timeouts, CLAUDE.md rule). Driven
     * by RecoverySpec across two process lifetimes.
     *
-    * `poisonUserId` injects a MID-BATCH crash for the recovery spec
-    * (lifetime #7): the group function throws AFTER updating that
-    * user's state within its task — the task's state-store commit is
+    * Fault injection lives ONLY in the `private[streaming]`
+    * `...Poisoned` test variant (round-17 advice: the public signature
+    * must carry no crash injection a live caller could trip).
+    */
+  def startCheckpointedSessionize(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery =
+    checkpointedSessionize(spark, srcDir, glob, checkpointDir, outDir,
+      sessionizeFn(emitOpen = false) _)
+
+  /** Test-only variant (RecoverySpec lifetime #7): injects a MID-BATCH
+    * crash — the group function throws AFTER updating `poisonUserId`'s
+    * state within its task, so the task's state-store commit is
     * aborted while sibling partitions may have already committed their
     * batch-N deltas, leaving the checkpoint's state versions TORN
     * across partitions (the exact debris a mid-microbatch driver death
@@ -715,25 +725,33 @@ object StreamingJobs {
     * replays it from logged offsets; per-partition stores load version
     * N−1 and overwrite the orphan deltas.
     */
-  def startCheckpointedSessionize(
+  private[streaming] def startCheckpointedSessionizePoisoned(
       spark: SparkSession, srcDir: String, glob: String,
       checkpointDir: String, outDir: String,
-      poisonUserId: Long = -1L): StreamingQuery = {
-    import spark.implicits._
+      poisonUserId: Long): StreamingQuery = {
     val fn = sessionizeFn(emitOpen = false) _
+    checkpointedSessionize(spark, srcDir, glob, checkpointDir, outDir,
+      (u: Long, it: Iterator[SessEvent], st: GroupState[SessState]) => {
+        val out = fn(u, it, st)
+        if (u == poisonUserId)
+          sys.error(s"injected mid-batch crash: user $u after state update")
+        out
+      })
+  }
+
+  private def checkpointedSessionize(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String,
+      fn: (Long, Iterator[SessEvent], GroupState[SessState]) => Iterator[SessOut])
+      : StreamingQuery = {
+    import spark.implicits._
     eventsStream(spark, srcDir, glob)
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"), col("ts"))
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (u: Long, it: Iterator[SessEvent], st: GroupState[SessState]) => {
-          val out = fn(u, it, st)
-          if (u == poisonUserId)
-            sys.error(s"injected mid-batch crash: user $u after state update")
-          out
-        })
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", outDir)
@@ -746,18 +764,37 @@ object StreamingJobs {
     * emitted once with its full pre+post event count when the
     * watermark finally closes it.
     *
-    * `poisonStartUs` injects a MID-BATCH crash (recovery lifetime #7):
-    * the post-aggregation consumer throws when the watermark-closed
-    * session starting at that timestamp is EMITTED — inside the same
-    * task that would commit that partition's state-store delta, so the
-    * poisoned partition aborts while sibling partitions may already
-    * have committed batch N (torn state versions). The uncommitted
-    * batch replays on restart and overwrites the orphan deltas.
+    * Fault injection lives ONLY in the `private[streaming]`
+    * `...Poisoned` test variant (round-17 advice).
     */
   def startCheckpointedSessionWindow(
       spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String): StreamingQuery =
+    checkpointedSessionWindow(spark, srcDir, glob, checkpointDir, outDir, identity)
+
+  /** Test-only variant (RecoverySpec lifetime #7): injects a MID-BATCH
+    * crash — the post-aggregation consumer throws when the
+    * watermark-closed session starting at `poisonStartUs` is EMITTED,
+    * inside the same task that would commit that partition's
+    * state-store delta, so the poisoned partition aborts while sibling
+    * partitions may already have committed batch N (torn state
+    * versions). The uncommitted batch replays on restart and
+    * overwrites the orphan deltas.
+    */
+  private[streaming] def startCheckpointedSessionWindowPoisoned(
+      spark: SparkSession, srcDir: String, glob: String,
       checkpointDir: String, outDir: String,
-      poisonStartUs: Long = -1L): StreamingQuery = {
+      poisonStartUs: Long): StreamingQuery =
+    checkpointedSessionWindow(spark, srcDir, glob, checkpointDir, outDir,
+      _.filter((r: org.apache.spark.sql.Row) =>
+        if (r.getLong(1) == poisonStartUs)
+          sys.error(s"injected mid-batch crash: session @$poisonStartUs emitted")
+        else true))
+
+  private def checkpointedSessionWindow(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, outDir: String,
+      decorate: DataFrame => DataFrame): StreamingQuery = {
     val agg = eventsStream(spark, srcDir, glob)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -767,13 +804,7 @@ object StreamingJobs {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
         col("n_events"), col("session_value"))
-    val out =
-      if (poisonStartUs < 0L) agg
-      else agg.filter((r: org.apache.spark.sql.Row) =>
-        if (r.getLong(1) == poisonStartUs)
-          sys.error(s"injected mid-batch crash: session @$poisonStartUs emitted")
-        else true)
-    out.writeStream.outputMode("append")
+    decorate(agg).writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", outDir)
       .start()
@@ -825,8 +856,26 @@ object StreamingJobs {
     */
   def startCheckpointedUpsert(
       spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, targetBase: String): StreamingQuery =
+    checkpointedUpsert(spark, srcDir, glob, checkpointDir, targetBase,
+      failBeforeCommitOfBatch = -1L)
+
+  /** Test-only variant (RecoverySpec): throws AFTER writing
+    * `v<batchId>` and BEFORE the commit marker — the exact torn-state
+    * window a real driver crash hits. Kept out of the public signature
+    * (round-17 advice: no crash injection on production entry points).
+    */
+  private[streaming] def startCheckpointedUpsertFailing(
+      spark: SparkSession, srcDir: String, glob: String,
       checkpointDir: String, targetBase: String,
-      failBeforeCommitOfBatch: Long = -1L): StreamingQuery = {
+      failBeforeCommitOfBatch: Long): StreamingQuery =
+    checkpointedUpsert(spark, srcDir, glob, checkpointDir, targetBase,
+      failBeforeCommitOfBatch)
+
+  private def checkpointedUpsert(
+      spark: SparkSession, srcDir: String, glob: String,
+      checkpointDir: String, targetBase: String,
+      failBeforeCommitOfBatch: Long): StreamingQuery = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
     def keepLatest(df: DataFrame): DataFrame =

@@ -64,8 +64,24 @@ class MediaFuzzSpec extends AnyFunSuite {
     "bpp 1"            -> lyingBmp(16, 9, 1),
     "bpp 32"           -> lyingBmp(16, 9, 32))
 
+  /** A RIFF whose chunk layout is NOT the canonical WAVE/fmt/data
+    * order but whose numeric fields at the canonical offsets all pass
+    * the consistency checks — the round-17 advice scenario: without
+    * tag validation this would be "parsed" with offset-40 bytes of a
+    * LIST chunk read as the data length (in-bounds, silently wrong).
+    */
+  private def nonCanonicalRiff(chunkTag: String): Array[Byte] = {
+    val canonical = lyingWav(1, 8000, 16000, 16, dataLen = 32)
+    val b = java.nio.ByteBuffer.wrap(canonical).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.position(36)
+    b.put(chunkTag.getBytes.take(4))
+    canonical
+  }
+
   private val hostileWavs: Seq[(String, Array[Byte])] = Seq(
     "dataLen > payload"  -> lyingWav(1, 8000, 16000, 16, Int.MaxValue - 50),
+    "LIST chunk at 36"   -> nonCanonicalRiff("LIST"),
+    "JUNK chunk at 36"   -> nonCanonicalRiff("JUNK"),
     "dataLen just past"  -> lyingWav(1, 8000, 16000, 16, 65),
     "negative dataLen"   -> lyingWav(1, 8000, 16000, 16, -8),
     "zero rate"          -> lyingWav(1, 0, 0, 16, 64),

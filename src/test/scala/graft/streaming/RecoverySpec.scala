@@ -236,7 +236,7 @@ class RecoverySpec extends AnyFunSuite {
     // uncommitted batch.
     addChunk(src, 0, Seq(ev(1, 0, 1L), ev(2, 5, 1L), ev(3, 0, 2L)))
     addChunk(src, 1, Seq(ev(4, 60, 1L), ev(5, 10, 2L), ev(6, 60, 3L)))
-    val q1 = StreamingJobs.startCheckpointedSessionize(
+    val q1 = StreamingJobs.startCheckpointedSessionizePoisoned(
       spark, src, "chunk*.parquet", ckpt, out, poisonUserId = 3L)
     try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
     assert(q1.exception.isDefined &&
@@ -281,7 +281,7 @@ class RecoverySpec extends AnyFunSuite {
     // would commit that partition's state delta.
     addChunk(src, 0, Seq(ev(1, 0, 1L), ev(2, 10, 1L), ev(3, 0, 2L)))
     addChunk(src, 1, Seq(ev(4, 120, 1L), ev(5, 120, 2L)))
-    val q1 = StreamingJobs.startCheckpointedSessionWindow(
+    val q1 = StreamingJobs.startCheckpointedSessionWindowPoisoned(
       spark, src, "chunk*.parquet", ckpt, out, poisonStartUs = atMin(0) / 1000L)
     try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
     assert(q1.exception.isDefined &&
@@ -323,7 +323,7 @@ class RecoverySpec extends AnyFunSuite {
     // mid-MERGE leaves behind.
     addChunk(src, 0, Seq(ev(1, 0, 1L, "click", 1.0), ev(2, 1, 2L, "view", 2.0)))
     addChunk(src, 1, Seq(ev(3, 5, 1L, "purchase", 5.0), ev(4, 6, 3L, "click", 3.0)))
-    val q1 = StreamingJobs.startCheckpointedUpsert(
+    val q1 = StreamingJobs.startCheckpointedUpsertFailing(
       spark, src, "chunk*.parquet", ckpt, target, failBeforeCommitOfBatch = 1L)
     try q1.processAllAvailable() catch { case _: Throwable => () } finally q1.stop()
     assert(q1.exception.isDefined &&
