@@ -109,6 +109,7 @@ object SparkEntry {
     "domain_mix"   -> Curation.domainMix _,
     "corpus_filter" -> Curation.corpusFilter _,
     "curate_corpus" -> Curation.curateCorpus _,
+    "corpus_emit"   -> ((s: SparkSession, d: String) => Curation.corpusEmit(s, d)),
     "bpe_train"     -> ((s: SparkSession, d: String) => Bpe.bpeTrain(s, d)),
     "bpe_apply"     -> ((s: SparkSession, d: String) => Bpe.bpeApply(s, d)),
     // tier-4 digest companions (see the hmm_*_digest block above)
@@ -275,6 +276,8 @@ object SparkEntry {
     "domain_mix"   -> Curation.domainMixSql,
     "corpus_filter" -> Curation.corpusFilterSql,
     "curate_corpus" -> Curation.curateCorpusSql,
+    "corpus_emit"   -> Curation.corpusEmitSql, // disposition CTEs reduced to kept + span-cut rebuild + chunk layout
+
     "pii_scrub"    -> TextAnalysis.piiScrubSql, // zero audit on this corpus; planted-PII positive path in CurationSpec
     "bm25_topk"    -> Search.bm25TopKSql,
     "vec_quantize" -> Similarity.vecQuantizeSql,

@@ -363,7 +363,24 @@ object Curation {
     * recursive closure), so the driver verifies the full pipeline
     * end to end.
     */
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    dispositionsFor(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("disposition") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("disposition") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("disposition") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(col("disposition") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+
+  /** Per-document disposition under the standard drop order —
+    * (doc_id, source, text, disposition) — the shared frame behind
+    * [[curateCorpus]] (the per-source audit) and [[corpusEmit]] (the
+    * materialized training corpus), so both report the SAME keep/drop
+    * decision by construction.
+    */
+  private[operators] def dispositionsFor(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val exact = docs
@@ -387,14 +404,6 @@ object Curation {
           .when(coalesce(col("near_dup"), lit(false)), "near_dup")
           .when(col("low_q"), "low_quality")
           .otherwise("kept"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("disposition") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
-        sum(when(col("disposition") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
-        sum(when(col("disposition") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"),
-        sum(when(col("disposition") === "kept", 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
   }
 
   val curateCorpusSql: String =
@@ -456,6 +465,155 @@ object Curation {
        |LEFT JOIN cc USING (doc_id)
        |JOIN q USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** The END PRODUCT of the curation pipeline (r16 verdict #1): the
+    * materialized training corpus a run actually consumes, emitted in
+    * ONE flow instead of four hand-wired operators — kept-disposition
+    * documents ([[dispositionsFor]]'s drop order: exact dup → near-dup
+    * non-canonical → quality filter), re-emitted with every ≥ 40-char
+    * duplicated span cut ([[Dedup.spanCutTexts]], Lee et al.'s
+    * substring dedup applied AFTER doc-level dedup — spans are
+    * detected within the kept corpus, since content that only
+    * duplicated against dropped docs is already gone with them), and
+    * laid out into fixed-budget token chunks ([[packChunks]]'s
+    * per-source streaming-concatenation layout over the CLEANED token
+    * counts). Output: one row per kept document — (doc_id, source,
+    * cleaned_text, n_tokens, chunk_start, chunk_end, chunk_offset).
+    *
+    * Scale: every stage is the already-scale-shaped kernel it reuses —
+    * dispositions are corpus-linear (one md5 window + the contracted
+    * CC + scan-speed quality signals), the span-cut window pipeline
+    * runs over the kept set only (≈ distinct texts: the exact-dup rule
+    * keeps one doc per text, so this is base-tier-sized at any clone
+    * factor), and packing is parallel per-source prefix sums.
+    */
+  def corpusEmit(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = dispositionsFor(spark, dir)
+      .filter(col("disposition") === "kept")
+      .select("doc_id", "source", "text")
+    val cleaned = kept
+      .join(Dedup.spanCutTexts(kept.select("doc_id", "text")), "doc_id")
+      .select(col("doc_id"), col("source"), col("cleaned_text"),
+        size(split(col("cleaned_text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cleaned
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("cleaned_text"), col("n_tokens"),
+        expr(s"tok_before div $budget").as("chunk_start"),
+        expr(s"(tok_before + n_tokens - 1) div $budget").as("chunk_end"),
+        pmod(col("tok_before"), lit(budget.toLong)).as("chunk_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[corpusEmit]]: the [[curateCorpusSql]] disposition
+    * CTEs (exact window + recursive CC closure + quality signals)
+    * reduced to the kept set, the [[Dedup.dedupSubstringApplySql]]
+    * char-row window pipeline over kept texts (rep = doc_id — kept
+    * texts are pairwise distinct by the exact-dup rule, no group
+    * expansion), and the [[packChunksSql]] per-source prefix sums over
+    * the cleaned token counts.
+    */
+  val corpusEmitSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.ngramJaccardSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) jq
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |), walk(id, reach) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+       |), cc AS (
+       |  SELECT id AS doc_id, least(id, min(reach)) AS canonical_id
+       |  FROM walk GROUP BY id
+       |), ex AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+       |  FROM documents
+       |), fs AS (
+       |  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+       |), fq AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    round(CASE WHEN len(w) >= 2 THEN
+       |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+       |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+       |        / CAST(len(w) - 1 AS DOUBLE)
+       |      ELSE 0.0 END, 4) AS dup_bigram_frac,
+       |    round(CAST(tw.top_cnt AS DOUBLE) / len(w), 4)
+       |      AS top_word_frac
+       |  FROM fs JOIN (
+       |    SELECT doc_id, max(cnt) AS top_cnt FROM (
+       |      SELECT doc_id, tok, count(*) AS cnt FROM (
+       |        SELECT doc_id, unnest(w) AS tok FROM fs)
+       |      GROUP BY doc_id, tok)
+       |    GROUP BY doc_id) tw USING (doc_id)
+       |), q AS (
+       |  SELECT doc_id,
+       |    (n_words < 25 OR dup_bigram_frac > 0.05 OR top_word_frac > 0.12) AS low_q
+       |  FROM fq
+       |), kept AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN ex USING (doc_id)
+       |  LEFT JOIN cc USING (doc_id)
+       |  JOIN q USING (doc_id)
+       |  WHERE NOT ex.exact_dup
+       |    AND NOT coalesce(d.doc_id <> cc.canonical_id, false)
+       |    AND NOT q.low_q
+       |), t AS (
+       |  SELECT doc_id AS rep, string_split(text, '') AS cs FROM kept
+       |  WHERE length(text) >= 40
+       |), c AS (
+       |  SELECT rep, unnest(cs) AS ch, unnest(range(1, len(cs) + 1)) AS p FROM t
+       |), wn AS (
+       |  SELECT rep, p,
+       |    string_agg(ch, '') OVER (PARTITION BY rep ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 39 FOLLOWING) AS win,
+       |    count(*) OVER (PARTITION BY rep) AS nc
+       |  FROM c
+       |), s AS (
+       |  SELECT rep, p, win FROM wn WHERE p <= nc - 39
+       |), wk AS (
+       |  SELECT rep, p,
+       |    count(*) OVER (PARTITION BY win) AS nw,
+       |    row_number() OVER (PARTITION BY win ORDER BY rep, p) AS rn
+       |  FROM s
+       |), cutf AS (
+       |  SELECT rep, p, 1 AS f FROM wk WHERE nw >= 2 AND rn > 1
+       |), cov AS (
+       |  SELECT rep, p, ch,
+       |    max(coalesce(f, 0)) OVER (PARTITION BY rep ORDER BY p
+       |      ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS covered
+       |  FROM c LEFT JOIN cutf USING (rep, p)
+       |), cl AS (
+       |  SELECT rep,
+       |    string_agg(CASE WHEN covered = 1 THEN '' ELSE ch END, '' ORDER BY p) AS cleaned
+       |  FROM cov GROUP BY rep
+       |), cln AS (
+       |  SELECT k.doc_id, k.source, coalesce(cl.cleaned, k.text) AS cleaned_text
+       |  FROM kept k LEFT JOIN cl ON cl.rep = k.doc_id
+       |), pk AS (
+       |  SELECT doc_id, source, cleaned_text,
+       |    CAST(len(str_split(cleaned_text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM cln
+       |), c2 AS (
+       |  SELECT doc_id, source, cleaned_text, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_before
+       |  FROM pk
+       |)
+       |SELECT doc_id, source, cleaned_text, n_tokens,
+       |  tok_before // 512 AS chunk_start,
+       |  (tok_before + n_tokens - 1) // 512 AS chunk_end,
+       |  tok_before % 512 AS chunk_offset
+       |FROM c2 ORDER BY doc_id""".stripMargin
 
   val contamNgramSql: String =
     """WITH t AS (

@@ -1085,19 +1085,7 @@ object Dedup {
   def dedupSubstringApply(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
     val L = minLen
     val g = allTextGroups(spark, dir)
-    val cutSites = dupWindowSites(g, L, withCanon = true)
-      .filter(!(col("rep") === col("crep") && col("p") === col("cp")))
-      .select("rep", "p")
-    // islands first: collecting merged SPANS per doc is O(spans) per
-    // row, never the O(positions) a raw cut-site collect pays on a
-    // fully-duplicated megadoc
-    val spanArr = islandSpans(cutSites, L)
-      .groupBy("rep")
-      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
-      .select(col("rep"),
-        expr("transform(sp, x -> x.span_start)").as("cut_starts"),
-        expr("transform(sp, x -> x.span_end)").as("cut_ends"))
-    g.join(spanArr, Seq("rep"), "left")
+    g.join(cutSpanArrays(g, L), Seq("rep"), "left")
       .select(explode(col("ids")).as("doc_id"), col("text"),
         col("cut_starts"), col("cut_ends"))
       .select(col("doc_id"),
@@ -1109,6 +1097,42 @@ object Dedup {
         (length(col("text")) - length(col("cleaned_text"))).cast("long").as("chars_removed"),
         (octet_length(col("text")) - octet_length(col("cleaned_text"))).cast("long").as("bytes_removed"))
       .orderBy("doc_id")
+  }
+
+  /** Merged cut-span arrays per rep: the non-canonical duplicated
+    * window sites of `g` (rep, text), gaps-and-islands merged and
+    * collected as parallel start/end arrays for [[graft.functions.cutSpans]].
+    * Islands first: collecting merged SPANS per doc is O(spans) per
+    * row, never the O(positions) a raw cut-site collect pays on a
+    * fully-duplicated megadoc.
+    */
+  private def cutSpanArrays(g: DataFrame, L: Int): DataFrame = {
+    val cutSites = dupWindowSites(g, L, withCanon = true)
+      .filter(!(col("rep") === col("crep") && col("p") === col("cp")))
+      .select("rep", "p")
+    islandSpans(cutSites, L)
+      .groupBy("rep")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"))
+      .select(col("rep"),
+        expr("transform(sp, x -> x.span_start)").as("cut_starts"),
+        expr("transform(sp, x -> x.span_end)").as("cut_ends"))
+  }
+
+  /** Span-cut re-emission over an arbitrary (doc_id, text) relation —
+    * the [[dedupSubstringApply]] kernel without the clone-group
+    * expansion, for callers whose input texts are already pairwise
+    * distinct (corpus_emit's kept set: the exact-dup rule keeps one
+    * doc per text, so the contraction would be the identity). Same
+    * canonical rule (min (doc, pos) occurrence survives per duplicated
+    * window value), same single CutSpans byte pass.
+    */
+  private[operators] def spanCutTexts(docs: DataFrame, L: Int = 40): DataFrame = {
+    val g = docs.select(col("doc_id").as("rep"), col("text"))
+    g.join(cutSpanArrays(g, L), Seq("rep"), "left")
+      .select(col("rep").as("doc_id"),
+        when(col("cut_starts").isNull, col("text"))
+          .otherwise(_root_.graft.functions.cutSpans(
+            col("text"), col("cut_starts"), col("cut_ends"))).as("cleaned_text"))
   }
 
   /** Contracted oracle for [[dedupSubstringApply]]: the

@@ -238,4 +238,53 @@ class CurationSpec extends AnyFunSuite {
     assert(got("a") == ((2L, 16L, 0.8, 0.666667, 0.833333, 13L)), s"got ${got("a")}")
     assert(got("b") == ((1L, 4L, 0.2, 0.333333, 1.666667, 6L)), s"got ${got("b")}")
   }
+
+  test("spanCutTexts keeps the canonical occurrence and cuts later sites exactly") {
+    import spark.implicits._
+    // aperiodic shared boilerplate > 40 chars at the start of two docs
+    // with differing tails: every duplicated window lies fully inside
+    // the boilerplate, so the cut coverage in the LATER doc is exactly
+    // the boilerplate span; the earlier doc owns every canonical site
+    // and survives untouched.
+    val boiler = "the quick brown fox jumps over the lazy dog 0123456789"
+    // tails must differ at their FIRST char: a shared leading char
+    // would extend the duplicated window region one past the
+    // boilerplate (the windows are all 40-char substrings, not tokens)
+    val d1 = boiler + " alpha tail content here"
+    val d2 = boiler + "-totally different beta ending words"
+    val d3 = "no shared content at all in this one"
+    val got = Dedup.spanCutTexts(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == d1, "canonical doc must survive untouched")
+    assert(got(2L) == d2.substring(boiler.length),
+      s"later doc must lose exactly the boilerplate span, got '${got(2L)}'")
+    assert(got(3L) == d3, "unshared doc must survive untouched")
+  }
+
+  test("corpus_emit composes kept dispositions, span cutting, and the chunk layout") {
+    val out = Curation.corpusEmit(spark, sfDir).collect()
+    // 1. row set = the kept dispositions, exactly
+    val keptIds = Curation.dispositionsFor(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("disposition") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == keptIds,
+      s"emitted ${out.length} rows vs ${keptIds.size} kept dispositions")
+    assert(out.nonEmpty)
+    // 2. n_tokens counts the CLEANED text's whitespace tokens
+    assert(out.forall(r => r.getLong(3) == r.getString(2).split(" ", -1).length.toLong),
+      "n_tokens must count cleaned_text tokens")
+    // 3. chunk layout is the per-source prefix-sum closed form,
+    //    recomputed from the output itself
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var running = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        val n = r.getLong(3)
+        assert(r.getLong(4) == running / 512 && r.getLong(6) == running % 512 &&
+          r.getLong(5) == (running + n - 1) / 512,
+          s"chunk layout broke at doc ${r.getLong(0)}: running=$running row=$r")
+        running += n
+      }
+    }
+  }
 }
