@@ -163,6 +163,7 @@ object SparkEntry {
     // §2.8 streaming
     "stream_session_agg" -> StreamingJobs.sessionAggStream _,
     "stream_dedup"       -> StreamingJobs.streamDedup _,
+    "stream_doc_dedup"   -> ((s: SparkSession, d: String) => StreamingJobs.streamDocDedup(s, d)),
     "stream_enrich"      -> StreamingJobs.enrichStream _,
     // engine breadth beyond §2 (grouping sets, windows, pivot,
     // sketches, skew handling)
@@ -326,6 +327,7 @@ object SparkEntry {
     // sessionization exactly
     "stream_sessionize" -> Relational.sessionizeSql,
     "stream_dedup"       -> StreamingJobs.streamDedupSql,
+    "stream_doc_dedup"   -> StreamingJobs.streamDocDedupSql, // contracted exact-Jaccard kernel + arrival-order arithmetic; LSH FN-freeness fixed per corpus
     "stream_session_agg" -> StreamingJobs.sessionAggSql,
     "stream_enrich"      -> StreamingJobs.enrichStreamSql,
     "stream_upsert"      -> StreamingJobs.streamUpsertSql,

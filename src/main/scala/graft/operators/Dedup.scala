@@ -113,7 +113,7 @@ object Dedup {
     sh.groupBy("doc_id")
       .agg(array_sort(collect_list(col("shingle"))).as("shingles"))
 
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArraysOf(shingled(spark, dir))
 
   // -------------------------------------------------------------------
@@ -327,7 +327,7 @@ object Dedup {
     */
   /** The kernel, exposed for other oracles built on the same contracted
     * pair relation (triangle_count's census). */
-  private[operators] def contractedJaccardKernelForOracles(threshold: Double): String =
+  private[graft] def contractedJaccardKernelForOracles(threshold: Double): String =
     contractedJaccardKernel(threshold)
 
   private def contractedJaccardKernel(threshold: Double): String =
@@ -543,6 +543,77 @@ object Dedup {
 
   private def mixConst(i: Long): Long = graft.functions.Hashing.splitmix64(i)
 
+  private val P31: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private lazy val permAArr: Array[Long] =
+    Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) % (P31 - 1) + 1L)
+  private lazy val permBArr: Array[Long] =
+    Array.tabulate(NumPerm)(i => Math.floorMod(mixConst(2 * i + 1), P31))
+
+  // -------------------------------------------------------------------
+  // Scala-side mirror of the LSH family (round 17): the STREAMING band
+  // index computes per-document signatures inside a typed flatMap (a
+  // pre-stateful aggregation is not available in a streaming plan), so
+  // the same shingles → xxhash64 → (a·h+b mod p) min-perm → band-key
+  // chain is mirrored in plain JVM loops. MinhashFamilySpec pins the
+  // bit-equality against the Catalyst path, so streaming candidates
+  // inherit the batch family's verified FN-freeness on every gated
+  // corpus instead of introducing a second, separately-provable family.
+  // -------------------------------------------------------------------
+
+  /** Spark-identical xxhash64 (seed 42 = `functions.xxhash64`). */
+  private[graft] def xxh64String(s: String, seed: Long = 42L): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, seed)
+
+  private def xxh64Long(v: Long, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      v, org.apache.spark.sql.types.LongType, seed)
+
+  private def xxh64Int(v: Int, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      v, org.apache.spark.sql.types.IntegerType, seed)
+
+  /** Distinct word 3-gram shingles, matching `ngramsFromTextExpr`'s
+    * tokenization exactly (split on a single space, empty tokens
+    * kept — Spark `split` semantics).
+    */
+  private[graft] def shinglesOf(text: String, n: Int = 3): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Array.empty
+    else w.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** The 32 LSH band keys of a non-empty shingle set — bit-equal to
+    * the batch banding (xxhash64 of the band's 4 min-perm signature
+    * rows chained with the band index, seed 42).
+    */
+  private[graft] def bandKeysOf(shingles: Array[String]): Array[Long] = {
+    require(shingles.nonEmpty, "bandKeysOf needs >= 1 shingle")
+    val hs = shingles.map(s => xxh64String(s) & 0x7FFFFFFFL)
+    val sig = new Array[Long](NumPerm)
+    var i = 0
+    while (i < NumPerm) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        // h < 2^31, a < 2^31 ⇒ product < 2^62: no overflow, and every
+        // term is non-negative so % IS pmod
+        val v = (hs(j) * permAArr(i) + permBArr(i)) % P31
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    Array.tabulate(Bands) { b =>
+      var seed = 42L
+      var r = 0
+      while (r < RowsPerBand) { seed = xxh64Long(sig(b * RowsPerBand + r), seed); r += 1 }
+      xxh64Int(b, seed)
+    }
+  }
+
   // The verified-pairs relation is shared by three queries
   // (dedup_minhash_lsh, contam_minhash, dedup_incremental) — memoized
   // and persisted per (session, dir, threshold) like the embedding
@@ -572,22 +643,7 @@ object Dedup {
     // 31-bit hash × <2^31 constants keeps products < 2^62: no ANSI
     // overflow, and the family over 31 bits is ample for minhashing
     // shingle sets ≪ 2^31.
-    val P = 2147483647L // 2^31 − 1
-    val permA: Array[Long] = Array.tabulate(NumPerm)(i => (mixConst(2 * i) & 0x7FFFFFFFL) % (P - 1) + 1L)
-    val permB: Array[Long] = Array.tabulate(NumPerm)(i => Math.floorMod(mixConst(2 * i + 1), P))
-    val h = shingled(spark, dir)
-      .withColumn("h", xxhash64(col("shingle")) bitwiseAND lit(0x7FFFFFFFL))
-    val sigAggs = (0 until NumPerm).map(i =>
-      min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(P))).as(s"m$i"))
-    val sig = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // band key = hash of the band's 4 signature rows
-    val bandCols: Seq[Column] = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows :+ lit(b): _*).as("bkey"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val buckets = bandBucketsOf(shingled(spark, dir))
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -601,6 +657,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** The batch banding pipeline factored for reuse and for the family
+    * spec: (doc_id, shingle) rows → (doc_id, band, bkey). 128
+    * permutations from ONE xxhash64 per shingle as codegen'd min
+    * aggregates; band key = xxhash64 of the band's 4 signature rows
+    * chained with the band index. [[bandKeysOf]] is the Scala mirror.
+    */
+  private[graft] def bandBucketsOf(sh: DataFrame): DataFrame = {
+    val h = sh.withColumn("h", xxhash64(col("shingle")) bitwiseAND lit(0x7FFFFFFFL))
+    val sigAggs = (0 until NumPerm).map(i =>
+      min(pmod(col("h") * lit(permAArr(i)) + lit(permBArr(i)), lit(P31))).as(s"m$i"))
+    val sig = h.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows :+ lit(b): _*).as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
 
   /** Exact-Jaccard oracle for [[minhashLsh]]: the LSH family is

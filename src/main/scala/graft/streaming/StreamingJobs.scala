@@ -966,4 +966,218 @@ object StreamingJobs {
       |)
       |SELECT user_id, event_type AS last_type, ts_us AS last_ts_us, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Streaming document near-dup (round 17, r16 verdict #5): the
+  // continuous-crawl shape dedup_incremental approximates with a batch
+  // delta job — here the MinHash band index IS the stream state.
+  // Two stateful stages over the replayed documents corpus:
+  //   A. first-seen/exact verdicts keyed by the 128-bit text digest
+  //      pair (state: first doc id + the text itself, making the
+  //      digest-collision check COMPLETE — a collision throws instead
+  //      of silently merging texts, the textGroups discipline);
+  //   B. the LSH band index keyed by (band, bkey) — state holds the
+  //      first-seen doc per DISTINCT text in the bucket (clones add
+  //      nothing: identical texts have identical signatures), and a
+  //      newly arriving text emits one candidate pair per cohabiting
+  //      prior text. Same hash family as the batch minhash_lsh, via
+  //      the Scala mirror pinned bit-equal by MinhashFamilySpec, so
+  //      the stream inherits the batch family's verified FN-freeness.
+  // Candidates are then exact-Jaccard verified against the ingested
+  // corpus (batch read of what already arrived — at scale this is the
+  // persisted shingle store) and expanded to per-document verdicts:
+  // (doc_id, exact_dup, n_near_texts = earlier-first-seen near
+  // neighbor texts, max_jaccard).
+  //
+  // Replay convention: first-seen is ARRIVAL-ordered by definition, so
+  // the corpus replay ingests all available files in ONE batch and the
+  // group functions sort within the invocation — arrival order ≡
+  // doc_id order, which is what the oracle models (the watermark
+  // replay rule's reasoning applied to order-sensitive state).
+  // Cross-batch state is exercised by the chunked spec, whose chunks
+  // arrive in id order like a real crawl's ingest time.
+  // -------------------------------------------------------------------
+
+  final case class DocKeyed(doc_id: Long, tk1: Long, tk2: Long, text: String)
+  final case class SeenState(first_id: Long, text: String)
+  final case class SeenOut(doc_id: Long, rep: Long, first_seen: Boolean)
+  final case class BandDoc(doc_id: Long, tk1: Long, tk2: Long, band: Int, bkey: Long)
+  final case class BucketRep(rep: Long, tk1: Long, tk2: Long)
+  final case class BucketState(reps: List[BucketRep])
+  final case class CandPair(a_rep: Long, b_rep: Long)
+
+  /** Stage-A group function: first-seen / exact-dup verdict per doc of
+    * one text-digest group. State is (first id, text); the text makes
+    * the 128-bit collision check complete (p ≈ n²/2¹²⁹ — never, but
+    * checked; at 100 TB state this is the piece to trade for a
+    * digest-only store with the documented residual risk).
+    */
+  private[streaming] def firstSeenFn(
+      key: (Long, Long), docs: Iterator[DocKeyed],
+      state: GroupState[SeenState]): Iterator[SeenOut] = {
+    val sorted = docs.toList.sortBy(_.doc_id)
+    var st = state.getOption
+    val out = sorted.map { d =>
+      st match {
+        case None =>
+          st = Some(SeenState(d.doc_id, d.text))
+          SeenOut(d.doc_id, d.doc_id, first_seen = true)
+        case Some(s) =>
+          if (s.text != d.text)
+            throw new IllegalStateException(
+              "streamDocDedup: 128-bit text digest collision")
+          SeenOut(d.doc_id, s.first_id, first_seen = false)
+      }
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** Stage-B group function: one LSH bucket's index. A doc whose text
+    * digest is already present adds nothing; a new text emits one
+    * candidate pair per cohabiting prior text and joins the index.
+    * State is bounded by DISTINCT texts per bucket (clone-immune).
+    */
+  private[streaming] def bandIndexFn(
+      key: (Int, Long), docs: Iterator[BandDoc],
+      state: GroupState[BucketState]): Iterator[CandPair] = {
+    val sorted = docs.toList.sortBy(_.doc_id)
+    var reps = state.getOption.map(_.reps).getOrElse(Nil)
+    val out = List.newBuilder[CandPair]
+    sorted.foreach { d =>
+      if (!reps.exists(r => r.tk1 == d.tk1 && r.tk2 == d.tk2)) {
+        reps.foreach(r => out += CandPair(r.rep, d.doc_id))
+        reps = BucketRep(d.doc_id, d.tk1, d.tk2) :: reps
+      }
+    }
+    state.update(BucketState(reps))
+    out.result().iterator
+  }
+
+  /** Schema-probed streaming reader over the documents files (same
+    * footer-probe + directory-layout discipline as [[eventsStream]];
+    * no timestamp normalization needed — the schema is declared
+    * verbatim from the probed footers).
+    */
+  private def docsStream(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val asDir = new java.io.File(dir, glob)
+    val (readPath, filterOpt) =
+      if (!glob.exists(c => c == '*' || c == '?' || c == '{') && asDir.isDirectory)
+        (asDir.getPath, None)
+      else (dir, Some(glob))
+    val probed =
+      try filterOpt.fold(spark.read)(g => spark.read.option("pathGlobFilter", g))
+        .parquet(readPath).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"no files matching '$glob' under $dir at stream start", e)
+      }
+    val r0 = spark.readStream.schema(probed)
+    val r1 = maxFilesPerTrigger.fold(r0)(m => r0.option("maxFilesPerTrigger", m.toString))
+    filterOpt.fold(r1)(g => r1.option("pathGlobFilter", g)).parquet(readPath)
+  }
+
+  /** Driver-facing run over the replayed corpus; `srcGlob`/`trigger`
+    * are injectable for the chunked cross-batch spec.
+    */
+  def streamDocDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, srcGlob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val keyed = docsStream(spark, dir, srcGlob, maxFilesPerTrigger)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("tk1"),
+        xxhash64(lit(42L), col("text")).as("tk2"),
+        col("text"))
+      .as[DocKeyed]
+    // stage A: first-seen / exact verdicts
+    val seenSink = s"stream_doc_seen_${System.nanoTime()}"
+    val qa = keyed.groupByKey(d => (d.tk1, d.tk2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(firstSeenFn)
+      .writeStream.outputMode("append").format("memory").queryName(seenSink).start()
+    try qa.processAllAvailable() finally qa.stop()
+    // stage B: band index → candidate pairs (signatures in the typed
+    // flatMap via the Scala family mirror — a pre-stateful aggregation
+    // is not available in a streaming plan)
+    val candSink = s"stream_doc_cand_${System.nanoTime()}"
+    val qb = keyed
+      .flatMap { d =>
+        val sh = graft.operators.Dedup.shinglesOf(d.text)
+        if (sh.isEmpty) Iterator.empty
+        else graft.operators.Dedup.bandKeysOf(sh).iterator.zipWithIndex
+          .map { case (k, b) => BandDoc(d.doc_id, d.tk1, d.tk2, b, k) }
+      }
+      .groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(bandIndexFn)
+      .writeStream.outputMode("append").format("memory").queryName(candSink).start()
+    try qb.processAllAvailable() finally qb.stop()
+    val seen = spark.table(seenSink)
+    // normalize + dedupe candidates across bands, then exact-verify
+    // against the ingested corpus's shingle arrays
+    val cand = spark.table(candSink)
+      .select(least(col("a_rep"), col("b_rep")).as("a_id"),
+        greatest(col("a_rep"), col("b_rep")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val sh = graft.operators.Dedup.shingleArrays(spark, dir)
+    val verified = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    val nb = verified.select(col("a_id").as("rep"), col("b_id").as("nrep"), col("jaccard"))
+      .unionByName(verified.select(col("b_id").as("rep"), col("a_id").as("nrep"), col("jaccard")))
+    // rename-projection: `seen` appears on both sides of the final
+    // join — fresh exprIds on this branch avoid the self-join
+    // conflicting-references trap of memory-sink views
+    val near = seen
+      .select(col("doc_id").as("n_doc_id"), col("rep").as("n_rep"))
+      .join(nb, col("n_rep") === col("rep"))
+      .filter(col("nrep") < col("n_doc_id"))
+      .groupBy(col("n_doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_texts"), max(col("jaccard")).as("max_jaccard"))
+    seen.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), (!col("first_seen")).as("exact_dup"),
+        coalesce(col("n_near_texts"), lit(0L)).as("n_near_texts"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[streamDocDedup]]: the contracted exact-Jaccard
+    * kernel (rep-level rsim over distinct texts) plus arrival-order
+    * arithmetic — doc i's near neighbors are the texts whose FIRST
+    * occurrence precedes i (rep &lt; i), exact_dup ⇔ i is not its
+    * text's first occurrence. The LSH family is deterministic, so
+    * FN-freeness of the band candidates vs the all-pairs kernel is a
+    * fixed corpus property, verified at every tier (the minhash_lsh
+    * argument; family bit-equality pinned by MinhashFamilySpec).
+    */
+  val streamDocDedupSql: String =
+    s"""WITH
+       |${graft.operators.Dedup.contractedJaccardKernelForOracles(0.8)},
+       |docs AS (
+       |  SELECT unnest(ids) AS doc_id, rep FROM grp
+       |), nb AS (
+       |  SELECT a_rep AS rep, b_rep AS nrep, jaccard FROM rsim
+       |  UNION ALL
+       |  SELECT b_rep, a_rep, jaccard FROM rsim
+       |), near AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_near_texts,
+       |    max(nb.jaccard) AS mj
+       |  FROM docs d JOIN nb ON nb.rep = d.rep
+       |  WHERE nb.nrep < d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  d.doc_id <> d.rep AS exact_dup,
+       |  CAST(coalesce(n.n_near_texts, 0) AS BIGINT) AS n_near_texts,
+       |  coalesce(n.mj, 0.0) AS max_jaccard
+       |FROM docs d LEFT JOIN near n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

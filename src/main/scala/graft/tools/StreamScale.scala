@@ -32,7 +32,8 @@ object StreamScale {
   val streamingEntries: Seq[String] = Seq(
     "stream_session_agg", "stream_enrich", "stream_join", "stream_upsert",
     "stream_topk", "stream_dedup", "stream_sessionize", "stream_session_window",
-    "stream_hll_distinct") // r13: state plateau = #event types (one sketch each)
+    "stream_hll_distinct", // r13: state plateau = #event types (one sketch each)
+    "stream_doc_dedup")    // r17: state plateau = distinct texts (digest + band index)
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sfx1")
@@ -83,6 +84,8 @@ object StreamScale {
     val nHourWindows = ev
       .select(date_trunc("hour", col("ts"))).distinct().count()
     ev.unpersist()
+    val nTexts = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).select("text").distinct().count()
     // stream_join retains signups for (interval 2h + wm 30m) and
     // purchases for the watermark; sessionize/session_window retain
     // open sessions (30m gap + 30m wm) plus per-user counters
@@ -93,7 +96,12 @@ object StreamScale {
       "stream_session_agg" -> ((4 * (horizonRows(90) + nTypes * 4), "4 x events in last 90m")),
       "stream_dedup" -> ((4 * nUsers * nTypes, "4 x |user x type| keyspace")),
       "stream_topk" -> ((4 * nHourWindows * nTypes, "4 x |hour-window x type|")),
-      "stream_hll_distinct" -> ((4 * nTypes, "4 x |event types| (one sketch each)")))
+      "stream_hll_distinct" -> ((4 * nTypes, "4 x |event types| (one sketch each)")),
+      // both internal queries' state is clone-immune: stage A keys =
+      // distinct text digests, stage B keys = LSH buckets <= 32 per
+      // distinct text — NEVER corpus-shaped on a clone tier
+      "stream_doc_dedup" -> ((4 * (graft.operators.Dedup.Bands + 1) * nTexts,
+        "4 x (1 + 32 band buckets) x distinct texts")))
 
     val sb = new StringBuilder
     var totalWall = 0.0
