@@ -158,7 +158,7 @@ object Dedup {
     * once per (session, dir); [[textGroups]] is the shingleable
     * filtered view over the same cached partitions.
     */
-  private[operators] def allTextGroups(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def allTextGroups(spark: SparkSession, dir: String): DataFrame =
     memo(groupCache, spark, dir)(
       Tables.documents(spark, dir)
         .filter(col("text").isNotNull)
@@ -1035,7 +1035,7 @@ object Dedup {
     * COMPLETE collision check: a 128-bit collision needs ≥ 2 sites, so
     * every colliding group has nw ≥ 2 and lands in the checked set.
     */
-  private def dupWindowSites(g: DataFrame, L: Int, withCanon: Boolean): DataFrame = {
+  private[graft] def dupWindowSites(g: DataFrame, L: Int, withCanon: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sites = g.select(col("rep"),
         posexplode(_root_.graft.functions.charWindows(col("text"), L)).as(Seq("pidx", "win")))
@@ -1066,7 +1066,7 @@ object Dedup {
     * duplicated span [min p, max p + L − 1] — exactly the coverage
     * union of the member windows.
     */
-  private def islandSpans(dupSites: DataFrame, L: Int): DataFrame = {
+  private[graft] def islandSpans(dupSites: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("rep").orderBy("p")
     dupSites

@@ -89,6 +89,15 @@ case class CharWindows(child: Expression, n: Int)
   * Positions are CODE POINTS (numBytesForFirstByte walks whole code
   * points), matching CharWindows and DuckDB length()/string_split
   * semantics on every planted class including astral emoji.
+  *
+  * CodegenFallback is a measured decision, not an omission (r16
+  * verdict #7): the expression evaluates once per DISTINCT document
+  * (the apply path is contracted), and the per-call work is a byte
+  * loop over the whole document — interpreted dispatch is nanoseconds
+  * against that. dedup_substring_apply's warm end-to-end cost at
+  * sf0.1 is 0.25 s (SubstringProfile), so a doGenCode would shave an
+  * unmeasurable slice while adding a second implementation of the
+  * span-cursor loop to keep correct.
   */
 case class CutSpans(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
