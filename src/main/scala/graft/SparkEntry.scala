@@ -135,6 +135,10 @@ object SparkEntry {
     // round 16: the span relation's CONSUMER — re-emit the corpus with
     // duplicated spans cut, one canonical occurrence kept per window
     "dedup_substring_apply" -> ((s: SparkSession, d: String) => Dedup.dedupSubstringApply(s, d)),
+    // r17: digest companion so the span-cut corpus re-emission can pin
+    // at the scaled tiers where its row set blows the size guard
+    "dedup_substring_apply_digest" -> ((s: SparkSession, d: String) =>
+      operators.RelationDigest.digest(Dedup.dedupSubstringApply(s, d))),
     // §2.5 similarity search
     "knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> Similarity.knnIvfEntry _, // knobs: SPARK_GRAFT_IVF_CLUSTERS / _NPROBE

@@ -91,7 +91,13 @@ object PinGen {
     // round-14: the persisted IVF-PQ index probe — same deterministic
     // trainers as knn_ivf_pq, round-tripped through parquet (lossless
     // for float arrays and codes), so the output pins identically
-    "ann_index_persist")
+    "ann_index_persist",
+    // round-17 (r16 verdict #4): the two r16 queries are exact-integer /
+    // byte-deterministic pure functions of the corpus — media_audio_dedup
+    // row-pins at every tier (≤20 fingerprint groups); the span-cut
+    // re-emission row-pins at the driver tiers and carries its digest
+    // companion where the corpus-sized row set blows the size guard
+    "media_audio_dedup", "dedup_substring_apply", "dedup_substring_apply_digest")
 
   /** Fail-fast scaled-tier prerequisite (round 16, r15 verdict #7): a
     * wiped /tmp silently shrinks future pin coverage, and the old
