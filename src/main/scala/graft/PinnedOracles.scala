@@ -64,6 +64,10 @@ object PinnedOracles {
       val casts = cols.map { case (n, t) => s"""CAST("$n" AS $t) AS "$n"""" }.mkString(",\n  ")
       def lit(raw: String, tpe: String): String = tpe match {
         case "VARCHAR" => "'" + raw.replace("'", "''") + "'"
+        // non-string NULLs render as the bare NULL token (r17: nullable
+        // dup_of in media_audio_dedup) — unambiguous, since a numeric/
+        // boolean rendering is never the letters NULL; the enclosing
+        // CAST types the SQL NULL
         case _         => raw
       }
       def valuesRow(extra: Seq[String], r: String): String =
@@ -94,8 +98,15 @@ object PinnedOracles {
     * rounded, so the driver's exact (bitwise float64) compare holds. */
   def renderRow(row: Row, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
-      require(!row.isNullAt(i), s"null in pinned output column ${f.name}")
-      f.dataType match {
+      if (row.isNullAt(i)) {
+        // NULL is pinnable for non-string columns only: their value
+        // renderings are digits/true/false, so the literal NULL token
+        // is collision-free. A string column could legitimately
+        // CONTAIN "NULL", so a null string stays unpinnable.
+        require(f.dataType != StringType,
+          s"null STRING in pinned output column ${f.name} — ambiguous, unpinnable")
+        "NULL"
+      } else f.dataType match {
         case DoubleType  =>
           val d = row.getDouble(i)
           // NaN/Infinity render as bare tokens a VALUES relation can't

@@ -489,9 +489,14 @@ object Curation {
     */
   def corpusEmit(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the kept frame fans out to BOTH sides of the cleaned join (the
+    // span-cut kernel derives from it) — materialize it once so the
+    // disposition pipeline (exact window + CC + quality scan) runs
+    // once, not twice (plan audit, r17); kept is distinct-text-sized
     val kept = dispositionsFor(spark, dir)
       .filter(col("disposition") === "kept")
       .select("doc_id", "source", "text")
+      .transform(graft.Lineage.cut)
     val cleaned = kept
       .join(Dedup.spanCutTexts(kept.select("doc_id", "text")), "doc_id")
       .select(col("doc_id"), col("source"), col("cleaned_text"),
