@@ -58,7 +58,14 @@ object Verify {
         s"events.ts years [${r.getInt(0)}, ${r.getInt(1)}] outside [2000, 2100] — " +
           "timestamp encoding misread; refusing to dump plausible wrong answers")
     }
-    SparkEntry.queries
+    // GRAFT_JSON_ONLY=1: regenerate oracle_sql.json without running the
+    // queries — for repairing a full run's json after a TARGETED rerun
+    // into the same outDir clobbered it with a subset map (r17 incident:
+    // the single-query dedup_simhash rerun silently reduced the ×100
+    // check to 1 query). The json filter below intentionally ignores
+    // `only` in this mode so the map covers the full registry.
+    val jsonOnly = sys.env.get("GRAFT_JSON_ONLY").contains("1")
+    if (!jsonOnly) SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) && !pinned.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -80,7 +87,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) && !pinned.contains(k) }
+      .filter { case (k, _) =>
+        (jsonOnly || only.forall(_.contains(k))) && !pinned.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
