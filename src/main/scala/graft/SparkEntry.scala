@@ -243,7 +243,14 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
-  def oracleSql: Map[String, String] = Map(
+  /** Handwritten (corpus-generic) DuckDB oracles. A query may ALSO
+    * carry a pinned capture (media_audio_dedup: the pin adds the
+    * two-parallelism capture diff + the PinnedOraclesSpec drift
+    * tripwire) — the handwritten SQL wins in [[oracleSql]] because it
+    * verifies on ANY corpus (fuzz, skew, future tiers), while pin
+    * VALUES only exist for the captured driver tiers.
+    */
+  private def handwrittenSql: Map[String, String] = Map(
     "q1_agg"        -> Relational.q1AggSql,
     "q3_join_agg"   -> Relational.q3JoinAggSql,
     "q5_multi_join" -> Relational.q5MultiJoinSql,
@@ -368,11 +375,28 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql, // delta-vs-history; LSH leg oracle-able per the minhashLsh argument
     "holdout_splits"   -> Curation.holdoutSplitsSql,  // content-hash split: reproducible across runs/engines/layouts
     "seqfile_roundtrip" -> graft.sources.SequenceFiles.roundtripSql, // order-sensitive checksum straight off events
-  ) ++
-    // Pinned-literal oracles (round 10): deterministic-by-construction
-    // outputs (seeded RNG models, hash-seeded Lloyd/PQ, exact integer
-    // BPE merge ranks, HLL/GK sketches verified fold-order-stable)
-    // captured per SF tier by graft.tools.PinGen. Coupling and the
-    // local drift tripwire are documented in PinnedOracles.
-    PinnedOracleData.byName.map { case (name, pin) => name -> pin.sql }
+  )
+
+  // Pinned-literal oracles (round 10): deterministic-by-construction
+  // outputs (seeded RNG models, hash-seeded Lloyd/PQ, exact integer
+  // BPE merge ranks, HLL/GK sketches verified fold-order-stable)
+  // captured per SF tier by graft.tools.PinGen. Coupling and the
+  // local drift tripwire are documented in PinnedOracles. Handwritten
+  // oracles override a pin of the same name (corpus-generic beats
+  // tier-captured; the pin still sweeps via PinnedOraclesSpec).
+  def oracleSql: Map[String, String] =
+    PinnedOracleData.byName.map { case (name, pin) => name -> pin.sql } ++ handwrittenSql
+
+  /** Queries whose ONLY oracle is a pinned literal — the set Verify's
+    * pin-exclusion flags drop. A pinned query WITH a handwritten
+    * fallback (media_audio_dedup) stays in every gate: on a non-pin
+    * corpus the handwritten SQL verifies it.
+    */
+  def pinnedOnly: Set[String] = PinnedOracleData.byName.keySet -- handwrittenSql.keySet
+
+  /** Pinned-only queries lacking a capture for corpus tier `t`. */
+  def pinnedOnlyWithoutTier(t: Int): Set[String] =
+    PinnedOracleData.byName.collect {
+      case (n, p) if !p.hasTier(t) && !handwrittenSql.contains(n) => n
+    }.toSet
 }

@@ -17,10 +17,13 @@ object Verify {
     // so its gate runs with GRAFT_PIN_TIER=4 and includes every pin
     // with a tier-4 capture — the scaled-tier coverage the r11 verdict
     // asked for).
+    // r17: both flags drop only PIN-ONLY queries — a pinned query with
+    // a handwritten (corpus-generic) oracle stays in every gate and is
+    // verified by that SQL on corpora no pin was captured against.
     val pinned: Set[String] =
-      if (sys.env.get("GRAFT_EXCLUDE_PINNED").contains("1")) PinnedOracleData.byName.keySet
+      if (sys.env.get("GRAFT_EXCLUDE_PINNED").contains("1")) SparkEntry.pinnedOnly
       else sys.env.get("GRAFT_PIN_TIER").map(_.trim.toInt) match {
-        case Some(t) => PinnedOracleData.byName.collect { case (n, p) if !p.hasTier(t) => n }.toSet
+        case Some(t) => SparkEntry.pinnedOnlyWithoutTier(t)
         case None    => Set.empty
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
