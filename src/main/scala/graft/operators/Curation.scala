@@ -380,7 +380,13 @@ object Curation {
     * materialized training corpus), so both report the SAME keep/drop
     * decision by construction.
     */
-  private[operators] def dispositionsFor(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def dispositionsFor(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memo(dispositionCache, spark, dir)(dispositionsBuild(spark, dir).persist())
+
+  private val dispositionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dispositionsBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val exact = docs

@@ -479,6 +479,25 @@ object Dedup {
 
   private[graft] val CcCheckpointEvery = 5
 
+  private val ccLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized CC labels over the rep-level near-dup pair graph —
+    * (doc_id = rep, canonical_id). The fixpoint is an iterative
+    * multi-action loop (the most expensive kernel in the dedup
+    * family), and THREE operators consume its labels (dedup_groups,
+    * curate_corpus via dispositionsFor, corpus_emit) — before r18
+    * each re-ran the loop. Keyed (session, dir, τ) like the other
+    * persisted relations; [[graft.Lineage.cut]] severs the loop's
+    * thousand-node plan so consumers join against rows.
+    */
+  private[operators] def ccLabelsFor(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    memo(ccLabelCache, spark, s"$dir|$threshold") {
+      val rp = repPairsFor(spark, dir, threshold).select("a_id", "b_id")
+      graft.Lineage.cut(connectedComponentsFor(rp)._1)
+    }
+
   /** Contracted (round 14): components are computed on the REP graph —
     * base-tier size at any clone factor — and members inherit their
     * group's component label. Identical output to CC over the expanded
@@ -490,8 +509,7 @@ object Dedup {
     */
   def dedupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val g = textGroups(spark, dir)
-    val rp = repPairsFor(spark, dir, threshold).select("a_id", "b_id")
-    val (labels, _) = connectedComponentsFor(rp)
+    val labels = ccLabelsFor(spark, dir, threshold)
     g.join(labels.select(col("doc_id").as("rep"), col("canonical_id")), Seq("rep"), "left")
       .filter(col("canonical_id").isNotNull || col("sz") >= 2)
       .select(explode(col("ids")).as("doc_id"),
@@ -1158,7 +1176,14 @@ object Dedup {
     * bytes_removed). Linear at any clone factor: the kernel runs over
     * distinct texts, the expansion over documents.
     */
-  def dedupSubstringApply(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
+  def dedupSubstringApply(spark: SparkSession, dir: String, minLen: Int = 40): DataFrame =
+    memo(applyCache, spark, s"$dir|$minLen")(
+      dedupSubstringApplyBuild(spark, dir, minLen).persist())
+
+  private val applyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dedupSubstringApplyBuild(spark: SparkSession, dir: String, minLen: Int): DataFrame = {
     val L = minLen
     val g = allTextGroups(spark, dir)
     g.join(cutSpanArrays(g, L), Seq("rep"), "left")

@@ -287,4 +287,20 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dispositions, CC labels, and the span-cut apply are memoized per (session, dir)") {
+    // r18: the CC fixpoint is the dedup family's most expensive kernel
+    // and three operators consume it (dedup_groups, curate_corpus,
+    // corpus_emit) — instance identity proves one run per session.
+    assert(Curation.dispositionsFor(spark, sfDir) eq Curation.dispositionsFor(spark, sfDir),
+      "second dispositions call must hit the (session, dir) cache")
+    assert(Dedup.ccLabelsFor(spark, sfDir, 0.8) eq Dedup.ccLabelsFor(spark, sfDir, 0.8),
+      "second CC-labels call must hit the (session, dir, τ) cache")
+    assert(Dedup.dedupSubstringApply(spark, sfDir) eq Dedup.dedupSubstringApply(spark, sfDir),
+      "the apply (and its digest companion) must share one memoized base")
+    assert(Curation.dispositionsFor(spark, sfDir).storageLevel.useMemory,
+      "the dispositions frame must be persisted, not a replayable plan")
+    assert(Dedup.dedupSubstringApply(spark, sfDir).storageLevel.useMemory,
+      "the apply frame must be persisted, not a replayable plan")
+  }
 }
