@@ -68,6 +68,20 @@ object Verify {
     // check to 1 query). The json filter below intentionally ignores
     // `only` in this mode so the map covers the full registry.
     val jsonOnly = sys.env.get("GRAFT_JSON_ONLY").contains("1")
+    // r18 (r17 ADVICE): json-only mode inherits THIS run's pin-exclusion
+    // env, not the original dump's — print the effective exclusion set
+    // so an env mismatch with the run being repaired is visible before
+    // check.py consumes the regenerated json.
+    if (jsonOnly) {
+      val mode =
+        if (sys.env.get("GRAFT_EXCLUDE_PINNED").contains("1")) "GRAFT_EXCLUDE_PINNED=1"
+        else sys.env.get("GRAFT_PIN_TIER").map(t => s"GRAFT_PIN_TIER=$t")
+          .getOrElse("no pin exclusion (all pins included)")
+      System.err.println(s"[verify] GRAFT_JSON_ONLY: pin mode = $mode; " +
+        s"excluding ${pinned.size} pin-only queries" +
+        (if (pinned.isEmpty) "" else pinned.toSeq.sorted.mkString(" [", ", ", "]")) +
+        " — must match the original dump's env or check.py sees a different query set")
+    }
     if (!jsonOnly) SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) && !pinned.contains(name) }
       .foreach { case (name, fn) =>

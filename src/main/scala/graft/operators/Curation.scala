@@ -202,10 +202,17 @@ object Curation {
     * the streaming-concatenation layout, not bin packing, so the
     * result is reproducible and engine-independent).
     */
-  def packChunks(spark: SparkSession, dir: String, budget: Int = 512): DataFrame =
+  /** Default tokens-per-chunk budget, bound into BOTH the entry
+    * defaults and the generated oracle SQL (one constant, so a
+    * non-default call can't silently diverge from the registered
+    * oracle — r17 ADVICE).
+    */
+  val TokenBudget = 512
+
+  def packChunks(spark: SparkSession, dir: String, budget: Int = TokenBudget): DataFrame =
     packChunksFor(Tables.documents(spark, dir), budget)
 
-  private[graft] def packChunksFor(docs: DataFrame, budget: Int = 512): DataFrame = {
+  private[graft] def packChunksFor(docs: DataFrame, budget: Int = TokenBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -222,7 +229,7 @@ object Curation {
   }
 
   val packChunksSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, source,
       |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents
@@ -235,9 +242,9 @@ object Curation {
       |  FROM t
       |)
       |SELECT doc_id, source, n_tokens,
-      |  tok_before // 512 AS chunk_start,
-      |  (tok_before + n_tokens - 1) // 512 AS chunk_end,
-      |  tok_before % 512 AS chunk_offset
+      |  tok_before // $TokenBudget AS chunk_start,
+      |  (tok_before + n_tokens - 1) // $TokenBudget AS chunk_end,
+      |  tok_before % $TokenBudget AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Benchmark-contamination audit: word-5-gram overlap between a
@@ -493,7 +500,7 @@ object Curation {
     * keeps one doc per text, so this is base-tier-sized at any clone
     * factor), and packing is parallel per-source prefix sums.
     */
-  def corpusEmit(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def corpusEmit(spark: SparkSession, dir: String, budget: Int = TokenBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the kept frame fans out to BOTH sides of the cleaned join (the
     // span-cut kernel derives from it) — materialize it once so the
@@ -621,9 +628,9 @@ object Curation {
        |  FROM pk
        |)
        |SELECT doc_id, source, cleaned_text, n_tokens,
-       |  tok_before // 512 AS chunk_start,
-       |  (tok_before + n_tokens - 1) // 512 AS chunk_end,
-       |  tok_before % 512 AS chunk_offset
+       |  tok_before // $TokenBudget AS chunk_start,
+       |  (tok_before + n_tokens - 1) // $TokenBudget AS chunk_end,
+       |  tok_before % $TokenBudget AS chunk_offset
        |FROM c2 ORDER BY doc_id""".stripMargin
 
   val contamNgramSql: String =

@@ -479,6 +479,13 @@ object Dedup {
 
   private[graft] val CcCheckpointEvery = 5
 
+  /** Default near-dup Jaccard threshold, shared by the batch family
+    * defaults, [[graft.streaming.StreamingJobs.streamDocDedup]], and
+    * the generated oracle SQL — one constant so a non-default call
+    * can't silently diverge from the registered oracle (r17 ADVICE).
+    */
+  val NearDupThreshold = 0.8
+
   private val ccLabelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

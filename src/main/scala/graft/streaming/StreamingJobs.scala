@@ -1084,7 +1084,8 @@ object StreamingJobs {
     * are injectable for the chunked cross-batch spec.
     */
   def streamDocDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, srcGlob: String = "documents.parquet",
+      threshold: Double = graft.operators.Dedup.NearDupThreshold,
+      srcGlob: String = "documents.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val keyed = docsStream(spark, dir, srcGlob, maxFilesPerTrigger)
@@ -1142,11 +1143,18 @@ object StreamingJobs {
       .filter(col("nrep") < col("n_doc_id"))
       .groupBy(col("n_doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_near_texts"), max(col("jaccard")).as("max_jaccard"))
-    seen.join(near, Seq("doc_id"), "left")
+    val out = seen.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), (!col("first_seen")).as("exact_dup"),
         coalesce(col("n_near_texts"), lit(0L)).as("n_near_texts"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
       .orderBy("doc_id")
+    // materialize, then drop both memory-sink views: repeated
+    // invocations in one session (Bench ×3, the layout gate) must not
+    // accumulate driver-resident sink tables and catalog entries
+    val cut = graft.Lineage.cut(out)
+    spark.catalog.dropTempView(seenSink)
+    spark.catalog.dropTempView(candSink)
+    cut
   }
 
   /** Oracle for [[streamDocDedup]]: the contracted exact-Jaccard
@@ -1160,7 +1168,7 @@ object StreamingJobs {
     */
   val streamDocDedupSql: String =
     s"""WITH
-       |${graft.operators.Dedup.contractedJaccardKernelForOracles(0.8)},
+       |${graft.operators.Dedup.contractedJaccardKernelForOracles(graft.operators.Dedup.NearDupThreshold)},
        |docs AS (
        |  SELECT unnest(ids) AS doc_id, rep FROM grp
        |), nb AS (

@@ -177,4 +177,37 @@ class LateDataSpec extends AnyFunSuite {
     assert(got == Map(10L -> false, 11L -> true, 1L -> true),
       s"arrival-ordered first-seen contract broke: $got")
   }
+
+  test("stream_doc_dedup near-count is ID-ordered even under skewed arrival (documented semantics)") {
+    // r18 (r17 ADVICE): the near-neighbor count keys "earlier" on the
+    // neighbor's rep doc_id (nrep < doc_id), NOT on arrival — a near
+    // text that ARRIVES later but carries a smaller id still counts as
+    // an earlier neighbor. That is the contract the id-arithmetic
+    // oracle (rep < doc_id) computes at every tier, so it is pinned
+    // here under the adversarial arrival order instead of silently
+    // differing from it. first_seen/exact_dup stay arrival-ordered
+    // (previous test) — the two verdicts deliberately use different
+    // orders, both now pinned.
+    val base = (1 to 40).map(i => f"w$i%02d")
+    val tA = base.mkString(" ")                      // 38 shingles
+    val tB = (base.init :+ "zz").mkString(" ")       // differs in last token: J = 35/41 ≈ 0.854
+    val dir = writeChunkDir(Seq(
+      Seq(Row(10L, tA, "en", "web", tA.length.toLong)),
+      Seq(Row(1L, tB, "en", "web", tB.length.toLong))), docSchema)
+    val all = Seq(Row(10L, tA, "en", "web", tA.length.toLong),
+      Row(1L, tB, "en", "web", tB.length.toLong))
+    val stage = s"$dir/stage_docs"
+    spark.createDataFrame(spark.sparkContext.parallelize(all, 1), docSchema)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+    val got = StreamingJobs.streamDocDedup(spark, dir,
+        srcGlob = "chunk*.parquet", maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // doc 10 (arrived FIRST) counts rep 1 as an earlier near neighbor
+    // because 1 < 10 in id order; doc 1 (arrived second) counts none.
+    assert(got == Map(10L -> ((false, 1L)), 1L -> ((false, 0L))),
+      s"id-ordered near-count contract broke: $got")
+  }
 }
