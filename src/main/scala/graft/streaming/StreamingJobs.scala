@@ -1116,10 +1116,19 @@ object StreamingJobs {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(bandIndexFn)
       .writeStream.outputMode("append").format("memory").queryName(candSink).start()
     try qb.processAllAvailable() finally qb.stop()
-    val seen = spark.table(seenSink)
+    // materialize both sink relations, then drop the memory-sink views:
+    // repeated invocations in one session (Bench ×3, the layout gate)
+    // must not accumulate driver-resident sink tables and catalog
+    // entries. Cutting HERE (not the final result) keeps the verify/
+    // join compose below a real, auditable plan (PlanAuditSpec
+    // fingerprint) instead of a single materialized LogicalRDD.
+    val seen = graft.Lineage.cut(spark.table(seenSink))
+    val candRaw = graft.Lineage.cut(spark.table(candSink))
+    spark.catalog.dropTempView(seenSink)
+    spark.catalog.dropTempView(candSink)
     // normalize + dedupe candidates across bands, then exact-verify
     // against the ingested corpus's shingle arrays
-    val cand = spark.table(candSink)
+    val cand = candRaw
       .select(least(col("a_rep"), col("b_rep")).as("a_id"),
         greatest(col("a_rep"), col("b_rep")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
@@ -1143,18 +1152,11 @@ object StreamingJobs {
       .filter(col("nrep") < col("n_doc_id"))
       .groupBy(col("n_doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_near_texts"), max(col("jaccard")).as("max_jaccard"))
-    val out = seen.join(near, Seq("doc_id"), "left")
+    seen.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), (!col("first_seen")).as("exact_dup"),
         coalesce(col("n_near_texts"), lit(0L)).as("n_near_texts"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
       .orderBy("doc_id")
-    // materialize, then drop both memory-sink views: repeated
-    // invocations in one session (Bench ×3, the layout gate) must not
-    // accumulate driver-resident sink tables and catalog entries
-    val cut = graft.Lineage.cut(out)
-    spark.catalog.dropTempView(seenSink)
-    spark.catalog.dropTempView(candSink)
-    cut
   }
 
   /** Oracle for [[streamDocDedup]]: the contracted exact-Jaccard
