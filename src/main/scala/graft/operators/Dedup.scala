@@ -83,7 +83,7 @@ object Dedup {
     * nested computeIfAbsent on one ConcurrentHashMap risks a
     * same-bin recursive-update failure.
     */
-  private[operators] def memo(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+  private[graft] def memo(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
       spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
@@ -1610,9 +1610,12 @@ object Dedup {
     require(threshold <= 1.0, s"cosine threshold must be <= 1.0, got $threshold")
     val g = vecGroups(spark, dir)
     val reps = g.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
+    // Lineage.cut, not persist (r18): the verified pair relation's
+    // lineage embeds the k-means cell build — re-analyzed per reuse
+    // (same class as the semCache fix above)
     val rp = memo(cellCache, spark, s"$dir|$threshold")(
-      verifyCosine(reps, embeddingCandidatesFor(spark, reps, threshold), threshold)
-        .persist())
+      graft.Lineage.cut(
+        verifyCosine(reps, embeddingCandidatesFor(spark, reps, threshold), threshold)))
     expandPairs(rp, g, "cos_sim", lit(1.0)).orderBy("a_id", "b_id")
   }
 
@@ -1696,13 +1699,19 @@ object Dedup {
   private val semCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // Lineage.cut, not persist (r18): the verdict's lineage embeds the
+  // k-means assign + CC fixpoint tree — ~10 MB of formatted plan that
+  // Catalyst re-analyzes on EVERY reuse (the digest companion, each
+  // bench pass), ~2 s of pure driver planning per invocation measured
+  // at sf0.1 (guide §7.3 "very large plans"). The cut stores an O(1)
+  // LogicalRDD; content is identical (cut materializes the same rows).
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
     memo(semCache, spark, s"$dir|$threshold")(
-      semanticDedupFor(spark,
+      graft.Lineage.cut(semanticDedupFor(spark,
         Tables.embeddings(spark, dir).select(
           col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
           .filter(col("nrm") > 0), // no direction — see embeddingDedupFor
-        threshold).persist())
+        threshold)))
 
   private[graft] def semanticDedupFor(
       spark: SparkSession, raw: DataFrame, threshold: Double): DataFrame = {

@@ -623,8 +623,23 @@ object StreamingJobs {
     * append-mode semantics (CLAUDE.md: append-mode aggregations
     * withhold the tail).
     */
+  // The watermark-closed session set is deterministic for a finite
+  // corpus (its content digest is pinned), and the digest companion
+  // query re-ran the WHOLE stream — two full stateful runs per bench
+  // pass / Verify dump. Memoize the materialized result per (session,
+  // dir, glob) like the other shared bases (the dedupSubstringApply
+  // precedent); the cut stores an O(1) LogicalRDD and lets the sink
+  // view drop immediately (no per-invocation catalog growth).
+  private val sswCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def sessionWindowStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame = {
+      glob: String = "events.parquet"): DataFrame =
+    graft.operators.Dedup.memo(sswCache, spark, s"$dir|$glob")(
+      sessionWindowStreamRun(spark, dir, glob))
+
+  private def sessionWindowStreamRun(spark: SparkSession, dir: String,
+      glob: String): DataFrame = {
     val sink = s"stream_session_window_${System.nanoTime()}"
     // one-batch ingest over the unordered corpus directory — the
     // watermark-vs-file-order rule, see sessionAggStream
@@ -640,7 +655,9 @@ object StreamingJobs {
         col("n_events"), col("session_value"))
       .writeStream.outputMode("append").format("memory").queryName(sink).start()
     try query.processAllAvailable() finally query.stop()
-    spark.table(sink).orderBy("user_id", "start_us")
+    val out = graft.Lineage.cut(spark.table(sink).orderBy("user_id", "start_us"))
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** Production deployment shape: the windowed aggregate in APPEND
