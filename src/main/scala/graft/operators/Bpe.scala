@@ -148,9 +148,16 @@ object Bpe {
     * count, BPE token count, and the chars-per-token compression
     * ratio the tokenizer report tracks.
     */
+  // Result memoized per (session, dir, merges) through a lineage cut
+  // (r18): the digest companion re-ran the whole dict-encode loop +
+  // corpus join per invocation (the dedupSubstringApply precedent).
+  private val applyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def bpeApply(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
-    bpeApplyFor(Tables.documents(spark, dir),
-      learnedFor(spark, dir, merges).map(m => (m._2, m._3)))
+    Dedup.memo(applyCache, spark, s"$dir|$merges")(
+      graft.Lineage.cut(bpeApplyFor(Tables.documents(spark, dir),
+        learnedFor(spark, dir, merges).map(m => (m._2, m._3)))))
 
   private[graft] def bpeApplyFor(
       docs: DataFrame, mergeSeq: Seq[(String, String)]): DataFrame = {

@@ -55,34 +55,53 @@ object Graph {
     // iterations pay graph-proportional scheduling, not corpus-width
     // (the CC/BPE loop lesson; ~500k edges per partition)
     val withDeg0 = edges.join(deg, "src").persist()
-    val nEdges = withDeg0.count()
+    // ONE action materializes the persist and reads both loop
+    // constants (the former separate deg.count() re-ran the whole
+    // corpus scan + join + distinct — deg's lineage — per call)
+    val cnts = withDeg0.agg(
+      count(lit(1)).as("ne"), countDistinct(col("src")).as("nn")).collect()(0)
+    val nEdges = cnts.getLong(0)
+    val n = cnts.getLong(1) // every node appears as a src (undirected)
     val eParts = math.max(1L, math.min(nEdges / 500000L + 1L,
       spark.sparkContext.defaultParallelism.toLong)).toInt
+    // Hash-repartition (not coalesce) the loop relations to the
+    // size-derived eParts: the in-loop repartition(eParts, dst) lands
+    // the aggregate directly on its required distribution (no second
+    // exchange after the agg). NOTE measured r18: a localCheckpoint
+    // LogicalRDD does NOT carry outputPartitioning in Spark 4.1, so
+    // the join still exchanges its (tiny, AQE-local) inputs per
+    // iteration — the probe showed per-iteration cuts beat both
+    // every-3 and uncut-chain cadences (0.55 s vs ~0.64/1.1 s), so the
+    // remaining floor is AQE stage rounds, which amortize at scale.
     // withDeg is loop-INVARIANT (read by every iteration): plain cut,
     // never routed through the rank loop handle below
-    val withDeg = withDeg0.coalesce(eParts).transform(graft.Lineage.cut)
+    val withDeg = withDeg0.repartition(eParts, col("src"))
+      .transform(graft.Lineage.cut)
     withDeg0.unpersist()
-    val n = deg.count() // every node appears as a src (undirected)
     // rank is the loop VARIABLE: its handle deletes each superseded
-    // reliable checkpoint as soon as the next one materializes
+    // reliable checkpoint as soon as the next one materializes.
+    // Initialized from the CUT edge relation — the former
+    // deg.select(...) lineage replayed the whole corpus scan + join +
+    // distinct for the init action (measured 3.2 s cold / ~1 s warm at
+    // sf0.1; from withDeg it is 0.5 s).
     val rankLoop = new graft.Lineage.Loop
     var ranks = rankLoop.cut(
-      deg.select(col("src").as("node"), lit(1.0 / n).as("rank")).coalesce(eParts))
-    // Cost note (measured at sf0.1, 16k nodes / 800k edges): ~0.7s
-    // per iteration regardless of layout, checkpoint cadence, or AQE
-    // on/off — the floor is 10 sequential stage barriers on a tiny
-    // graph, pure fixed overhead that amortizes away at real scale.
-    // Per-iteration eager cuts keep the plan O(1) and measured no
-    // slower than periodic cuts here.
+      withDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1.0 / n).as("rank")))
+    // Cost note (re-measured r18 at sf0.1, 16k nodes / 800k edges):
+    // co-partitioning cuts the iteration to one small exchange + two
+    // stages; the remaining floor is sequential stage barriers that
+    // amortize away at real scale. Per-iteration eager cuts keep the
+    // plan O(1) and measured no slower than periodic cuts here.
     for (_ <- 1 to iters) {
       ranks = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("rank") / col("out_deg")).as("contrib"))
+        .repartition(eParts, col("dst"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("in_mass"))
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
-        .coalesce(eParts)
         .transform(rankLoop.cut(_))
     }
     ranks
@@ -190,23 +209,21 @@ object Graph {
     // integer `div`: n(n−1) and n(n−1)(n−2) are divisible by 2 and 6,
     // so the division is exact; double division would lose bits past
     // 2^53 long before a real corpus stops fitting
-    val a = parts.agg(
+    val aAgg = parts.agg(
       coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
       coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("e_int"),
       coalesce(sum(expr("sz * (sz - 1) * (sz - 2) div 6")), lit(0L)).as("t_int"),
       coalesce(sum(expr("sz * (ddeg * (ddeg - 1) div 2)")), lit(0L)).as("n_wedges"))
-      .collect()(0)
-    val b = rp
+    val bAgg = rp
       .join(gsz.select(col("rep").as("a_rep"), col("sz").as("sa")), "a_rep")
       .join(gsz.select(col("rep").as("b_rep"), col("sz").as("sb")), "b_rep")
       .agg(
         coalesce(sum(col("sa") * col("sb")), lit(0L)).as("e_cross"),
         coalesce(sum(expr("sa * (sa - 1) div 2 * sb + sa * (sb * (sb - 1) div 2)")),
           lit(0L)).as("t_2g"))
-      .collect()(0)
     // rep triangles: the classic a<b<c ordered two-step join over H,
     // weighted by the clone-count product
-    val t3g = rp.as("e1")
+    val tAgg = rp.as("e1")
       .join(rp.as("e2"), col("e1.b_rep") === col("e2.a_rep"))
       .join(rp.as("e3"),
         col("e1.a_rep") === col("e3.a_rep") && col("e2.b_rep") === col("e3.b_rep"))
@@ -217,10 +234,14 @@ object Graph {
       .join(gsz.select(col("rep").as("r3"), col("sz").as("s3")),
         col("e2.b_rep") === col("r3"))
       .agg(coalesce(sum(col("s1") * col("s2") * col("s3")), lit(0L)).as("t_3g"))
-      .collect()(0).getLong(0)
+    // ONE action for all three independent 1-row census aggregates
+    // (r18): crossJoin of 1-row relations lets the scheduler overlap
+    // their stages in a single job instead of three sequential
+    // collect() round-trips (guide §2.6)
+    val a = aAgg.crossJoin(bAgg).crossJoin(tAgg).collect()(0)
     val nNodes = a.getLong(0)
-    val nEdges = a.getLong(1) + b.getLong(0)
-    val tri = a.getLong(2) + b.getLong(1) + t3g
+    val nEdges = a.getLong(1) + a.getLong(4)
+    val tri = a.getLong(2) + a.getLong(5) + a.getLong(6)
     val nWedges = a.getLong(3)
     import spark.implicits._
     Seq((nNodes, nEdges, tri, nWedges,

@@ -316,8 +316,19 @@ object Similarity {
     * and scoring is pure scan-side arithmetic (measured in the spec
     * as ADC recall against the exact search).
     */
+  // Result memoized per (session, dir, params) through a lineage cut
+  // (r18): the digest companion re-ran the assignment join + argmin
+  // per invocation (the dedupSubstringApply precedent).
+  private val pqResultCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def pqQuantize(spark: SparkSession, dir: String,
-      m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
+      m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame =
+    Dedup.memo(pqResultCache, spark, s"$dir|$m|$ksub|$iters")(
+      graft.Lineage.cut(pqQuantizeBuild(spark, dir, m, ksub, iters)))
+
+  private def pqQuantizeBuild(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
     val (e, _, assigned) = pqParts(spark, dir, m, ksub, iters)
     assigned.groupBy("vec_id")
       .agg(
