@@ -159,20 +159,25 @@ object Similarity {
       .filter(col("nrm") > 0) // no direction — see knnBrute
       .cache()
     try {
-      val n = e.count()
-      // deterministic seeding: evenly-strided vec_ids
-      val stride = math.max(1L, n / numClusters)
-      val seeds: Array[Seq[Double]] = e
-        .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(numClusters)
-        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
-        .map(_.getSeq[Double](0))
-
       // Centroids travel as a broadcast RELATION, not as expression
       // literals: the plan is O(1) in K (the old K-struct-literal
       // expression tree blew up codegen at production K ≈ √n). The
       // Lloyd collects are O(K·dim), bounded regardless of corpus
-      // size. See KMeans for the assignment shape.
-      val centroids = KMeans.lloyd(spark, e, seeds, lloydIters)
+      // size. See KMeans for the assignment shape. Centroids are pure
+      // data from deterministic seeds — memoized per (dir, params)
+      // like the PQ codebooks (r18), so repeated queries skip the
+      // seed collect + Lloyd action chain.
+      val centroids = ivfCentCache.computeIfAbsent(
+        s"$dir|$numClusters|$lloydIters", _ => {
+          val n = e.count()
+          // deterministic seeding: evenly-strided vec_ids
+          val stride = math.max(1L, n / numClusters)
+          val seeds: Array[Seq[Double]] = e
+            .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(numClusters)
+            .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
+            .map(_.getSeq[Double](0))
+          KMeans.lloyd(spark, e, seeds, lloydIters)
+        })
       val index = KMeans.assign(e, KMeans.centDf(spark, centroids))
       // nprobe nearest clusters per query, via the same broadcast
       // centroid relation: per-(query, cluster) distance → window
@@ -577,6 +582,14 @@ object Similarity {
   private val ivfPqCoarseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
 
+  // r18: knn_ivf / kmeans_clusters centroid memos (same contract as
+  // ivfPqCoarseCache — centroids are pure data from deterministic
+  // seeds, keyed by (dir, params))
+  private val ivfCentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
+  private val kmCentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Double]]]()
+
   /** User-facing k-means clustering report: per-cluster size and
     * inertia from the shared deterministic Lloyd machinery (hash
     * seeds, broadcast-relation assignment). The spec checks the
@@ -592,7 +605,8 @@ object Similarity {
       k: Int = 8, iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-    val cents = KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters)
+    val cents = kmCentCache.computeIfAbsent(s"$dir|$k|$iters",
+      _ => KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters))
     KMeans.assign(e, KMeans.centDf(spark, cents))
       .join(broadcast(KMeans.centDf(spark, cents)), "cluster")
       .withColumn("d",
