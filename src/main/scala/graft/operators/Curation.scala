@@ -717,10 +717,15 @@ object Curation {
     * Scale: windows collapse to (doc_id, gram, cnt) with map-side
     * partial aggregation before the first exchange; document
     * frequency is a second gram-keyed aggregate over that already-
-    * collapsed relation. At 100 TB both passes key on an 8-byte
-    * xxhash64 of the gram instead of the string (the counts are
-    * identical modulo 2^-64 collisions); the string form is kept
-    * here for oracle bit-parity.
+    * collapsed relation. Both passes key on an 8-byte xxhash64 of the
+    * gram instead of the ~80-byte string (r18, guide §2.3 "narrower
+    * types"): the two exchanges and the gram-keyed join carry a LONG,
+    * ~10× fewer shuffle bytes, and the per-partition hash maps
+    * compare longs instead of strings. The output counts are
+    * identical unless two distinct grams collide in 64 bits — like
+    * the LSH family's FN-freeness (CLAUDE.md), collision-freeness is
+    * a FIXED property of a given corpus, verified once per tier by
+    * the exact-string DuckDB oracle, not a per-run coin flip.
     */
   def dedupSpan(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     dedupSpanFor(Tables.documents(spark, dir), n)
@@ -728,7 +733,8 @@ object Curation {
   private[graft] def dedupSpanFor(docs: DataFrame, n: Int): DataFrame = {
     val wins = docs
       .select(col("doc_id"), explode(expr(
-        _root_.graft.functions.ngramsFromTextExpr("text", n))).as("gram"))
+        _root_.graft.functions.ngramsFromTextExpr("text", n))).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("gram"))
     val perDoc = wins.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
     val dfRel = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
     perDoc.join(dfRel, "gram")

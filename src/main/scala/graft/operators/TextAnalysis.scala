@@ -147,9 +147,6 @@ object TextAnalysis {
     lmPerplexityFor(Tables.documents(spark, dir))
 
   private[graft] def lmPerplexityFor(rawDocs: DataFrame): DataFrame = {
-    val docs = rawDocs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 2)
     // every bigram OCCURRENCE (duplicates kept — counts need them).
     // Lambda-bound tokenization: this feeds an explode, so any alias-
     // substituted copy (InferFiltersFromGenerate) would re-split per
@@ -162,8 +159,15 @@ object TextAnalysis {
       .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val cab = bg.groupBy("a", "b").agg(count(lit(1)).cast("double").as("cab"))
-    val ca  = bg.groupBy("a").agg(count(lit(1)).cast("double").as("ca"))
-    val voc = docs.select(explode(col("w")).as("t"))
+    // ca and the vocabulary size derive from the BOUNDED bigram-type
+    // relation, not from fresh corpus passes (r18, guide §1.2 "don't
+    // compute things twice"): ca(a) = Σ_b cab(a,b) exactly (integer-
+    // valued doubles, exact under 2^53), and the token set of every
+    // ≥2-word doc is exactly distinct(a) ∪ distinct(b) (a covers all
+    // positions but the last, b all but the first). This cuts the
+    // corpus tokenization from 4 passes to 2 (cab build + final probe).
+    val ca = cab.groupBy("a").agg(sum(col("cab")).as("ca"))
+    val voc = cab.select(col("a").as("t")).union(cab.select(col("b").as("t")))
       .agg(countDistinct(col("t")).cast("double").as("v"))
     bg.join(broadcast(cab), Seq("a", "b"))
       .join(broadcast(ca), Seq("a"))
