@@ -242,6 +242,26 @@ object SparkEntry {
       operators.RelationDigest.digest(StreamingJobs.sessionWindowStream(s, d))),
   )
 
+  /** Pre-cut / un-memoized BUILD plans for queries whose entry
+    * DataFrame hides the real work behind a Lineage.cut LogicalRDD
+    * (r18 VERDICT item 6 / ADVICE): the committed fingerprint of the
+    * entry collapses to `codegen=1`, blinding PlanAuditSpec — and the
+    * sfx1/sfx10 tiers that catch size-dependent strategy regressions
+    * (broadcast→cartesian, r13) — to the build shape. Each entry here
+    * constructs the un-cut build DataFrame; PlanAuditSpec fingerprints
+    * them alongside the declared queries (names carry a `#part`
+    * suffix so they can never collide with a declared query).
+    * Construction may replay bounded eager prep (loop cuts, centroid
+    * seeds) but the returned plan is the scale-relevant body.
+    */
+  def auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_perplexity#cab"  -> TextAnalysis.lmPerplexityCabBuild _,
+    "dedup_simhash#docs" -> ((s: SparkSession, d: String) => Dedup.simhashDocs(s, d, oracleHash = true)),
+    "bpe_apply#build"    -> ((s: SparkSession, d: String) => Bpe.bpeApplyBuild(s, d)),
+    "pq_quantize#build"  -> ((s: SparkSession, d: String) => Similarity.pqQuantizeBuild(s, d, 4, 16, 3)),
+    "pagerank#step"      -> ((s: SparkSession, d: String) => Graph.pagerankIterationBuild(s, d)),
+  )
+
   /** DuckDB oracle SQL per query (same parquet tables, same aliases). */
   /** Handwritten (corpus-generic) DuckDB oracles. A query may ALSO
     * carry a pinned capture (media_audio_dedup: the pin adds the

@@ -156,8 +156,19 @@ object Bpe {
 
   def bpeApply(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
     Dedup.memo(applyCache, spark, s"$dir|$merges")(
-      graft.Lineage.cut(bpeApplyFor(Tables.documents(spark, dir),
-        learnedFor(spark, dir, merges).map(m => (m._2, m._3)))))
+      graft.Lineage.cut(bpeApplyBuild(spark, dir, merges)))
+
+  /** The un-memoized, un-cut encode build — exposed for the plan
+    * audit (SparkEntry.auditPlans): the entry query's memo + cut
+    * collapse its committed fingerprint to a single LogicalRDD, which
+    * blinded the audit to the real join/agg shape (r18 ADVICE).
+    * Construction replays the dict-sized encode loop (eager chunked
+    * cuts), but the RETURNED plan — corpus explode ⋈ broadcast
+    * encoded dict → per-doc agg — is the scale-relevant shape.
+    */
+  private[graft] def bpeApplyBuild(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
+    bpeApplyFor(Tables.documents(spark, dir),
+      learnedFor(spark, dir, merges).map(m => (m._2, m._3)))
 
   private[graft] def bpeApplyFor(
       docs: DataFrame, mergeSeq: Seq[(String, String)]): DataFrame = {

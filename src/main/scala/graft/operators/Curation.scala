@@ -717,15 +717,18 @@ object Curation {
     * Scale: windows collapse to (doc_id, gram, cnt) with map-side
     * partial aggregation before the first exchange; document
     * frequency is a second gram-keyed aggregate over that already-
-    * collapsed relation. Both passes key on an 8-byte xxhash64 of the
-    * gram instead of the ~80-byte string (r18, guide §2.3 "narrower
-    * types"): the two exchanges and the gram-keyed join carry a LONG,
-    * ~10× fewer shuffle bytes, and the per-partition hash maps
-    * compare longs instead of strings. The output counts are
-    * identical unless two distinct grams collide in 64 bits — like
-    * the LSH family's FN-freeness (CLAUDE.md), collision-freeness is
-    * a FIXED property of a given corpus, verified once per tier by
-    * the exact-string DuckDB oracle, not a per-run coin flip.
+    * collapsed relation. Both passes key on a 128-BIT digest pair
+    * (xxhash64 under two seeds — the dedupSubstring r16 precedent)
+    * instead of the ~80-byte string (r18/r19, guide §2.3 "narrower
+    * types"): the two exchanges and the gram-keyed join carry 16
+    * bytes, ~5× fewer shuffle bytes, and the per-partition hash maps
+    * compare two longs instead of strings. r19 (VERDICT r18 item 7):
+    * the former single 64-bit key had a REAL birthday bound at 100 TB
+    * (10^10–10^11 distinct 10-grams ⇒ ~dozens-to-hundreds of expected
+    * collided pairs, each inflating df); at 128 bits the expectation
+    * is n²/2^129 ≈ 1.5e-17 at n = 10^11 — structurally collision-free
+    * at any conceivable corpus size, and still oracle-verified per
+    * tier against the exact-string DuckDB formulation.
     */
   def dedupSpan(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     dedupSpanFor(Tables.documents(spark, dir), n)
@@ -734,10 +737,11 @@ object Curation {
     val wins = docs
       .select(col("doc_id"), explode(expr(
         _root_.graft.functions.ngramsFromTextExpr("text", n))).as("g0"))
-      .select(col("doc_id"), xxhash64(col("g0")).as("gram"))
-    val perDoc = wins.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    val dfRel = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
-    perDoc.join(dfRel, "gram")
+      .select(col("doc_id"),
+        xxhash64(col("g0")).as("gk1"), xxhash64(lit(42L), col("g0")).as("gk2"))
+    val perDoc = wins.groupBy("doc_id", "gk1", "gk2").agg(count(lit(1)).as("cnt"))
+    val dfRel = perDoc.groupBy("gk1", "gk2").agg(count(lit(1)).as("df"))
+    perDoc.join(dfRel, Seq("gk1", "gk2"))
       .groupBy("doc_id")
       .agg(
         sum(col("cnt")).as("n_windows"),

@@ -1315,21 +1315,15 @@ object Dedup {
     val nBits = if (oracleHash) 60 else 64
     val blockBits = nBits / 4
     val mask = (1L << blockBits) - 1L
-    // one hash per token row, then nBits codegen'd conditional-sum
-    // aggregates (map-side partial agg); the bit-majority vote and
-    // word assembly are a single narrow projection afterwards.
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h",
-        if (oracleHash)
-          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long")
-        else xxhash64(col("t")))
-    val bitAggs = (0 until nBits).map(k =>
-      sum((shiftright(col("h"), k) bitwiseAND lit(1L)) * lit(2L) - lit(1L)).as(s"s$k"))
-    val docs = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until nBits).map(k => when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    // The per-doc simhash relation feeds BOTH sides of the pigeonhole
+    // self-join below; left as lazy lineage, Catalyst replicates the
+    // whole corpus tokenize + md5 + 60-sum aggregate subtree into each
+    // side (r19 plan audit: 2 parquet scans, 2 wide aggregates — the
+    // lm_perplexity class). The eager Lineage.cut runs the heavy build
+    // exactly once per invocation (never registered with the
+    // CacheManager — no cross-invocation result reuse), and the
+    // doc-count×16-byte cut relation is read twice instead.
+    val docs = graft.Lineage.cut(simhashDocs(spark, dir, oracleHash))
     val blockCols = (0 until 4).map { j =>
       struct(lit(j).as("blk"), (shiftright(col("simhash"), j * blockBits) bitwiseAND lit(mask)).as("bval"))
     }
@@ -1342,6 +1336,30 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
       .orderBy("a_id", "b_id")
+  }
+
+  /** The heavy pre-cut build of [[simhash]] — (doc_id, simhash): one
+    * token hash per occurrence, then nBits codegen'd conditional-sum
+    * aggregates (map-side partial agg); the bit-majority vote and
+    * word assembly are a single narrow projection afterwards.
+    * Exposed for the plan audit (SparkEntry.auditPlans): the entry
+    * query hides this subtree behind the lineage cut above.
+    */
+  private[graft] def simhashDocs(
+      spark: SparkSession, dir: String, oracleHash: Boolean): DataFrame = {
+    val nBits = if (oracleHash) 60 else 64
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h",
+        if (oracleHash)
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+        else xxhash64(col("t")))
+    val bitAggs = (0 until nBits).map(k =>
+      sum((shiftright(col("h"), k) bitwiseAND lit(1L)) * lit(2L) - lit(1L)).as(s"s$k"))
+    tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(k => when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Oracle for [[simhash]] with `oracleHash = true`: DuckDB

