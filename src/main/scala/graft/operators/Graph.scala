@@ -58,6 +58,19 @@ object Graph {
     // stages; the remaining floor is sequential stage barriers that
     // amortize away at real scale. Per-iteration eager cuts keep the
     // plan O(1) and measured no slower than periodic cuts here.
+    //
+    // AQE stays ON in the loop (r19 experiment, abandoned): LoopProbe
+    // measured 0.54 -> 0.45 s/iteration with AQE off, but entry-level
+    // runs of the change landed 12-28 s — readings taken as the host
+    // degraded ~4x (ambient load 4->9; CLAUDE.md 5x-noise rule), so
+    // the regression could not be separated from contention and the
+    // change was dropped as unproven. Structural caution against it:
+    // the loop inputs are cut LogicalRDDs with no size stats, so
+    // static planning gets sort-merge (shuffle+sort of the edge
+    // relation per iteration) where AQE's runtime stats broadcast the
+    // node-sized rank relation (pagerank#step fingerprint: bhj=1),
+    // and an explicit broadcast(ranks) hint is forbidden at scale
+    // (unbounded relation — CLAUDE.md bounded-by-construction rule).
     for (_ <- 1 to iters) {
       ranks = rankLoop.cut(rankStep(withDeg, ranks, eParts, n, damping))
     }

@@ -623,16 +623,24 @@ object RelationalExtras {
     * the parquet reader).
     */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
-    def prof(colName: String): DataFrame =
-      Tables.orders(spark, dir).select(col(colName))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col(colName)).as("n_nonnull"),
-          countDistinct(col(colName)).as("n_distinct"))
-        .select(lit(colName).as("col_name"),
-          col("n_rows"), col("n_nonnull"), col("n_distinct"))
-    Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      .map(prof).reduce(_ unionAll _)
+    // ONE corpus pass for the whole profile (r19, guide §1.2): the
+    // former per-column union re-scanned orders once per profiled
+    // column (4 scans + 4 aggregates). Multiple DISTINCT aggregates in
+    // one agg plan as a single scan + Expand (one projection per
+    // distinct column) + 2-stage agg, and the 1-row result unpivots to
+    // the per-column rows with stack() — exact integer outputs,
+    // bit-identical to the union form.
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val one = Tables.orders(spark, dir).select(cols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+          ") AS (col_name, n_nonnull, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"))
       .orderBy("col_name")
   }
 

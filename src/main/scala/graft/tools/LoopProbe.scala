@@ -15,6 +15,10 @@ object LoopProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PROBE_CONF="k=v;k=v" — session conf overrides for loop-shape
+    // experiments (e.g. spark.sql.adaptive.enabled=false)
+    sys.env.get("PROBE_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     import graft.sources.Tables
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
