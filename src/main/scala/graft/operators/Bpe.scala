@@ -73,8 +73,9 @@ object Bpe {
 
   private[graft] def learnedFor(
       spark: SparkSession, dir: String, merges: Int): Seq[(Int, String, String, Long)] =
-    mergeCache.computeIfAbsent(s"$dir|$merges", _ =>
-      learnMerges(Tables.documents(spark, dir), merges))
+    mergeCache.computeIfAbsent(
+      s"${Tables.contentKey(spark, dir, "documents")}|$merges", _ =>
+        learnMerges(Tables.documents(spark, dir), merges))
 
   private[graft] def bpeTrainFor(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession

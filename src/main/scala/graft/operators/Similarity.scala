@@ -168,7 +168,7 @@ object Similarity {
       // like the PQ codebooks (r18), so repeated queries skip the
       // seed collect + Lloyd action chain.
       val centroids = ivfCentCache.computeIfAbsent(
-        s"$dir|$numClusters|$lloydIters", _ => {
+        s"${Tables.contentKey(spark, dir, "embeddings")}|$numClusters|$lloydIters", _ => {
           val n = e.count()
           // deterministic seeding: evenly-strided vec_ids
           val stride = math.max(1L, n / numClusters)
@@ -360,7 +360,7 @@ object Similarity {
       m: Int, ksub: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
     pqPartsFor(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding")),
-      m, ksub, iters, memoKey = Some(dir))
+      m, ksub, iters, memoKey = Some(Tables.contentKey(spark, dir, "embeddings")))
 
   private[graft] def pqPartsFor(spark: SparkSession, e: DataFrame,
       m: Int, ksub: Int, iters: Int,
@@ -468,7 +468,7 @@ object Similarity {
     knnIvfPqFor(spark,
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm")),
-      kCoarse, nprobe, k, memoKey = Some(dir))
+      kCoarse, nprobe, k, memoKey = Some(Tables.contentKey(spark, dir, "embeddings")))
 
   private[graft] def knnIvfPqFor(spark: SparkSession, e: DataFrame,
       kCoarse: Int, nprobe: Int, k: Int, memoKey: Option[String]): DataFrame = {
@@ -558,7 +558,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
     val (centDf, codebook, codesWithCell) =
-      ivfPqIndexRelations(spark, e, kCoarse, memoKey = Some(dir))
+      ivfPqIndexRelations(spark, e, kCoarse, memoKey = Some(Tables.contentKey(spark, dir, "embeddings")))
     // scratch path keyed by (corpus dir, SESSION, pid) and reused
     // across calls — the Sketches.hllCube discipline (no orphan dir
     // per invocation, no cross-session overwrite-then-read race)
@@ -609,7 +609,8 @@ object Similarity {
       k: Int = 8, iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
-    val cents = kmCentCache.computeIfAbsent(s"$dir|$k|$iters",
+    val cents = kmCentCache.computeIfAbsent(
+      s"${Tables.contentKey(spark, dir, "embeddings")}|$k|$iters",
       _ => KMeans.lloyd(spark, e, KMeans.hashSeeds(e, k), iters))
     KMeans.assign(e, KMeans.centDf(spark, cents))
       .join(broadcast(KMeans.centDf(spark, cents)), "cluster")
