@@ -29,8 +29,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(2).foreach { name =>
+      // `name#part` resolves the pre-cut build plans (SparkEntry.auditPlans)
       val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'"))
+        graft.SparkEntry.auditPlans.getOrElse(name,
+          sys.error(s"unknown query '$name'")))
       spark.sparkContext.setJobDescription(s"plandump: $name")
       // one untimed pass first: parquet footer/page-cache warm-up plus
       // the per-(session, dir) memoized relations, matching the state
